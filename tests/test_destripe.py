@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from ipp_tpu.ops import destripe as ds
+
+
+def make_striped_tile(rng, h=256, w=256, stripe_strength=0.3):
+    """Synthetic tile: smooth 2D signal + multiplicative horizontal stripes
+    (constant along x — the light-sheet artifact geometry)."""
+    yy, xx = np.meshgrid(np.linspace(0, 3, h), np.linspace(0, 3, w), indexing="ij")
+    base = 2000 + 1500 * np.exp(-((yy - 1.5) ** 2 + (xx - 1.5) ** 2))
+    stripes = 1.0 + stripe_strength * rng.standard_normal(h)[:, None]
+    img = base * stripes + rng.normal(0, 10, (h, w))
+    return np.clip(img, 0, 65535).astype(np.uint16), base
+
+
+def stripe_power(img):
+    """Mean per-row deviation energy after removing smooth row structure."""
+    x = np.log1p(img.astype(np.float64))
+    row_means = x.mean(axis=1)
+    from scipy.ndimage import gaussian_filter1d
+
+    smooth = gaussian_filter1d(row_means, 10)
+    return float(np.abs(row_means - smooth).mean())
+
+
+def test_notch_matches_reference_formula():
+    g = ds.notch(100, 10.0)
+    x = np.arange(100, dtype=np.float32)
+    ref = 1 - np.exp(-x ** 2 / (2 * 100.0))
+    np.testing.assert_allclose(g, ref, atol=1e-6)
+    assert g[0] == 0.0
+
+
+def test_pad_size_formula():
+    # parity with the reference closed form (pystripe/core.py:671-698)
+    assert ds.notch_rise_point(250, 0.4) == int(
+        np.sqrt(-2 * 250 ** 2 * np.log(0.6)) + 0.5) // 2 * 2
+    p = ds.calculate_pad_size((2048, 2048), 250)
+    assert p > 0 and p % 2 == 0
+
+
+@pytest.mark.parametrize("wavelet", ["db9", "db3"])
+def test_destripe_removes_stripes(rng, wavelet):
+    img, _ = make_striped_tile(rng)
+    out = np.asarray(ds.filter_streaks(img, sigma=(128, 128), wavelet=wavelet))
+    assert out.dtype == np.uint16
+    assert out.shape == img.shape
+    p_in = stripe_power(img)
+    p_out = stripe_power(out)
+    assert p_out < 0.35 * p_in, (p_in, p_out)
+
+
+def test_destripe_preserves_structure(rng):
+    img, base = make_striped_tile(rng, stripe_strength=0.2)
+    out = np.asarray(ds.filter_streaks(img, sigma=(128, 128))).astype(np.float64)
+    # column profile (structure orthogonal to stripes) should track the base
+    prof_out = out.mean(axis=0)
+    prof_base = base.mean(axis=0)
+    corr = np.corrcoef(prof_out, prof_base)[0, 1]
+    assert corr > 0.99
+
+
+def test_destripe_batched_equals_single(rng):
+    imgs = np.stack([make_striped_tile(rng)[0] for _ in range(3)])
+    batched = np.asarray(ds.filter_streaks(imgs, sigma=(64, 64)))
+    singles = np.stack(
+        [np.asarray(ds.filter_streaks(imgs[i], sigma=(64, 64))) for i in range(3)])
+    np.testing.assert_array_equal(batched, singles)
+
+
+def test_destripe_noop_when_sigma_zero(rng):
+    img, _ = make_striped_tile(rng)
+    out = ds.filter_streaks(img, sigma=(0, 0))
+    np.testing.assert_array_equal(np.asarray(out), img)
+
+
+def test_destripe_with_bleach_correction(rng):
+    img, _ = make_striped_tile(rng)
+    decay = np.exp(-np.arange(img.shape[1]) / 300.0)[None, :]
+    img = (img * decay).astype(np.uint16)
+    from ipp_tpu.ops import stats
+
+    x = np.log1p(img.astype(np.float32))
+    lb, mb, ub = stats.threshold_multiotsu(x, classes=4)
+    out = np.asarray(ds.filter_streaks(
+        img, sigma=(64, 64), bleach_correction_frequency=1.0 / img.shape[1],
+        bleach_correction_clip_min=lb, bleach_correction_clip_med=mb,
+        bleach_correction_clip_max=ub))
+    # bleach corrected: right side no longer decayed to near-zero
+    left = out[:, :64].mean()
+    right = out[:, -64:].mean()
+    assert right > 0.4 * left

@@ -1,0 +1,94 @@
+"""Golden tests for the wavelet engine.
+
+Model: the reference verifies optimized kernels against straightforward
+references with ~5e-5 f32 tolerance (e.g. gauss3d_gpu_test.m).  Here the
+straightforward reference is a dense-matrix circular DWT in numpy float64.
+"""
+
+import numpy as np
+import pytest
+
+from ipp_tpu.ops import wavelets as wv
+
+
+def _np_dwt_last(x, rec_lo, rec_hi):
+    n = x.shape[-1]
+    L = len(rec_lo)
+    idx = (2 * np.arange(n // 2)[:, None] + np.arange(L)[None, :]) % n
+    xe = x[..., idx]
+    return xe @ rec_lo, xe @ rec_hi
+
+
+def _np_idwt_last(cA, cD, rec_lo, rec_hi):
+    m = cA.shape[-1]
+    n = 2 * m
+    L = len(rec_lo)
+    y = np.zeros(cA.shape[:-1] + (n,))
+    for i in range(m):
+        for k in range(L):
+            y[..., (2 * i + k) % n] += cA[..., i] * rec_lo[k] + cD[..., i] * rec_hi[k]
+    return y
+
+
+WAVELETS = ["haar", "db3", "db9", "db20", "sym4", "sym15", "coif3", "coif5"]
+
+
+@pytest.mark.parametrize("name", WAVELETS)
+def test_filter_bank_orthogonality(name):
+    h = wv.scaling_filter(name)
+    L = len(h)
+    assert L % 2 == 0
+    assert np.isclose(h.sum(), np.sqrt(2), atol=1e-10)
+    # double-shift orthogonality: <h, h[.-2m]> = delta_m
+    for m in range(1, L // 2):
+        assert abs(np.dot(h[: L - 2 * m], h[2 * m:])) < 1e-8, (name, m)
+    assert np.isclose(np.dot(h, h), 1.0, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["db2", "db9", "sym8", "coif2"])
+def test_1d_roundtrip_vs_numpy(name, rng):
+    dec_lo, dec_hi, rec_lo, rec_hi = wv.filter_bank(name)
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    import jax.numpy as jnp
+
+    cA, cD = wv._dwt_last(jnp.asarray(x), rec_lo, rec_hi)
+    cA_np, cD_np = _np_dwt_last(x.astype(np.float64), rec_lo, rec_hi)
+    np.testing.assert_allclose(np.asarray(cA), cA_np, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(cD), cD_np, atol=5e-5)
+    xr = wv._idwt_last(cA, cD, rec_lo, rec_hi)
+    np.testing.assert_allclose(np.asarray(xr), x, atol=5e-5)
+
+
+@pytest.mark.parametrize("name", ["db9", "sym6", "coif4"])
+@pytest.mark.parametrize("level", [1, 3])
+def test_wavedec2_roundtrip(name, level, rng):
+    img = rng.standard_normal((2, 64, 96)).astype(np.float32)
+    coeffs = wv.wavedec2(img, name, level)
+    assert len(coeffs) == level + 1
+    assert coeffs[0].shape == (2, 64 >> level, 96 >> level)
+    rec = wv.waverec2(coeffs, name)
+    np.testing.assert_allclose(np.asarray(rec), img, atol=2e-4)
+
+
+def test_wavedec2_energy_preserved(rng):
+    img = rng.standard_normal((32, 32)).astype(np.float64)
+    coeffs = wv.wavedec2(img, "db4", 2)
+    e = float(np.sum(np.square(np.asarray(coeffs[0]))))
+    for det in coeffs[1:]:
+        for c in det:
+            e += float(np.sum(np.square(np.asarray(c))))
+    assert np.isclose(e, np.sum(np.square(img)), rtol=1e-4)
+
+
+def test_stripe_lands_in_cH(rng):
+    """A horizontal stripe (constant along x) must land in cH (detail-y,
+    approx-x) — the subband the destriper filters (pystripe/core.py:927-939)."""
+    img = np.zeros((64, 64), np.float32)
+    img[31, :] = 1.0  # one-pixel horizontal stripe
+    cA, (cH, cV, cD) = wv.dwt2(img, "db2")
+    assert np.abs(np.asarray(cH)).sum() > 10 * np.abs(np.asarray(cV)).sum()
+
+
+def test_max_level():
+    assert wv.dwt_max_level(1024, "db9") == int(np.floor(np.log2(1024 / 17)))
+    assert wv.dwt_max_level(10, "db9") == 0
