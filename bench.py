@@ -1,0 +1,85 @@
+"""Benchmark — prints ONE JSON line with the headline metric.
+
+Headline: Richardson-Lucy FFT deconvolution throughput per chip
+(BASELINE config 3: 256^3 block, synthetic gaussian PSF, 10 iterations).
+Reference baseline: 27.6 Mvox/s/GPU — the 8x A100 FFT-domain run of
+LsDeconvolveMultiGPU (221 Mvox/s / 8, LsDeconvolveMultiGPU/README.md:61;
+see BASELINE.md).
+
+Also reports secondary stage throughputs (destripe, NCC) on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    from ipp_tpu.utils.jaxconfig import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.deconv import fft_shape_for, richardson_lucy
+    from ipp_tpu.ops.destripe import filter_streaks
+    from ipp_tpu.ops.psf import gaussian_psf
+
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    # --- headline: RL decon 256^3, 10 iters -------------------------------
+    n = 256
+    niter = 10
+    vol = jnp.asarray(rng.random((n, n, n), dtype=np.float32) * 1000.0)
+    psf = jnp.asarray(gaussian_psf((9, 9, 9), (2.0, 2.0, 2.0)))
+    fft_shape = fft_shape_for((n, n, n), (9, 9, 9))
+
+    def run():
+        out = richardson_lucy(vol, psf, niter=niter, stop_criterion=0.0,
+                              fft_shape=fft_shape)
+        out.block_until_ready()
+        return out
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    mvox_s = n ** 3 / best / 1e6
+    print(f"decon: compile {compile_s:.1f}s, best {best:.3f}s "
+          f"({mvox_s:.1f} Mvox/s)", file=sys.stderr)
+
+    # --- secondary: destripe throughput -----------------------------------
+    tiles = jnp.asarray(rng.integers(0, 40000, (4, 1024, 1024))
+                        .astype(np.uint16))
+    t0 = time.time()
+    filter_streaks(tiles, sigma=(128, 128), wavelet="db9").block_until_ready()
+    destripe_compile = time.time() - t0
+    t0 = time.time()
+    filter_streaks(tiles, sigma=(128, 128), wavelet="db9").block_until_ready()
+    destripe_s = time.time() - t0
+    destripe_mpix = tiles.size / destripe_s / 1e6
+    print(f"destripe: compile {destripe_compile:.1f}s, steady "
+          f"{destripe_s:.3f}s ({destripe_mpix:.1f} Mpix/s)", file=sys.stderr)
+
+    baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
+    print(json.dumps({
+        "metric": "rl_decon_fft_2563_10iter_throughput_per_chip",
+        "value": round(mvox_s, 2),
+        "unit": "Mvox/s",
+        "vs_baseline": round(mvox_s / baseline_mvox_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

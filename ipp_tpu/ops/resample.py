@@ -1,0 +1,118 @@
+"""Down/Up-sampling: block_reduce, anti-aliased resize, isotropic planning.
+
+TPU-native equivalents of the reference's skimage-based resampling:
+
+- block_reduce (skimage semantics: pad to a block multiple with zeros, then
+  reduce) — used for tile downsampling (pystripe/core.py:1296-1302) and the
+  on-the-fly alternating max/mean isotropic downsample of the merge stage
+  (parallel_image_processor.py:176-187, 411-435).
+- resize: order-1 interpolation with optional gaussian anti-aliasing
+  (sigma=(factor-1)/2 per axis), matching skimage.transform.resize within
+  float tolerance (used for new_size tiles and the exact z-axis resize,
+  parallel_image_processor.py:720-724).
+- plan_isotropic_downsampling: the reference's voxel-size-driven plan of
+  alternating max/mean halvings (calculate_down_sampling_target,
+  parallel_image_processor.py:156-189).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["block_reduce", "resize", "plan_isotropic_downsampling"]
+
+
+def block_reduce(img: jnp.ndarray, block_size, func: str = "max") -> jnp.ndarray:
+    """skimage.measure.block_reduce equivalent (zero padding to a multiple of
+    block_size, then reduce each block with func)."""
+    if np.isscalar(block_size):
+        block_size = (int(block_size),) * img.ndim
+    block_size = tuple(int(b) for b in block_size)
+    assert len(block_size) == img.ndim
+    pads = [(0, (-s) % b) for s, b in zip(img.shape, block_size)]
+    if any(p[1] for p in pads):
+        img = jnp.pad(img, pads, mode="constant")
+    new_shape = []
+    for s, b in zip(img.shape, block_size):
+        new_shape += [s // b, b]
+    x = img.reshape(new_shape)
+    axes = tuple(range(1, 2 * img.ndim, 2))
+    if func == "max":
+        return jnp.max(x, axis=axes)
+    if func == "min":
+        return jnp.min(x, axis=axes)
+    if func == "mean":
+        return jnp.mean(x.astype(jnp.float32), axis=axes)
+    if func == "median":
+        return jnp.median(x.astype(jnp.float32), axis=axes)
+    raise ValueError(f"unsupported reduce func {func!r}")
+
+
+def _aa_sigma(in_len: int, out_len: int) -> float:
+    factor = in_len / out_len
+    return max(0.0, (factor - 1.0) / 2.0)
+
+
+def _gauss_blur_axis(x: jnp.ndarray, sigma: float, axis: int) -> jnp.ndarray:
+    if sigma <= 0:
+        return x
+    radius = max(1, int(4.0 * sigma + 0.5))
+    t = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (t / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    xm = jnp.moveaxis(x, axis, -1)
+    pad = [(0, 0)] * (xm.ndim - 1) + [(radius, radius)]
+    xp = jnp.pad(xm, pad, mode="reflect")
+    lhs = xp.reshape(-1, 1, xp.shape[-1])
+    rhs = jnp.asarray(k)[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out.reshape(xm.shape), -1, axis)
+
+
+def resize(img: jnp.ndarray, out_shape: Sequence[int],
+           anti_aliasing: Optional[bool] = None) -> jnp.ndarray:
+    """Order-1 resize with skimage-style gaussian anti-aliasing on
+    downscale.  Output is float32."""
+    out_shape = tuple(int(s) for s in out_shape)
+    x = img.astype(jnp.float32)
+    if anti_aliasing is None:
+        anti_aliasing = any(o < s for o, s in zip(out_shape, x.shape))
+    if anti_aliasing:
+        for ax, (s, o) in enumerate(zip(x.shape, out_shape)):
+            if o < s:
+                x = _gauss_blur_axis(x, _aa_sigma(s, o), ax)
+    return jax.image.resize(x, out_shape, method="linear")
+
+
+def plan_isotropic_downsampling(
+    plane_shape: Tuple[int, int],
+    source_voxel_yx: Tuple[float, float],
+    target_voxel: float,
+) -> Tuple[Tuple[int, int], List[Tuple[Optional[str], Optional[str]]]]:
+    """Plan the alternating max/mean halvings that take merged planes toward
+    an isotropic target voxel (reference calculate_down_sampling_target,
+    parallel_image_processor.py:156-189).
+
+    Returns (target_shape_yx, [(method_y, method_x) per halving]) where
+    methods alternate max/mean starting with max on y and mean on x."""
+    reduction = np.array([target_voxel / source_voxel_yx[0],
+                          target_voxel / source_voxel_yx[1]])
+    target_shape = tuple(max(1, int(round(s / r)))
+                         for s, r in zip(plane_shape, reduction))
+    factors = np.floor(np.sqrt(reduction)).astype(int)
+    meth_y: List[Optional[str]] = ["max" if i % 2 == 0 else "mean"
+                                   for i in range(factors[0])]
+    meth_x: List[Optional[str]] = ["mean" if i % 2 == 0 else "max"
+                                   for i in range(factors[1])]
+    if len(meth_y) > len(meth_x):
+        meth_x += [None] * (len(meth_y) - len(meth_x))
+    elif len(meth_x) > len(meth_y):
+        meth_y += [None] * (len(meth_x) - len(meth_y))
+    return target_shape, list(zip(meth_y, meth_x))

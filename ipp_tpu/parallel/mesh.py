@@ -1,0 +1,40 @@
+"""Device-mesh construction and sharding helpers.
+
+Replaces the reference's process pools / MPI ranks / GPU semaphores
+(SURVEY §2.3) with a jax.sharding.Mesh: tiles and blocks are data-parallel
+over the 'data' axis; large single blocks shard their z axis over 'z'
+(the sequence-parallel analog — SURVEY §5 long-context mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "block_sharding", "P"]
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              z_parallel: int = 1) -> Mesh:
+    """Mesh with axes ('data', 'z'): data-parallel over blocks/tiles, with
+    optional intra-block z sharding."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    assert n % z_parallel == 0, (n, z_parallel)
+    arr = np.array(devices).reshape(n // z_parallel, z_parallel)
+    return Mesh(arr, ("data", "z"))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def block_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard (batch, z, y, x): batch over 'data', z over 'z'."""
+    spec = ["data", "z"] + [None] * (ndim - 2)
+    return NamedSharding(mesh, P(*spec))

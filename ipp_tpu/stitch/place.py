@@ -1,0 +1,229 @@
+"""Steps 3-5 — displacement projection, thresholding, global placement.
+
+Host-side graph algorithms on tiny data (rows x cols tiles), re-implementing:
+
+- step 3 projectDisplacements (reference StackStitcher.cpp:1563-1618 +
+  Displacement::projectDisplacements, Displacement.cpp:84-107 +
+  DisplacementMIPNCC::combine, DisplacementMIPNCC.cpp:310-345): per-axis
+  keep the most reliable candidate across z-subvolumes; missing neighbors
+  get the nominal stage displacement.
+- step 4 thresholdDisplacements (reference StackStitcher.cpp:1619-1720):
+  reliability below threshold resets that axis to the default displacement
+  and zeroes its reliability; tiles with no reliable link on any axis to any
+  neighbor are marked NON-STITCHABLE.
+- step 5 TPAlgoMST (reference TPAlgoMST.cpp:66-230): per-axis Bellman-Ford
+  relaxation over the 4-neighbor grid with weight = 1/reliability (clamped
+  at S_UNRELIABLE_WEIGHT), source = stitchable tile nearest the origin;
+  absolute positions accumulate displacements along shortest paths.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry.stacks import Displacement, TileGrid
+
+__all__ = ["project_displacements", "threshold_displacements", "place_tiles_mst"]
+
+S_UNRELIABLE_WEIGHT = 1000.0  # reference S_config.h:89
+
+
+def _combine(a: Displacement, b: Displacement) -> Displacement:
+    """Per-axis most-reliable merge (reference DisplacementMIPNCC::combine)."""
+    displ, default, rel, peak, width, wrt, invw, delay = ([], [], [], [], [],
+                                                          [], [], [])
+    for k in range(3):
+        src = a if a.reliability[k] >= b.reliability[k] else b
+        displ.append(src.displ[k])
+        default.append(src.default_displ[k])
+        rel.append(src.reliability[k])
+        peak.append(src.ncc_peak[k])
+        width.append(src.ncc_width[k])
+        wrt.append(src.ncc_w_range_thr[k])
+        invw.append(src.ncc_inv_width[k])
+        delay.append(src.delay[k])
+    return Displacement(tuple(displ), tuple(default), tuple(rel), tuple(peak),
+                        tuple(width), tuple(wrt), tuple(invw), tuple(delay))
+
+
+def _nominal(grid: TileGrid, side: str, overlap_v: int, overlap_h: int,
+             sign: int = 1) -> Displacement:
+    th, tw = grid.flattened()[0].plane_shape
+    if side == "north":
+        d = (-(th - overlap_v), 0, 0)
+    else:
+        d = (0, -(tw - overlap_h), 0)
+    d = tuple(sign * x for x in d)
+    # nominal displacements carry zero reliability and max width
+    # (reference DisplacementMIPNCC(int,int,int) ctor)
+    return Displacement(displ=d, default_displ=d,
+                        reliability=(0.0, 0.0, 0.0), ncc_peak=(0.0, 0.0, 0.0),
+                        ncc_width=(100, 100, 100),
+                        ncc_w_range_thr=(99, 99, 99),
+                        ncc_inv_width=(100, 100, 100), delay=(-1, -1, -1))
+
+
+def project_displacements(
+    grid: TileGrid,
+    candidates: Dict[Tuple[int, int, str], List[Displacement]],
+    overlap_v: int, overlap_h: int,
+) -> None:
+    """Attach one projected NORTH/WEST displacement to every non-edge stack."""
+    for r in range(grid.n_rows):
+        for c in range(grid.n_cols):
+            s = grid.stacks[r][c]
+            if r > 0:
+                cands = candidates.get((r, c, "north"), [])
+                if cands:
+                    d = cands[0]
+                    for other in cands[1:]:
+                        d = _combine(d, other)
+                    s.north = d
+                else:
+                    s.north = _nominal(grid, "north", overlap_v, overlap_h)
+            if c > 0:
+                cands = candidates.get((r, c, "west"), [])
+                if cands:
+                    d = cands[0]
+                    for other in cands[1:]:
+                        d = _combine(d, other)
+                    s.west = d
+                else:
+                    s.west = _nominal(grid, "west", overlap_v, overlap_h)
+
+
+def threshold_displacements(grid: TileGrid, reliability_threshold: float) -> None:
+    """Reset unreliable displacement axes to defaults; mark tiles with no
+    reliable link as NON-STITCHABLE (reference StackStitcher.cpp:1619-1720)."""
+
+    def threshold_one(d: Displacement) -> Displacement:
+        displ = list(d.displ)
+        rel = list(d.reliability)
+        for k in range(3):
+            if rel[k] < reliability_threshold:
+                displ[k] = d.default_displ[k]
+                rel[k] = 0.0
+        return Displacement(tuple(displ), d.default_displ, tuple(rel),
+                            d.ncc_peak, d.ncc_width, d.ncc_w_range_thr,
+                            d.ncc_inv_width, d.delay)
+
+    rows, cols = grid.n_rows, grid.n_cols
+    for r in range(rows):
+        for c in range(cols):
+            s = grid.stacks[r][c]
+            if s.north is not None:
+                s.north = threshold_one(s.north)
+            if s.west is not None:
+                s.west = threshold_one(s.west)
+    # stitchable check: any axis of any adjacent link >= threshold
+    for r in range(rows):
+        for c in range(cols):
+            s = grid.stacks[r][c]
+            links = [s.north, s.west]
+            if r + 1 < rows:
+                links.append(grid.stacks[r + 1][c].north)
+            if c + 1 < cols:
+                links.append(grid.stacks[r][c + 1].west)
+            s.stitchable = any(
+                d is not None and max(d.reliability) >= reliability_threshold
+                for d in links)
+
+
+def place_tiles_mst(grid: TileGrid) -> None:
+    """Per-axis shortest-path placement (reference TPAlgoMST.cpp:66-230).
+
+    Edge (r,c)->(r+1,c) uses the NORTH displacement stored on (r+1,c)
+    (mirrored semantics: child position = parent position - displ) and the
+    WEST analog for columns.  Weight = 1/reliability clamped to
+    S_UNRELIABLE_WEIGHT.
+    """
+    rows, cols = grid.n_rows, grid.n_cols
+    # source: stitchable tile nearest the origin
+    src = (0, 0)
+    best = math.inf
+    for r in range(rows):
+        for c in range(cols):
+            if grid.stacks[r][c].stitchable and math.hypot(r, c) < best:
+                best = math.hypot(r, c)
+                src = (r, c)
+
+    abs_coord = np.zeros((rows, cols, 3), dtype=np.int64)
+    for k in range(3):
+        dist = np.full((rows, cols), np.inf)
+        dist[src] = 0.0
+        pred: Dict[Tuple[int, int], Optional[Tuple[int, int]]] = {}
+        for _ in range(rows * cols):
+            changed = False
+            for r in range(rows):
+                for c in range(cols):
+                    if r + 1 < rows:
+                        d = grid.stacks[r + 1][c].north
+                        rel = d.reliability[k] if d else 0.0
+                        w = 1.0 / rel if rel > 1e-9 else S_UNRELIABLE_WEIGHT
+                        w = min(w, S_UNRELIABLE_WEIGHT)
+                        if dist[r, c] + w < dist[r + 1, c]:
+                            dist[r + 1, c] = dist[r, c] + w
+                            pred[(r + 1, c)] = (r, c)
+                            changed = True
+                        if dist[r + 1, c] + w < dist[r, c]:
+                            dist[r, c] = dist[r + 1, c] + w
+                            pred[(r, c)] = (r + 1, c)
+                            changed = True
+                    if c + 1 < cols:
+                        d = grid.stacks[r][c + 1].west
+                        rel = d.reliability[k] if d else 0.0
+                        w = 1.0 / rel if rel > 1e-9 else S_UNRELIABLE_WEIGHT
+                        w = min(w, S_UNRELIABLE_WEIGHT)
+                        if dist[r, c] + w < dist[r, c + 1]:
+                            dist[r, c + 1] = dist[r, c] + w
+                            pred[(r, c + 1)] = (r, c)
+                            changed = True
+                        if dist[r, c + 1] + w < dist[r, c]:
+                            dist[r, c] = dist[r, c + 1] + w
+                            pred[(r, c)] = (r, c + 1)
+                            changed = True
+            if not changed:
+                break
+
+        def edge_displ(u: Tuple[int, int], v: Tuple[int, int]) -> int:
+            """Displacement contribution moving from predecessor u to v along
+            axis k: position[v] = position[u] - displ_k(link between)."""
+            (ur, uc), (vr, vc) = u, v
+            if vr == ur + 1:           # v is south of u: v.north points to u
+                d = grid.stacks[vr][vc].north
+                return -d.displ[k]
+            if vr == ur - 1:           # v is north of u: u.north points to v
+                d = grid.stacks[ur][uc].north
+                return d.displ[k]
+            if vc == uc + 1:
+                d = grid.stacks[vr][vc].west
+                return -d.displ[k]
+            if vc == uc - 1:
+                d = grid.stacks[ur][uc].west
+                return d.displ[k]
+            raise AssertionError("non-adjacent predecessor")
+
+        for r in range(rows):
+            for c in range(cols):
+                if (r, c) == src:
+                    continue
+                total = 0
+                v = (r, c)
+                while v != src:
+                    u = pred[v]
+                    total += edge_displ(u, v)
+                    v = u
+                abs_coord[r, c, k] = total
+
+    # rebase to non-negative (reference TPAlgoMST step 5 rebases to [0][0];
+    # we rebase to the min like the TSV consumer, tsv/volume.py:775-790)
+    abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
+    for r in range(rows):
+        for c in range(cols):
+            s = grid.stacks[r][c]
+            s.abs_v = int(abs_coord[r, c, 0])
+            s.abs_h = int(abs_coord[r, c, 1])
+            s.abs_d = int(abs_coord[r, c, 2])

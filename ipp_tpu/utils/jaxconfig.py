@@ -1,0 +1,26 @@
+"""Process-wide JAX configuration helpers.
+
+enable_persistent_cache() turns on XLA's on-disk compilation cache so the
+destripe/NCC/decon executables (some of which take minutes to compile cold,
+especially CPU FFT kernels) compile once per machine, not once per process.
+Safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/ipp_tpu_xla")
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    import jax
+
+    cache_dir = path or os.environ.get("IPP_TPU_XLA_CACHE", _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover — older jax without these flags
+        pass

@@ -1,20 +1,29 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration: force an 8-virtual-device CPU mesh.
 
-Must set env vars before jax initializes (hence the top-of-file placement and
-pytest's early import of conftest)."""
+This environment pre-imports jax at interpreter startup (a sitecustomize in
+/root/.axon_site registers the axon TPU backend), so JAX_PLATFORMS /
+XLA_FLAGS set here are TOO LATE.  jax.config.update still works after
+import and is the only reliable way to keep tests off the (single,
+lock-contended) TPU chip."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+from ipp_tpu.utils.jaxconfig import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 
 @pytest.fixture()

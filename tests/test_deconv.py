@@ -1,0 +1,118 @@
+"""Richardson-Lucy deconvolution tests (BASELINE config 3 semantics)."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import convolve as ndi_convolve
+from scipy.ndimage import gaussian_filter
+
+from ipp_tpu.ops import deconv as dc
+from ipp_tpu.ops.psf import gaussian_psf, make_psf
+
+
+def test_gauss3d_matches_scipy(rng):
+    vol = rng.random((20, 24, 28), dtype=np.float32)
+    out = np.asarray(dc.gauss3d(vol, 1.5))
+    # imgaussfilt3 truncates at 2*ceil(2*sigma)+1 = radius 3 -> truncate=2
+    ref = gaussian_filter(vol, 1.5, mode="nearest", truncate=2.0)
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_make_taper_shape():
+    t = dc.make_taper(64, 8)
+    assert t.shape == (64,)
+    # MATLAB make_taper builds ramp(9)+plateau(48)+ramp_down(8)=65 samples
+    # then truncates to 64, dropping the trailing zero (make_taper.m:28-33)
+    assert t[0] == 0.0 and abs(t[-1] - 0.125) < 1e-6
+    assert (t[8:-8] == 1.0).all()
+    t2 = dc.make_taper(10, 8)  # clamped to dimsz//2
+    assert t2.shape == (10,)
+
+
+def test_edge_taper_preserves_interior(rng):
+    vol = rng.random((32, 32, 32), dtype=np.float32)
+    psf = gaussian_psf((7, 7, 7), (1.5, 1.5, 1.5))
+    out = np.asarray(dc.edge_taper_3d(vol, psf))
+    # interior untouched (mask == 1 in the plateau)
+    np.testing.assert_allclose(out[10:-10, 10:-10, 10:-10],
+                               vol[10:-10, 10:-10, 10:-10], atol=1e-6)
+    # faces moved toward the blurred version
+    assert not np.allclose(out[0], vol[0])
+
+
+def test_conv3d_zero_matches_scipy(rng):
+    vol = rng.random((12, 13, 14), dtype=np.float32)
+    kern = rng.random((3, 5, 3), dtype=np.float32)
+    out = np.asarray(dc._conv3d_zero(vol, kern))
+    ref = ndi_convolve(vol, kern, mode="constant", cval=0.0)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("stop", [0.0, 2.0])
+def test_rl_sharpens_blurred_phantom(rng, stop):
+    """Blur a phantom with a known PSF; RL must move the result back toward
+    the truth (higher correlation, lower error)."""
+    truth = np.zeros((48, 48, 48), np.float32)
+    pts = rng.integers(8, 40, (30, 3))
+    truth[pts[:, 0], pts[:, 1], pts[:, 2]] = 1000.0
+    truth = gaussian_filter(truth, 1.0)
+    psf = gaussian_psf((9, 9, 9), (2.0, 2.0, 2.0))
+    blurred = ndi_convolve(truth, psf, mode="constant").astype(np.float32)
+
+    out = np.asarray(dc.richardson_lucy(blurred, psf, niter=12,
+                                        stop_criterion=stop))
+    assert out.shape == truth.shape
+
+    def nrmse(a, b):
+        return np.sqrt(np.mean((a - b) ** 2)) / truth.max()
+
+    err_blur = nrmse(blurred, truth)
+    err_dec = nrmse(out, truth)
+    assert err_dec < 0.7 * err_blur, (err_blur, err_dec)
+
+
+def test_rl_spatial_close_to_fft(rng):
+    truth = gaussian_filter(rng.random((24, 24, 24)).astype(np.float32), 1.0)
+    psf = gaussian_psf((5, 5, 5), (1.2, 1.2, 1.2))
+    blurred = ndi_convolve(truth, psf, mode="constant").astype(np.float32)
+    # spatial path implements the reference's bl-as-y scheme, so compare
+    # against the FFT path in reference mode (classic=False)
+    out_fft = np.asarray(dc.richardson_lucy(blurred, psf, niter=4,
+                                            classic=False))
+    out_sp = np.asarray(dc.richardson_lucy_spatial(blurred, psf, niter=4))
+    # same algorithm up to boundary handling: interiors agree
+    np.testing.assert_allclose(out_fft[4:-4, 4:-4, 4:-4],
+                               out_sp[4:-4, 4:-4, 4:-4], rtol=0.05, atol=2.0)
+
+
+def test_rl_with_regularization_runs(rng):
+    vol = rng.random((16, 16, 16), dtype=np.float32) * 100
+    psf = gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0))
+    out = np.asarray(dc.richardson_lucy(vol, psf, niter=6, lam=0.1,
+                                        regularize_interval=2))
+    assert np.isfinite(out).all()
+
+
+def test_fft_shape_smooth():
+    s = dc.fft_shape_for((100, 101, 97), (11, 11, 11))
+    for v in s:
+        m = v
+        for p in (2, 3, 5, 7):
+            while m % p == 0:
+                m //= p
+        assert m == 1
+        assert v >= 100
+
+
+def test_make_psf_small():
+    """Optics-model PSF: symmetric, positive, unit sum, monotone decay from
+    center (reference LsMakePSF semantics)."""
+    psf, fwhm_xy, fwhm_z = make_psf(dxy=400.0, dz=800.0, NA=0.4,
+                                    lambda_ex=488.0, lambda_em=525.0)
+    assert psf.ndim == 3
+    assert all(s % 2 == 1 for s in psf.shape)
+    assert abs(psf.sum() - 1.0) < 1e-5
+    assert fwhm_z > fwhm_xy  # light-sheet: z worse than xy
+    c = tuple(s // 2 for s in psf.shape)
+    assert psf[c] == psf.max()
+    np.testing.assert_allclose(psf, psf[::-1, :, :], atol=1e-7)
+    np.testing.assert_allclose(psf, psf[:, :, ::-1], atol=1e-7)

@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from ipp_tpu.ops import ncc as nccmod
+from tests.synth import make_phantom
+
+
+def np_ncc_single(m1, m2, u, v):
+    """Direct numpy port of the reference compute_NCC
+    (TeraStitcher compute_funcs.cu: per-shift overlap NCC with means
+    subtracted, double accumulators)."""
+    U, V = m1.shape
+    a = m1[max(0, u):U + min(0, u), max(0, v):V + min(0, v)].astype(np.float64)
+    b = m2[max(0, -u):U + min(0, -u), max(0, -v):V + min(0, -v)].astype(np.float64)
+    a = a - a.mean()
+    b = b - b.mean()
+    den = np.sqrt((a * a).sum() * (b * b).sum())
+    if den <= 0:
+        return 0.0
+    return float((a * b).sum() / den)
+
+
+def test_ncc_map_matches_reference_formula(rng):
+    m1 = rng.random((40, 50), dtype=np.float32) * 100
+    m2 = rng.random((40, 50), dtype=np.float32) * 100
+    du, dv = 5, 7
+    out = nccmod.ncc_map(m1, m2, du, dv)
+    assert out.shape == (2 * du + 1, 2 * dv + 1)
+    for u in (-5, -2, 0, 3, 5):
+        for v in (-7, 0, 4, 7):
+            ref = np_ncc_single(m1, m2, u, v)
+            assert abs(out[du + u, dv + v] - ref) < 2e-4, (u, v)
+
+
+def test_ncc_peak_at_known_shift(rng):
+    base = make_phantom(rng, (1, 120, 140))[0].astype(np.float32)
+    m1 = base[10:90, 10:110]
+    m2 = base[14:94, 7:107]  # m2 = m1 shifted: m1[t+u]=m2[t] at u=(y?:...)
+    out = nccmod.ncc_map(m1, m2, 8, 8)
+    peak = np.unravel_index(np.argmax(out), out.shape)
+    # m2 starts 4 rows later, 3 cols earlier: m1[t + (4,-3)] == m2[t]
+    assert (peak[0] - 8, peak[1] - 8) == (4, -3)
+    assert out[peak] > 0.99
+
+
+def test_batched_matches_single(rng):
+    m1 = rng.random((3, 30, 30), dtype=np.float32)
+    m2 = rng.random((3, 30, 30), dtype=np.float32)
+    full = np.asarray(nccmod.ncc_maps_batched(m1, m2, 4, 4))
+    for b in range(3):
+        single = nccmod.ncc_map(m1[b], m2[b], 4, 4)
+        np.testing.assert_allclose(full[b], single, atol=2e-5)
+
+
+@pytest.mark.parametrize("side,shift", [
+    ("ns", (3, -2, 1)), ("we", (-2, 4, 0)), ("ns", (0, 0, 0)),
+])
+def test_align_pair_recovers_truth(rng, side, shift):
+    """Cut two overlapping subvolumes from one phantom with a known extra
+    displacement and check align_pair recovers it (semantics of
+    norm_cross_corr_mips: coord = nominal + found shift)."""
+    vol = make_phantom(rng, (40, 256, 256), smooth=8.0)
+    D, H, W = 32, 128, 128
+    overlap = 48
+    sv, sh, sd = shift
+    if side == "ns":
+        nominal = H - overlap
+        a = vol[4:4 + D, 10:10 + H, 30:30 + W]
+        b = vol[4 + sd:4 + sd + D, 10 + nominal + sv:10 + nominal + sv + H,
+                30 + sh:30 + sh + W]
+        expected = (nominal + sv, sh, sd)
+    else:
+        nominal = W - overlap
+        a = vol[4:4 + D, 30:30 + H, 10:10 + W]
+        b = vol[4 + sd:4 + sd + D, 30 + sv:30 + sv + H,
+                10 + nominal + sh:10 + nominal + sh + W]
+        expected = (sv, nominal + sh, sd)
+    res = nccmod.align_pair(a.astype(np.float32), b.astype(np.float32), side,
+                            overlap, 10, 10, 3)
+    assert res.coord == expected, (res, expected)
+    assert min(res.ncc_peak) > 0.5
+
+
+def test_align_pair_unreliable_on_noise(rng):
+    """Pure noise must produce low peaks / wide widths so the threshold step
+    can reject it."""
+    a = rng.random((16, 96, 96), dtype=np.float32)
+    b = rng.random((16, 96, 96), dtype=np.float32)
+    res = nccmod.align_pair(a, b, "ns", 40, 8, 8, 3)
+    params = nccmod.NCCParams()
+    inf_w = params.inf_w((8, 8, 3))
+    # at least the width or peak must mark it weak on some axis
+    weak = [res.ncc_peak[i] < 0.5 or res.ncc_width[i] >= inf_w for i in range(3)]
+    assert any(weak)

@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests: the orchestrator CLI, the deconvolution
+pipeline, and channel alignment, all on synthetic data."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import convolve as ndi_convolve, gaussian_filter
+
+from ipp_tpu.io import tiff as tio
+from ipp_tpu.ops.psf import gaussian_psf
+from tests.synth import cut_tiles, make_phantom, write_tile_grid
+
+
+def test_process_images_cli_end_to_end(tmp_path, rng):
+    """Tiny 2x2 grid channel -> stitched series + npz via the CLI main()."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (6, 200, 200), smooth=8.0)
+    tiles, offsets = cut_tiles(vol, 2, 2, (120, 120), 48, jitter=3, rng=rng)
+    ch_dir = tmp_path / "raw" / "Ex_488_Em_525"
+    ch_dir.mkdir(parents=True)
+    # dir names are stage positions in tenths of um; the 15x objective reads
+    # them back at 0.41 um/px
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
+                    voxel_um=(0.41, 0.41, 0.1))
+
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x",
+        "--no-preprocess",
+        "--search-radius", "8",
+        "--subvol-dim", "6",
+        "--downsampled-voxel", "5.0",
+    ])
+    assert rc == 0
+    out_dir = tmp_path / "stitched" / "Ex_488_Em_525"
+    outs = sorted(out_dir.glob("img_*.tif"))
+    assert len(outs) == 6
+    img = tio.imread(outs[3])
+    assert img.dtype == np.uint16
+    assert img.max() > 0
+    # placement xml exists and parses
+    from ipp_tpu.geometry.stacks import TileGrid
+
+    grid = TileGrid.from_xml(tmp_path / "stitched" /
+                             "Ex_488_Em_525_placement.xml")
+    assert grid.n_rows == 2
+    # npz exists with I and xI
+    npz = np.load(tmp_path / "stitched" / "Ex_488_Em_525_zyx5.0um.npz",
+                  allow_pickle=True)
+    assert "I" in npz and "xI" in npz
+    assert npz["I"].ndim == 3
+
+
+def test_deconvolve_pipeline(tmp_path, rng):
+    from ipp_tpu.pipeline.deconvolve import autosplit, deconvolve_volume
+
+    truth = np.zeros((12, 64, 64), np.float32)
+    pts = rng.integers(4, 60, (20, 2))
+    truth[rng.integers(2, 10, 20), pts[:, 0], pts[:, 1]] = 3000.0
+    truth = gaussian_filter(truth, 1.0)
+    psf = gaussian_psf((5, 7, 7), (1.0, 1.5, 1.5))
+    blurred = ndi_convolve(truth, psf, mode="constant")
+
+    in_dir = tmp_path / "blurred"
+    in_dir.mkdir()
+    for z in range(truth.shape[0]):
+        tio.imwrite(in_dir / f"img_{z:06d}.tif",
+                    np.clip(blurred[z], 0, 65535).astype(np.uint16))
+
+    out = deconvolve_volume(in_dir, tmp_path / "dec", psf, niter=8,
+                            max_block_elems=48 * 64 * 64)
+    outs = sorted(out.glob("img_*.tif"))
+    assert len(outs) == 12
+    dec = np.stack([tio.imread(p) for p in outs]).astype(np.float32)
+    # deconvolved correlates better with truth than blurred does
+    c_blur = np.corrcoef(blurred.ravel(), truth.ravel())[0, 1]
+    c_dec = np.corrcoef(dec.ravel(), truth.ravel())[0, 1]
+    assert c_dec > c_blur, (c_blur, c_dec)
+
+
+def test_autosplit_halo_and_coverage():
+    from ipp_tpu.pipeline.deconvolve import autosplit
+
+    plans, halo = autosplit((50, 300, 200), (9, 9, 9),
+                            max_block_elems=120 * 120 * 60)
+    assert halo == (4, 4, 4)
+    # full coverage, no overlap of cores
+    seen = np.zeros((50, 300, 200), np.int8)
+    for p in plans:
+        (z0, z1), (y0, y1), (x0, x1) = p.core
+        seen[z0:z1, y0:y1, x0:x1] += 1
+    assert (seen == 1).all()
+
+
+def test_channel_alignment_recovers_shift(rng):
+    from ipp_tpu.pipeline.align_channels import align_volumes, roll_pad
+
+    vol = make_phantom(rng, (16, 96, 96), smooth=5.0).astype(np.float32)
+    shift = (1, 4, -3)
+    moved = roll_pad(vol.copy(), shift)
+    aligned, found = align_volumes(vol, moved, max_iter=8)
+    assert tuple(found) == tuple(-s for s in shift), found
+
+
+def test_composite_writer(tmp_path, rng):
+    from ipp_tpu.pipeline.align_channels import write_composite_series
+
+    a_dir = tmp_path / "chA"
+    b_dir = tmp_path / "chB"
+    a_dir.mkdir()
+    b_dir.mkdir()
+    for z in range(3):
+        tio.imwrite(a_dir / f"img_{z:06d}.tif",
+                    np.full((32, 32), 100, np.uint8))
+        tio.imwrite(b_dir / f"img_{z:06d}.tif",
+                    np.full((32, 32), 50, np.uint8))
+    out = write_composite_series({"A": a_dir, "B": b_dir},
+                                 {"A": "r", "B": "g"}, tmp_path / "rgb")
+    outs = sorted(out.glob("composite_*.tif"))
+    assert len(outs) == 3
+    img = tio.imread(outs[0])
+    assert img.shape == (32, 32, 3)
+    assert img[0, 0, 0] == 100 and img[0, 0, 1] == 50 and img[0, 0, 2] == 0

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from ipp_tpu.ops import resample as rs
+from ipp_tpu.ops.process import ProcessConfig, is_uniform_2d, process_img
+
+
+def test_block_reduce_matches_manual(rng):
+    img = rng.integers(0, 1000, (10, 12)).astype(np.uint16)
+    out = np.asarray(rs.block_reduce(img, (2, 3), "max"))
+    ref = img.reshape(5, 2, 4, 3).max(axis=(1, 3))
+    np.testing.assert_array_equal(out, ref)
+    outm = np.asarray(rs.block_reduce(img, (2, 3), "mean"))
+    refm = img.reshape(5, 2, 4, 3).astype(np.float32).mean(axis=(1, 3))
+    np.testing.assert_allclose(outm, refm, rtol=1e-6)
+
+
+def test_block_reduce_pads_like_skimage(rng):
+    img = rng.integers(1, 1000, (11, 13)).astype(np.uint16)
+    out = np.asarray(rs.block_reduce(img, (2, 2), "max"))
+    assert out.shape == (6, 7)
+    # last row/col include zero padding; max unaffected for interior
+    assert out[0, 0] == img[:2, :2].max()
+
+
+def test_resize_downscale_antialiased(rng):
+    from scipy.ndimage import zoom
+
+    img = rng.random((64, 64), dtype=np.float32)
+    out = np.asarray(rs.resize(img, (16, 16)))
+    assert out.shape == (16, 16)
+    # sanity: mean preserved approximately by AA downscale
+    assert abs(out.mean() - img.mean()) < 0.02
+
+
+def test_plan_isotropic_downsampling():
+    target_shape, methods = rs.plan_isotropic_downsampling(
+        (2048, 2048), (1.8, 1.8), 16.0)
+    # reduction 8.89x per axis -> floor(sqrt(8.89))=2 halvings each
+    assert len(methods) == 2
+    assert methods[0] == ("max", "mean")
+    assert methods[1] == ("mean", "max")
+    assert target_shape == (int(round(2048 / (16 / 1.8))),) * 2
+
+
+def test_is_uniform():
+    assert is_uniform_2d(np.full((8, 8), 7, np.uint16))
+    x = np.zeros((8, 8), np.uint16)
+    x[3, 3] = 1
+    assert not is_uniform_2d(x)
+
+
+def test_process_img_uniform_shortcircuit():
+    img = np.full((64, 64), 5, np.uint16)
+    out = process_img(img, ProcessConfig(convert_to_8bit=True,
+                                         down_sample=(2, 2)))
+    assert out.shape == (32, 32)
+    assert out.dtype == np.uint8
+    assert (out == 0).all()
+
+
+def test_process_img_full_chain(rng):
+    img = (rng.random((128, 128)) * 40000).astype(np.uint16)
+    cfg = ProcessConfig(sigma=(16, 16), wavelet="db3", dark=100.0,
+                        convert_to_8bit=True, bit_shift_to_right=8,
+                        rotate=90)
+    out = process_img(img, cfg)
+    assert out.dtype == np.uint8
+    assert out.shape == (128, 128)
+
+
+def test_process_img_downsample_and_resize(rng):
+    img = (rng.random((100, 120)) * 1000).astype(np.uint16)
+    out = process_img(img, ProcessConfig(down_sample=(2, 2),
+                                         down_sample_method="mean"))
+    assert out.shape == (50, 60)
+    out2 = process_img(img, ProcessConfig(new_size=(64, 64)))
+    assert out2.shape == (64, 64)
+
+
+def test_lightsheet_correction_removes_streak(rng):
+    from ipp_tpu.ops.lightsheet import correct_lightsheet
+
+    img = (rng.random((128, 128)) * 100).astype(np.float32)
+    img[:, :] += 200.0  # uniform background
+    img[60:68, :] += 800.0  # bright horizontal artifact band
+    out = np.asarray(correct_lightsheet(img, artifact_length=64,
+                                        background_window_size=64,
+                                        background_spacing=(16, 16)))
+    # the algorithm subtracts min(img, min(ls, 2*bg)) (reference
+    # lightsheet_correct.py:89-97): background is removed almost entirely
+    # and the artifact band is reduced (capped by 2*bg)
+    assert out[:50].mean() < 0.15 * img[:50].mean()
+    band_in = img[60:68].mean() - img[:50].mean()
+    band_out = out[60:68].mean() - out[:50].mean()
+    assert band_out < 0.75 * band_in

@@ -1,0 +1,114 @@
+"""End-to-end stitching: steps 2-6 on a synthetic 3x3 grid with known jitter
+(BASELINE config 2)."""
+
+import numpy as np
+import pytest
+
+from ipp_tpu.geometry.extent import VExtent
+from ipp_tpu.stitch.align import compute_displacements
+from ipp_tpu.stitch.blend import PlaneBlender, cosine_blend_weight, distance_from_edge
+from ipp_tpu.stitch.place import (place_tiles_mst, project_displacements,
+                                  threshold_displacements)
+from tests.synth import cut_tiles, make_phantom, write_tile_grid
+
+
+@pytest.fixture(scope="module")
+def stitched_setup(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    tmp_path = tmp_path_factory.mktemp("grid3")
+    vol = make_phantom(rng, (12, 420, 420), smooth=8.0)
+    tiles, offsets = cut_tiles(vol, 3, 3, (160, 160), 48, jitter=5, rng=rng)
+    grid = write_tile_grid(tmp_path, tiles, overlap_nominal_px=48)
+    return vol, tiles, offsets, grid
+
+
+def test_full_alignment_recovers_truth(stitched_setup):
+    vol, tiles, offsets, grid = stitched_setup
+    overlap = 48
+    cands = compute_displacements(grid, overlap_v=overlap, overlap_h=overlap,
+                                  displ_max_v=12, displ_max_h=12,
+                                  displ_max_d=3, subvol_dim=12)
+    project_displacements(grid, cands, overlap, overlap)
+    threshold_displacements(grid, reliability_threshold=0.6)
+    assert all(s.stitchable for s in grid.flattened())
+    place_tiles_mst(grid)
+
+    # recovered relative positions must equal ground truth (up to global shift)
+    truth = np.array([[offsets[r][c] for c in range(3)] for r in range(3)])
+    got = np.array([[(grid.stacks[r][c].abs_h, grid.stacks[r][c].abs_v,
+                      grid.stacks[r][c].abs_d) for c in range(3)]
+                    for r in range(3)])
+    delta = got - truth
+    # same global shift everywhere, exactly
+    assert (delta == delta[0, 0]).all(), f"misplacement:\n{delta - delta[0, 0]}"
+
+
+def test_blend_reconstructs_phantom(stitched_setup):
+    vol, tiles, offsets, grid = stitched_setup
+    overlap = 48
+    cands = compute_displacements(grid, overlap_v=overlap, overlap_h=overlap,
+                                  displ_max_v=12, displ_max_h=12,
+                                  displ_max_d=3, subvol_dim=12)
+    project_displacements(grid, cands, overlap, overlap)
+    threshold_displacements(grid, reliability_threshold=0.6)
+    place_tiles_mst(grid)
+
+    blender = PlaneBlender([s.extent for s in grid.flattened()], cosine=True)
+    stacks = grid.flattened()
+
+    def reader(i, inter):
+        return stacks[i].imread(inter)
+
+    z = 5
+    bbox = grid.volume
+    plane_ext = VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1, z, z + 1)
+    merged = blender.blend_plane(plane_ext, reader, dtype=np.uint16)
+
+    # compare against the phantom over the region the tiles actually cover;
+    # alignment shift: tile (0,0) truth is offsets[0][0]=(0,0,0) and its
+    # placed position is stacks[0].abs_*, so phantom coords = merged coords
+    # + (truth - placed)
+    s00 = grid.stacks[0][0]
+    dx = 0 - s00.abs_h
+    dy = 0 - s00.abs_v
+    h, w = merged.shape
+    ph = vol[z, max(0, dy):max(0, dy) + h, max(0, dx):max(0, dx) + w]
+    hh = min(ph.shape[0], h)
+    ww = min(ph.shape[1], w)
+    m = merged[:hh, :ww].astype(np.float64)
+    p = ph[:hh, :ww].astype(np.float64)
+    # ignore uncovered (zero) area
+    mask = m > 0
+    corr = np.corrcoef(m[mask], p[mask])[0, 1]
+    assert corr > 0.995, corr
+    rel_err = np.abs(m[mask] - p[mask]).mean() / p[mask].mean()
+    assert rel_err < 0.02, rel_err
+
+
+def test_distance_from_edge_matches_reference_shape():
+    stack = VExtent(0, 100, 0, 100, 0, 10)
+    ostack = VExtent(80, 180, 0, 100, 0, 10)
+    iv = stack.intersection(ostack)
+    d = distance_from_edge(iv, stack, ostack)
+    od = distance_from_edge(iv, ostack, stack)
+    assert d.shape == iv.shape
+    # stack's weight should fall toward its right (x1) edge
+    assert d[0, 0, -1] <= d[0, 0, 0]
+    # and ostack's weight rises with x
+    assert od[0, 0, 0] <= od[0, 0, -1]
+    # blend weights of the two sides sum to ~1 (sin^2 + cos^2)
+    w1 = np.sin(np.arctan2(d, od)) ** 2
+    w2 = np.sin(np.arctan2(od, d)) ** 2
+    np.testing.assert_allclose(w1 + w2, 1.0, atol=1e-6)
+
+
+def test_max_blend_mode(stitched_setup):
+    vol, tiles, offsets, grid = stitched_setup
+    blender = PlaneBlender([s.extent for s in grid.flattened()], cosine=False)
+    stacks = grid.flattened()
+    bbox = grid.volume
+    plane_ext = VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1, 0, 1)
+    merged = blender.blend_plane(plane_ext, lambda i, e: stacks[i].imread(e),
+                                 dtype=np.uint16)
+    assert merged.shape == plane_ext.shape[1:]
+    assert merged.max() > 0
