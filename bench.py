@@ -43,8 +43,9 @@ def main() -> None:
     def run():
         out = richardson_lucy(vol, psf, niter=niter, stop_criterion=0.0,
                               fft_shape=fft_shape)
-        out.block_until_ready()
-        return out
+        # fetch a scalar: on the axon TPU tunnel block_until_ready returns
+        # before execution completes, so force a device round-trip
+        return float(jnp.sum(out))
 
     t0 = time.time()
     run()
@@ -62,11 +63,15 @@ def main() -> None:
     # --- secondary: destripe throughput -----------------------------------
     tiles = jnp.asarray(rng.integers(0, 40000, (4, 1024, 1024))
                         .astype(np.uint16))
+    def run_destripe():
+        return int(jnp.sum(filter_streaks(tiles, sigma=(128, 128),
+                                          wavelet="db9").astype(jnp.uint32)))
+
     t0 = time.time()
-    filter_streaks(tiles, sigma=(128, 128), wavelet="db9").block_until_ready()
+    run_destripe()
     destripe_compile = time.time() - t0
     t0 = time.time()
-    filter_streaks(tiles, sigma=(128, 128), wavelet="db9").block_until_ready()
+    run_destripe()
     destripe_s = time.time() - t0
     destripe_mpix = tiles.size / destripe_s / 1e6
     print(f"destripe: compile {destripe_compile:.1f}s, steady "

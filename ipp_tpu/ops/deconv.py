@@ -122,10 +122,9 @@ def edge_taper_3d(vol: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
     The blur uses FFT convolution when the PSF is large (equivalent to the
     reference's conv3d_gpu within float tolerance)."""
     psf = psf / jnp.sum(psf)
-    if max(psf.shape) <= 9:
-        blur = _conv3d_same_replicate(vol, psf)
-    else:
-        blur = _fft_conv_same(vol, psf)
+    # FFT conv always: a direct single-channel 3D conv cannot use the MXU
+    # and measured ~60x slower than the FFT path on TPU for a 9^3 PSF
+    blur = _fft_conv_same(vol, psf)
     mask = jnp.ones((), vol.dtype)
     for d in range(3):
         tw = max(8, int(round(psf.shape[d] / 2)))
