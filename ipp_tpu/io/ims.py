@@ -1,0 +1,208 @@
+"""Imaris .ims (HDF5) reader and writer.
+
+Replaces two reference dependencies:
+- imaris_ims_file_reader / ImarisZWrapper (parallel_image_processor.py:38-80)
+  for reading z planes out of .ims files,
+- the vendored Windows ImarisConvertiv.exe run under wine
+  (process_images.py:1000-1059) for producing .ims from stitched TIFF
+  series — here written natively with h5py, including the multi-resolution
+  pyramid and the DataSetInfo attributes Imaris needs (layout per the
+  open Imaris5 HDF format, cf. TeraStitcher IMS_HDF5Mngr.cpp:200-280).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ImarisReader", "write_imaris", "tif_series_to_imaris"]
+
+
+def _attr_str(group, name: str, value: str) -> None:
+    import h5py
+
+    group.attrs[name] = np.frombuffer(value.encode("ascii"),
+                                      dtype="S1")
+
+
+class ImarisReader:
+    """z-indexed access to an .ims volume
+    (reference ImarisZWrapper, parallel_image_processor.py:38-80)."""
+
+    def __init__(self, path, timepoint: int = 0, channel: int = 0,
+                 resolution_level: int = 0):
+        import h5py
+
+        self._f = h5py.File(path, "r")
+        self._ds = self._f[f"DataSet/ResolutionLevel {resolution_level}/"
+                           f"TimePoint {timepoint}/Channel {channel}/Data"]
+        # trailing pad (chunk alignment) may exceed the logical size
+        info = self._f.get("DataSetInfo/Image")
+        self.shape = self._logical_shape(info)
+
+    def _logical_shape(self, info) -> Tuple[int, int, int]:
+        if info is not None and "Z" in info.attrs:
+            def geti(k):
+                raw = info.attrs[k]
+                return int(b"".join(bytes(raw)).decode()
+                           if raw.dtype.kind == "S" else raw)
+
+            try:
+                return (geti("Z"), geti("Y"), geti("X"))
+            except Exception:
+                pass
+        return tuple(self._ds.shape)
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, z):
+        if isinstance(z, slice):
+            return np.stack([self[zi] for zi in range(*z.indices(len(self)))])
+        return np.asarray(self._ds[z, :self.shape[1], :self.shape[2]])
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_imaris(
+    path,
+    volume_reader,
+    shape: Tuple[int, int, int],
+    dtype,
+    voxel_um: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    n_levels: Optional[int] = None,
+    channel_color: str = "Blue",
+    compression: int = 2,
+    chunk: Tuple[int, int, int] = (16, 256, 256),
+) -> Path:
+    """Write an Imaris5 HDF5 file with a resolution pyramid.
+
+    volume_reader(z) -> (H, W) plane; planes are streamed so terabyte
+    volumes never materialize.  Pyramid levels are xy (and z, when deep
+    enough) halvings with mean pooling.
+    """
+    import h5py
+
+    path = Path(path)
+    nz, ny, nx = shape
+    if n_levels is None:
+        n_levels = 1
+        sz = [nz, ny, nx]
+        while max(sz[1], sz[2]) > 1024:
+            sz = [max(1, s // 2) for s in sz]
+            n_levels += 1
+
+    f = h5py.File(path, "w")
+    _attr_str(f, "ImarisDataSet", "ImarisDataSet")
+    _attr_str(f, "ImarisVersion", "5.5.0")
+    _attr_str(f, "DataSetDirectoryName", "DataSet")
+    _attr_str(f, "DataSetInfoDirectoryName", "DataSetInfo")
+    f.attrs["NumberOfDataSets"] = np.uint32(1)
+
+    ds_group = f.create_group("DataSet")
+    level_shapes: List[Tuple[int, int, int]] = []
+    sz, sy, sx = nz, ny, nx
+    for lv in range(n_levels):
+        level_shapes.append((sz, sy, sx))
+        sz = max(1, sz // 2) if sz > 4 else sz
+        sy = max(1, sy // 2)
+        sx = max(1, sx // 2)
+    datasets = []
+    for lv, (lz, ly, lx) in enumerate(level_shapes):
+        g = ds_group.create_group(
+            f"ResolutionLevel {lv}/TimePoint 0/Channel 0")
+        ch = tuple(min(c, s) for c, s in zip(chunk, (lz, ly, lx)))
+        d = g.create_dataset("Data", shape=(lz, ly, lx), dtype=dtype,
+                             chunks=ch, compression="gzip",
+                             compression_opts=compression)
+        _attr_str(g, "ImageSizeX", str(lx))
+        _attr_str(g, "ImageSizeY", str(ly))
+        _attr_str(g, "ImageSizeZ", str(lz))
+        datasets.append(d)
+
+    # stream planes; build pyramid via running mean-pool buffers
+    buffers: List[List[np.ndarray]] = [[] for _ in level_shapes]
+    hist_min, hist_max = np.inf, -np.inf
+
+    def downsample_plane(img, target_hw):
+        h, w = img.shape
+        th, tw = target_hw
+        fy, fx = h // th, w // tw
+        if fy > 1 or fx > 1:
+            img = img[: th * fy, : tw * fx].reshape(th, fy, tw, fx)
+            img = img.mean(axis=(1, 3))
+        return img
+
+    z_written = [0] * len(level_shapes)
+    for z in range(nz):
+        plane = np.asarray(volume_reader(z))
+        hist_min = min(hist_min, float(plane.min()))
+        hist_max = max(hist_max, float(plane.max()))
+        datasets[0][z] = plane.astype(dtype)
+        # coarser levels
+        carry = plane.astype(np.float32)
+        for lv in range(1, len(level_shapes)):
+            lz, ly, lx = level_shapes[lv]
+            carry = downsample_plane(carry, (ly, lx))
+            z_factor = level_shapes[0][0] // lz if lz else 1
+            buffers[lv].append(carry)
+            if len(buffers[lv]) == max(1, z_factor) or z == nz - 1:
+                zi = z_written[lv]
+                if zi < lz:
+                    datasets[lv][zi] = np.mean(buffers[lv], axis=0).astype(dtype)
+                    z_written[lv] += 1
+                buffers[lv].clear()
+
+    info = f.create_group("DataSetInfo")
+    img_info = info.create_group("Image")
+    _attr_str(img_info, "X", str(nx))
+    _attr_str(img_info, "Y", str(ny))
+    _attr_str(img_info, "Z", str(nz))
+    _attr_str(img_info, "Unit", "um")
+    _attr_str(img_info, "ExtMin0", "0")
+    _attr_str(img_info, "ExtMin1", "0")
+    _attr_str(img_info, "ExtMin2", "0")
+    _attr_str(img_info, "ExtMax0", f"{nx * voxel_um[2]:.3f}")
+    _attr_str(img_info, "ExtMax1", f"{ny * voxel_um[1]:.3f}")
+    _attr_str(img_info, "ExtMax2", f"{nz * voxel_um[0]:.3f}")
+    ch_info = info.create_group("Channel 0")
+    _attr_str(ch_info, "Color", {"Blue": "0 0 1", "Green": "0 1 0",
+                                 "Red": "1 0 0"}.get(channel_color, "1 1 1"))
+    _attr_str(ch_info, "ColorMode", "BaseColor")
+    _attr_str(ch_info, "HistogramMin", f"{hist_min:.3f}")
+    _attr_str(ch_info, "HistogramMax", f"{hist_max:.3f}")
+    time_info = info.create_group("TimeInfo")
+    _attr_str(time_info, "DatasetTimePoints", "1")
+    _attr_str(time_info, "TimePoint1", "2024-01-01 00:00:00.000")
+    f.close()
+    return path
+
+
+def tif_series_to_imaris(tif_dir, ims_path,
+                         voxel_um: Tuple[float, float, float] = (1, 1, 1),
+                         channel_color: str = "Blue") -> Path:
+    """Convert an img_ZZZZZZ.tif series to .ims
+    (the get_imaris_command role, process_images.py:1000-1045)."""
+    from . import tiff as tio
+
+    tif_dir = Path(tif_dir)
+    paths = sorted(tif_dir.glob("*.tif"))
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {tif_dir}")
+    first = tio.imread(paths[0])
+
+    def reader(z):
+        return tio.imread(paths[z])
+
+    return write_imaris(ims_path, reader,
+                        (len(paths),) + tuple(first.shape), first.dtype,
+                        voxel_um=voxel_um, channel_color=channel_color)

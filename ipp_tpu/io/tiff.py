@@ -430,13 +430,21 @@ def write_tiff(path: Union[str, Path], img: np.ndarray,
 
 
 def imread(path: Union[str, Path], retries: int = NUM_RETRIES) -> np.ndarray:
-    """Robust image read: native TIFF codec, then PIL fallback, with retries
-    (reference imread_tif_raw_png, pystripe/core.py:200-264)."""
+    """Robust image read: native C++ codec, numpy codec, then PIL fallback,
+    with retries (reference imread_tif_raw_png, pystripe/core.py:200-264)."""
     path = Path(path)
     last_exc: Optional[Exception] = None
     for attempt in range(max(1, retries)):
         try:
             if path.suffix.lower() in (".tif", ".tiff"):
+                try:
+                    from .. import native
+
+                    out = native.tiff_read(path)
+                    if out is not None:
+                        return out
+                except Exception:
+                    pass
                 try:
                     return read_tiff(path)
                 except TiffError:

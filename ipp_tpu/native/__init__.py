@@ -1,0 +1,190 @@
+"""ctypes bindings for the native fastio runtime (fastio.cpp).
+
+Auto-builds the shared library on first import when a compiler is present;
+every entry point has a pure-Python fallback (ipp_tpu.io.tiff / zstandard),
+so the package works without the native layer — it is a throughput
+optimization, mirroring the reference's C++ MEX IO
+(load_bl_tif.cpp / save_bl_tif.cpp / *_lz4_*).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["available", "read_block", "tiff_read", "tiff_write",
+           "zstd_save", "zstd_load", "load_slab"]
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "libfastio.so"
+_lib = None
+_build_lock = threading.Lock()
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    src = _HERE / "fastio.cpp"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           str(src), "-o", str(_SO), "-lz", "-lzstd"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return ctypes.CDLL(str(_SO))
+    except Exception:
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib if _lib != "unavailable" else None
+    with _build_lock:
+        if _lib is None:
+            lib = None
+            if _SO.exists():
+                try:
+                    lib = ctypes.CDLL(str(_SO))
+                except OSError:
+                    lib = None
+            if lib is None:
+                lib = _build()
+            if lib is not None:
+                _configure(lib)
+                _lib = lib
+            else:
+                _lib = "unavailable"
+    return _lib if _lib != "unavailable" else None
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    lib.fastio_tiff_info.argtypes = [c.c_char_p] + [c.POINTER(c.c_int32)] * 4
+    lib.fastio_tiff_info.restype = c.c_int
+    lib.fastio_tiff_read.argtypes = [c.c_char_p, c.c_void_p, c.c_int64]
+    lib.fastio_tiff_read.restype = c.c_int
+    lib.fastio_read_block.argtypes = [
+        c.POINTER(c.c_char_p), c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        c.c_int32, c.c_void_p, c.c_int32, c.c_int32]
+    lib.fastio_read_block.restype = c.c_int
+    lib.fastio_tiff_write.argtypes = [
+        c.c_char_p, c.c_void_p, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        c.c_int32]
+    lib.fastio_tiff_write.restype = c.c_int
+    lib.fastio_zstd_save.argtypes = [c.c_char_p, c.c_void_p, c.c_int64,
+                                     c.c_int32]
+    lib.fastio_zstd_save.restype = c.c_int
+    lib.fastio_zstd_load.argtypes = [c.c_char_p, c.c_void_p, c.c_int64]
+    lib.fastio_zstd_load.restype = c.c_int64
+    lib.fastio_load_slab.argtypes = [
+        c.POINTER(c.c_char_p), c.c_int32, c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int32, c.c_int32, c.c_int32, c.c_void_p, c.c_int32, c.c_int32]
+    lib.fastio_load_slab.restype = c.c_int
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _dtype_meta(dtype) -> Tuple[int, int]:
+    dt = np.dtype(dtype)
+    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    return dt.itemsize * 8, sfmt
+
+
+def tiff_read(path) -> Optional[np.ndarray]:
+    """Native single-TIFF decode; None if unsupported (caller falls back)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    sfmt = ctypes.c_int32()
+    if lib.fastio_tiff_info(str(path).encode(), ctypes.byref(w),
+                            ctypes.byref(h), ctypes.byref(bits),
+                            ctypes.byref(sfmt)) != 0:
+        return None
+    kind = {1: "u", 2: "i", 3: "f"}.get(sfmt.value, "u")
+    dt = np.dtype(f"{kind}{bits.value // 8}")
+    out = np.empty((h.value, w.value), dt)
+    rc = lib.fastio_tiff_read(str(path).encode(),
+                              out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+    return out if rc == 0 else None
+
+
+def tiff_write(path, img: np.ndarray, compress_level: int = 0) -> bool:
+    lib = _get_lib()
+    if lib is None or img.ndim != 2:
+        return False
+    img = np.ascontiguousarray(img)
+    bits, sfmt = _dtype_meta(img.dtype)
+    rc = lib.fastio_tiff_write(str(path).encode(),
+                               img.ctypes.data_as(ctypes.c_void_p),
+                               img.shape[0], img.shape[1], bits, sfmt,
+                               compress_level)
+    return rc == 0
+
+
+def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
+               dtype=np.uint16, nthreads: int = 8) -> Optional[np.ndarray]:
+    """Threaded ROI block load: (len(paths), y1-y0, x1-x0).  Failed planes
+    come back zero-filled (reference dummy substitution)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype)
+    out = np.empty((len(paths), y1 - y0, x1 - x0), dt)
+    enc = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    lib.fastio_read_block(arr, len(enc), y0, y1, x0, x1,
+                          out.ctypes.data_as(ctypes.c_void_p), dt.itemsize,
+                          nthreads)
+    return out
+
+
+def zstd_save(path, arr: np.ndarray, level: int = 3) -> bool:
+    lib = _get_lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(arr)
+    rc = lib.fastio_zstd_save(str(path).encode(),
+                              arr.ctypes.data_as(ctypes.c_void_p),
+                              arr.nbytes, level)
+    return rc == 0
+
+
+def zstd_load(path, shape, dtype) -> Optional[np.ndarray]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    out = np.empty(shape, dtype)
+    got = lib.fastio_zstd_load(str(path).encode(),
+                               out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+    return out if got == out.nbytes else None
+
+
+def load_slab(bricks: List[Tuple[str, int, int, int, int]], bz: int,
+              slab_h: int, slab_w: int, dtype=np.float32,
+              nthreads: int = 8) -> Optional[np.ndarray]:
+    """Assemble [(path, y0, x0, by, bx)] bricks into a (bz, slab_h, slab_w)
+    slab (reference load_slab_lz4.cpp)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype)
+    out = np.zeros((bz, slab_h, slab_w), dt)
+    enc = [str(b[0]).encode() for b in bricks]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    y0s = (ctypes.c_int32 * len(bricks))(*[b[1] for b in bricks])
+    x0s = (ctypes.c_int32 * len(bricks))(*[b[2] for b in bricks])
+    bys = (ctypes.c_int32 * len(bricks))(*[b[3] for b in bricks])
+    bxs = (ctypes.c_int32 * len(bricks))(*[b[4] for b in bricks])
+    rc = lib.fastio_load_slab(arr, len(bricks), y0s, x0s, bys, bxs, bz,
+                              slab_h, slab_w,
+                              out.ctypes.data_as(ctypes.c_void_p),
+                              dt.itemsize, nthreads)
+    return out if rc == 0 else None

@@ -113,6 +113,12 @@ class TiffDirVolume:
 
     def read_block(self, bounds) -> np.ndarray:
         (z0, z1), (y0, y1), (x0, x1) = bounds
+        from .. import native
+
+        block = native.read_block(self.paths[z0:z1], y0, y1, x0, x1,
+                                  dtype=self.dtype)
+        if block is not None:
+            return block.astype(np.float32)
         out = np.empty((z1 - z0, y1 - y0, x1 - x0), np.float32)
         for i, z in enumerate(range(z0, z1)):
             plane = self._cache.get(z)

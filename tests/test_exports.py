@@ -1,0 +1,87 @@
+"""Export formats: Imaris .ims, TeraFly pyramid, DCIMG."""
+
+import numpy as np
+import pytest
+
+from ipp_tpu.io import tiff as tio
+from ipp_tpu.io.dcimg import DCIMGFile
+from ipp_tpu.io.ims import ImarisReader, tif_series_to_imaris, write_imaris
+from ipp_tpu.io.terafly import tif_series_to_terafly
+
+
+@pytest.fixture()
+def tif_series(tmp_path, rng):
+    vol = (rng.random((6, 96, 128)) * 60000).astype(np.uint16)
+    d = tmp_path / "series"
+    d.mkdir()
+    for z in range(vol.shape[0]):
+        tio.imwrite(d / f"img_{z:06d}.tif", vol[z])
+    return d, vol
+
+
+def test_imaris_roundtrip(tmp_path, tif_series):
+    d, vol = tif_series
+    ims = tif_series_to_imaris(d, tmp_path / "out.ims", voxel_um=(2, 1, 1))
+    with ImarisReader(ims) as r:
+        assert r.shape == vol.shape
+        np.testing.assert_array_equal(r[3], vol[3])
+        stack = r[1:4]
+        np.testing.assert_array_equal(stack, vol[1:4])
+
+
+def test_imaris_is_valid_hdf5_with_pyramid(tmp_path, tif_series):
+    import h5py
+
+    d, vol = tif_series
+    ims = write_imaris(tmp_path / "p.ims",
+                       lambda z: vol[z], vol.shape, vol.dtype, n_levels=2)
+    with h5py.File(ims, "r") as f:
+        assert "DataSet/ResolutionLevel 0/TimePoint 0/Channel 0/Data" in f
+        assert "DataSet/ResolutionLevel 1/TimePoint 0/Channel 0/Data" in f
+        lvl1 = f["DataSet/ResolutionLevel 1/TimePoint 0/Channel 0/Data"]
+        assert lvl1.shape[1] == vol.shape[1] // 2
+        assert "DataSetInfo/Image" in f
+        # level 1 mean-pools 2x2 in xy and pairs of z planes
+        ref = vol.astype(np.float32)[:, :48 * 2, :64 * 2]
+        ref = ref.reshape(6, 48, 2, 64, 2).mean(axis=(2, 4))
+        ref_z0 = (ref[0] + ref[1]) / 2.0
+        np.testing.assert_allclose(np.asarray(lvl1[0]).astype(np.float32),
+                                   ref_z0, atol=1)
+
+
+def test_terafly_pyramid_layout(tmp_path, tif_series):
+    d, vol = tif_series
+    out = tif_series_to_terafly(d, tmp_path / "terafly",
+                                voxel_um=(2.0, 0.5, 0.5),
+                                block_yx=(64, 64), n_resolutions=2)
+    res0 = out / "RES(96x128x6)"
+    res1 = out / "RES(48x64x3)"
+    assert res0.is_dir() and res1.is_dir()
+    # block dirs named in tenths of um: row 64 at 0.5 um -> 320
+    assert (res0 / "000000" / "000000_000000").is_dir()
+    assert (res0 / "000320" / "000320_000000").is_dir()
+    assert (res0 / "000320" / "000320_000320").is_dir()
+    # z plane files exist with tenths-of-um z names (z=1 -> 20)
+    f = res0 / "000000" / "000000_000000" / "000000_000000_000020.tif"
+    assert f.exists()
+    blk = tio.imread(f)
+    np.testing.assert_array_equal(blk, vol[1, :64, :64])
+    # level 1 halves z (2 um -> 4 um): z index 1 -> 40
+    f1 = res1 / "000000" / "000000_000000" / "000000_000000_000040.tif"
+    assert f1.exists()
+    assert tio.imread(f1).shape == (48, 64)
+
+
+def test_dcimg_roundtrip(tmp_path, rng):
+    frames = (rng.random((4, 32, 40)) * 60000).astype(np.uint16)
+    p = tmp_path / "cam.dcimg"
+    DCIMGFile.write(p, frames)
+    d = DCIMGFile(p)
+    assert d.shape == (4, 32, 40)
+    assert d.dtype == np.uint16
+    f2 = d[2]
+    np.testing.assert_array_equal(f2[1:], frames[2][1:])
+    # metadata-pixel fixup on row 0
+    np.testing.assert_array_equal(f2[0, 4:], frames[2][0, 4:])
+    np.testing.assert_array_equal(f2[0, :4], frames[2][1, :4])
+    np.testing.assert_array_equal(d[1:3][0][1:], frames[1][1:])

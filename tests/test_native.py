@@ -1,0 +1,105 @@
+"""Native fastio layer: build, roundtrip, interop with the Python codec,
+and the fuzz/golden pattern of the reference's MEX tests
+(load_bl_tif_test.m, lz4_save_load_test.m)."""
+
+import numpy as np
+import pytest
+
+from ipp_tpu import native
+from ipp_tpu.io import tiff as tio
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_native_tiff_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 65535, (100, 130)).astype(np.uint16)
+    p = tmp_path / "n.tif"
+    assert native.tiff_write(p, img)
+    out = native.tiff_read(p)
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("level", [0, 5])
+def test_native_python_interop(tmp_path, rng, level):
+    """Native-written files read by the Python codec and vice versa."""
+    img = rng.integers(0, 65535, (64, 80)).astype(np.uint16)
+    p1 = tmp_path / "native.tif"
+    assert native.tiff_write(p1, img, compress_level=level)
+    np.testing.assert_array_equal(tio.read_tiff(p1), img)
+
+    p2 = tmp_path / "python.tif"
+    tio.write_tiff(p2, img, compression="zlib" if level else None)
+    np.testing.assert_array_equal(native.tiff_read(p2), img)
+
+
+def test_native_float_tiff(tmp_path, rng):
+    img = rng.standard_normal((32, 32)).astype(np.float32)
+    p = tmp_path / "f.tif"
+    assert native.tiff_write(p, img, compress_level=3)
+    np.testing.assert_array_equal(native.tiff_read(p), img)
+    np.testing.assert_array_equal(tio.read_tiff(p), img)
+
+
+def test_read_block_roi(tmp_path, rng):
+    """Golden: ROI block loader vs direct numpy crops
+    (reference load_bl_tif_test.m pattern)."""
+    planes = [rng.integers(0, 65535, (60, 70)).astype(np.uint16)
+              for _ in range(5)]
+    paths = []
+    for z, pl in enumerate(planes):
+        p = tmp_path / f"{z:04d}.tif"
+        tio.imwrite(p, pl)
+        paths.append(p)
+    block = native.read_block(paths, 10, 50, 5, 65, dtype=np.uint16)
+    ref = np.stack([pl[10:50, 5:65] for pl in planes])
+    np.testing.assert_array_equal(block, ref)
+
+
+def test_read_block_missing_plane_zero_filled(tmp_path, rng):
+    pl = rng.integers(0, 65535, (20, 20)).astype(np.uint16)
+    p = tmp_path / "a.tif"
+    tio.imwrite(p, pl)
+    block = native.read_block([p, tmp_path / "missing.tif"], 0, 20, 0, 20)
+    np.testing.assert_array_equal(block[0], pl)
+    assert (block[1] == 0).all()
+
+
+def test_read_block_fuzz(tmp_path, rng):
+    """Random ROI fuzz (reference load_bl_tif_test.m fuzz suite)."""
+    planes = [rng.integers(0, 65535, (48, 52)).astype(np.uint16)
+              for _ in range(3)]
+    paths = []
+    for z, pl in enumerate(planes):
+        p = tmp_path / f"{z:04d}.tif"
+        tio.write_tiff(p, pl, compression="zlib", rows_per_strip=7)
+        paths.append(p)
+    for _ in range(20):
+        y0 = int(rng.integers(0, 40))
+        y1 = int(rng.integers(y0 + 1, 48))
+        x0 = int(rng.integers(0, 44))
+        x1 = int(rng.integers(x0 + 1, 52))
+        block = native.read_block(paths, y0, y1, x0, x1)
+        ref = np.stack([pl[y0:y1, x0:x1] for pl in planes])
+        np.testing.assert_array_equal(block, ref)
+
+
+def test_zstd_brick_roundtrip(tmp_path, rng):
+    arr = rng.standard_normal((16, 32, 24)).astype(np.float32)
+    p = tmp_path / "brick.zst"
+    assert native.zstd_save(p, arr)
+    out = native.zstd_load(p, arr.shape, arr.dtype)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_load_slab_assembly(tmp_path, rng):
+    """Slab reassembly from bricks (reference load_slab_lz4_test.m)."""
+    slab = rng.standard_normal((4, 40, 60)).astype(np.float32)
+    bricks = []
+    for (y0, x0, by, bx) in [(0, 0, 20, 30), (0, 30, 20, 30),
+                             (20, 0, 20, 30), (20, 30, 20, 30)]:
+        p = tmp_path / f"b_{y0}_{x0}.zst"
+        native.zstd_save(p, slab[:, y0:y0 + by, x0:x0 + bx])
+        bricks.append((str(p), y0, x0, by, bx))
+    out = native.load_slab(bricks, 4, 40, 60, np.float32)
+    np.testing.assert_array_equal(out, slab)
