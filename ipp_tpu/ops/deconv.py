@@ -40,6 +40,8 @@ __all__ = [
     "unpad",
     "fft_shape_for",
     "richardson_lucy",
+    "richardson_lucy_batched",
+    "richardson_lucy_wiener",
     "richardson_lucy_spatial",
 ]
 
@@ -364,6 +366,89 @@ def richardson_lucy_batched(
     sl = tuple([slice(None)] + [slice(p, s - q) for p, q, s in
                                 zip(pre, post, bl.shape[1:])])
     return bl[sl]
+
+
+def richardson_lucy_wiener(
+    vol: jnp.ndarray,
+    psf: jnp.ndarray,
+    niter: int = 10,
+    lam: float = 0.0,
+    regularize_interval: int = 0,
+    fft_shape: Optional[Tuple[int, int, int]] = None,
+    edge_taper: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blind RL with on-the-fly Wiener PSF refinement
+    (reference deconFFT_Wiener, decon.m:206-321):
+
+    after each RL update the PSF is re-estimated from the spectra of the
+    previous and current object estimates,
+        otf_new = (F{prev} . conj(F{cur})) / (|F{cur}|^2 + eps),
+    cropped to the PSF extent, clamped non-negative and renormalized.
+    Returns (deconvolved, refined_psf).
+    """
+    vol = jnp.asarray(vol, jnp.float32)
+    psf = jnp.asarray(psf, jnp.float32)
+    psf = psf / jnp.sum(psf)
+    if fft_shape is None:
+        fft_shape = fft_shape_for(vol.shape, psf.shape)
+    if edge_taper:
+        vol = edge_taper_3d(vol, psf)
+    bl, pre, post = pad_to_shape(vol, fft_shape)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    R = jnp.asarray(_tikhonov_kernel())
+    psf_shape = psf.shape
+    center = tuple((f - p) // 2 for f, p in zip(fft_shape, psf_shape))
+
+    f_obs = jnp.fft.fftn(bl)  # F{Y}: spectrum of the observed volume.
+    # The reference's comment says the update is otf_new =
+    # F{Y}.conj(F{X})/(|F{X}|^2+eps) but its code substitutes the previous
+    # *estimate* for Y from iteration 2 on (decon.m:283-306), which makes
+    # the PSF collapse toward identity; we keep the observed spectrum, which
+    # matches the stated model psf: X -> Y.
+    f_prev = f_obs
+    for i in range(1, niter + 1):
+        is_reg = (0 < regularize_interval < niter and i > 1
+                  and i % regularize_interval == 0)
+        if is_reg:
+            bl = gauss3d(bl, 0.5)
+            f_prev = jnp.fft.fftn(bl)
+        otf_pad, _, _ = pad_to_shape(psf, fft_shape)
+        c = tuple(cc + s // 2 for cc, s in zip(center, psf_shape))
+        otf = jnp.fft.fftn(jnp.roll(otf_pad, tuple(-x for x in c),
+                                    axis=(0, 1, 2)))
+        buf = jnp.real(jnp.fft.ifftn(f_prev * otf))
+        buf = jnp.maximum(buf, eps)
+        buf = bl / buf
+        buf = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(buf) * jnp.conj(otf)))
+        if is_reg and lam > 0 and i < niter:
+            reg = _conv3d_zero(bl, R)
+            bl = bl * buf * (1.0 - lam) + reg * lam
+        else:
+            bl = bl * buf
+        bl = jnp.abs(bl)
+        if i < niter:
+            # Wiener PSF update (decon.m:283-306)
+            f_cur = jnp.fft.fftn(bl)
+            denom = jnp.maximum(jnp.real(f_cur * jnp.conj(f_cur)), eps)
+            otf_new = f_obs * jnp.conj(f_cur) / denom
+            # the impulse response of the spectral ratio is centered at
+            # index 0 with wraparound; fftshift before cropping the middle
+            # (the reference crops without shifting, decon.m:299-302, which
+            # grabs the response tails — a bug its 'experimental' comment
+            # hints at)
+            psf_full = jnp.fft.fftshift(jnp.real(jnp.fft.ifftn(otf_new)))
+            sl = tuple(slice(cc, cc + s) for cc, s in zip(center, psf_shape))
+            new_psf = jnp.maximum(psf_full[sl], 0.0)
+            total = jnp.sum(new_psf)
+            new_psf = jnp.where(total > 0,
+                                new_psf / jnp.maximum(total, eps), psf)
+            # damped update: the raw Wiener estimate is noisy and collapses
+            # blind RL (a stabilizer absent from the reference's
+            # experimental path)
+            psf = 0.7 * psf + 0.3 * new_psf
+            psf = psf / jnp.maximum(jnp.sum(psf), eps)
+            f_prev = f_cur
+    return unpad(bl, pre, post), psf
 
 
 def richardson_lucy_spatial(vol: jnp.ndarray, psf: jnp.ndarray,

@@ -321,13 +321,16 @@ def align_pair(vol_a: np.ndarray, vol_b: np.ndarray, side: str,
     """Full pairwise alignment of two equal-shape (D, V, H) stacks
     (reference norm_cross_corr_mips, libcrossmips.cpp:101-516).
 
-    side: 'ns' (B is SOUTH of A) or 'we' (B is EAST of A).
+    side: 'ns' (B is SOUTH of A), 'we' (B is EAST of A), or 'tb'
+    (B is BELOW A in z — the piezo-stack case of tsv/scan.py align_stack_z).
     Returns per-axis (V, H, D) coord / peak / width, where coord includes the
-    nominal offset (coord[V] += dimV - overlap for 'ns', H analog for 'we').
+    nominal offset (coord[V] += dimV - overlap for 'ns', analogs for the
+    other sides).
     """
     params = params or NCCParams()
     assert vol_a.shape == vol_b.shape
     dimk, dimi, dimj = vol_a.shape
+    nk = 0
     if side == "ns":
         ni, nj = dimi - overlap, 0
         a = vol_a[:, ni:, :]
@@ -336,14 +339,20 @@ def align_pair(vol_a: np.ndarray, vol_b: np.ndarray, side: str,
         ni, nj = 0, dimj - overlap
         a = vol_a[:, :, nj:]
         b = vol_b[:, :, : dimj - nj]
+    elif side == "tb":
+        ni = nj = 0
+        nk = dimk - overlap
+        a = vol_a[nk:, :, :]
+        b = vol_b[: dimk - nk, :, :]
     else:
-        raise ValueError("side must be 'ns' or 'we'")
+        raise ValueError("side must be 'ns', 'we' or 'tb'")
     dimi_v, dimj_v = a.shape[1], a.shape[2]
 
     # clamp the search when overlap is too small (libcrossmips.cpp:260-262)
-    delay_v = min(delay_v, max(0, dimi_v - params.min_dim_ncc_src)) if side == "ns" else min(delay_v, max(0, dimi_v - params.min_dim_ncc_src))
+    dimk_v = a.shape[0]
+    delay_v = min(delay_v, max(0, dimi_v - params.min_dim_ncc_src))
     delay_h = min(delay_h, max(0, dimj_v - params.min_dim_ncc_src))
-    delay_d = min(delay_d, max(0, dimk - params.min_dim_ncc_src))
+    delay_d = min(delay_d, max(0, dimk_v - params.min_dim_ncc_src))
     wr_v = params.w_range(delay_v)
     wr_h = params.w_range(delay_h)
     wr_d = params.w_range(delay_d)
@@ -395,7 +404,9 @@ def align_pair(vol_a: np.ndarray, vol_b: np.ndarray, side: str,
     # add the nominal offset (libcrossmips.cpp:483-488)
     if side == "ns":
         cv += ni
-    else:
+    elif side == "we":
         ch += nj
+    else:
+        cd += nk
     return NCCResult(coord=(cv, ch, cd), ncc_peak=(pv, ph, pd),
                      ncc_width=(wv, wh, wd))

@@ -1,0 +1,196 @@
+"""Small volume utilities — the tsv/ mini-CLI family.
+
+Equivalents of the reference's small tools:
+- downsample_series: 2x downsample of a TIFF dir (tsv/downsample.py:11-55)
+- fill_blanks: synthesize missing z planes by copying/blank insertion
+  (tsv/fill_blanks.py:12-101)
+- justified_stitch: overlap-blend two planes with a known offset
+  (tsv/stitch.py:16-193)
+- simple_grid_stitch: fixed-offset grid stitch without NCC
+  (tsv/simple.py:10-103)
+- renumber_series: renumber plane files to a contiguous 0..N-1 range
+  (tsv/renumber*.py)
+- generate_downsampled_npz: standalone npz generator
+  (downsampled_npz_generator.py:51-132)
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import shutil
+import sys
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry.extent import VExtent
+from ..io import tiff as tio
+from ..ops.resample import block_reduce, resize
+from ..stitch.blend import PlaneBlender
+from ..utils.log import Logger
+
+__all__ = ["downsample_series", "fill_blanks", "justified_stitch",
+           "simple_grid_stitch", "renumber_series",
+           "generate_downsampled_npz", "main"]
+
+
+def downsample_series(input_dir, output_dir, factor: int = 2,
+                      method: str = "mean", skip_z: bool = False) -> int:
+    """Downsample every plane by `factor` (and keep every factor-th plane
+    unless skip_z)."""
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    paths = sorted(p for p in input_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    kept = paths if skip_z else paths[::factor]
+    for i, p in enumerate(kept):
+        img = tio.imread(p)
+        small = np.asarray(block_reduce(img, (factor, factor), method))
+        small = small.astype(img.dtype)
+        tio.imwrite(output_dir / f"img_{i:06d}.tif", small)
+    return len(kept)
+
+
+def fill_blanks(directory, pattern: str = r"img_(\d+)\.tif") -> int:
+    """Insert copies of the nearest plane for missing indices
+    (reference tsv/fill_blanks.py)."""
+    directory = Path(directory)
+    rx = re.compile(pattern)
+    found = {}
+    for p in directory.iterdir():
+        m = rx.fullmatch(p.name)
+        if m:
+            found[int(m.group(1))] = p
+    if not found:
+        return 0
+    n_filled = 0
+    lo, hi = min(found), max(found)
+    for i in range(lo, hi + 1):
+        if i not in found:
+            nearest = min(found, key=lambda k: abs(k - i))
+            target = directory / f"img_{i:06d}.tif"
+            shutil.copy(found[nearest], target)
+            n_filled += 1
+    return n_filled
+
+
+def justified_stitch(plane_a: np.ndarray, plane_b: np.ndarray,
+                     offset_yx: Tuple[int, int],
+                     cosine: bool = True) -> np.ndarray:
+    """Blend two planes with plane_b placed at offset (y, x) relative to
+    plane_a (reference tsv/stitch.py two-plane justified stitch)."""
+    dy, dx = offset_yx
+    ha, wa = plane_a.shape
+    hb, wb = plane_b.shape
+    exts = [VExtent(0, wa, 0, ha, 0, 1),
+            VExtent(dx, dx + wb, dy, dy + hb, 0, 1)]
+    x0 = min(e.x0 for e in exts)
+    y0 = min(e.y0 for e in exts)
+    exts = [e.shifted(dx=-x0, dy=-y0) for e in exts]
+    blender = PlaneBlender(exts, cosine=cosine)
+    bbox = VExtent(0, max(e.x1 for e in exts), 0, max(e.y1 for e in exts),
+                   0, 1)
+    planes = [plane_a, plane_b]
+
+    def reader(i, inter):
+        e = exts[i]
+        return planes[i][None, inter.y0 - e.y0:inter.y1 - e.y0,
+                         inter.x0 - e.x0:inter.x1 - e.x0]
+
+    return blender.blend_plane(bbox, reader, dtype=plane_a.dtype)
+
+
+def simple_grid_stitch(tile_dirs: List[List[Path]], out_dir,
+                       overlap: int, cosine: bool = True) -> Path:
+    """Fixed-offset grid stitch without alignment (reference tsv/simple.py):
+    tiles placed at nominal stage positions only."""
+    from ..geometry.stacks import TileGrid, TileStack
+
+    rows = len(tile_dirs)
+    cols = len(tile_dirs[0])
+    stacks = []
+    for r in range(rows):
+        row = []
+        for c in range(cols):
+            d = Path(tile_dirs[r][c])
+            s = TileStack(row=r, col=c, dir_name=d.name,
+                          root_dir=str(d.parent))
+            th, tw = s.plane_shape
+            s.abs_v = r * (th - overlap)
+            s.abs_h = c * (tw - overlap)
+            row.append(s)
+        stacks.append(row)
+    grid = TileGrid(stacks)
+    from ..stitch.merge import merge_to_tif_series
+
+    out, _ = merge_to_tif_series(grid, out_dir, cosine_blending=cosine)
+    return out
+
+
+def renumber_series(directory, prefix: str = "img_") -> int:
+    """Renumber plane files to contiguous img_000000..N-1 order."""
+    directory = Path(directory)
+    paths = sorted(p for p in directory.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    for i, p in enumerate(paths):
+        target = directory / f"{prefix}{i:06d}.tif"
+        if p != target:
+            p.rename(target)
+    return len(paths)
+
+
+def generate_downsampled_npz(input_dir, npz_path,
+                             source_voxel_zyx: Tuple[float, float, float],
+                             target_voxel_um: float) -> Path:
+    """Standalone downsampled-npz generator
+    (reference downsampled_npz_generator.py:51-132)."""
+    from ..stitch.merge import downsampled_npz
+
+    input_dir = Path(input_dir)
+    paths = sorted(p for p in input_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {input_dir}")
+    vol = np.stack([tio.imread(p) for p in paths]).astype(np.float32)
+    return downsampled_npz(vol, npz_path, source_voxel_zyx, vol.shape,
+                           target_voxel_um)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="tsv mini tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("downsample")
+    d.add_argument("--input", required=True, type=Path)
+    d.add_argument("--output", required=True, type=Path)
+    d.add_argument("--factor", type=int, default=2)
+    d.add_argument("--method", default="mean")
+    f = sub.add_parser("fill-blanks")
+    f.add_argument("--dir", required=True, type=Path)
+    r = sub.add_parser("renumber")
+    r.add_argument("--dir", required=True, type=Path)
+    n = sub.add_parser("npz")
+    n.add_argument("--input", required=True, type=Path)
+    n.add_argument("--output", required=True, type=Path)
+    n.add_argument("--voxel", type=float, nargs=3, required=True,
+                   metavar=("Z", "Y", "X"))
+    n.add_argument("--target-voxel", type=float, required=True)
+    args = p.parse_args(argv)
+    log = Logger()
+    if args.cmd == "downsample":
+        n_out = downsample_series(args.input, args.output, args.factor,
+                                  args.method)
+        log.info(f"{n_out} planes downsampled")
+    elif args.cmd == "fill-blanks":
+        log.info(f"{fill_blanks(args.dir)} planes filled")
+    elif args.cmd == "renumber":
+        log.info(f"{renumber_series(args.dir)} planes renumbered")
+    elif args.cmd == "npz":
+        log.info(str(generate_downsampled_npz(
+            args.input, args.output, tuple(args.voxel), args.target_voxel)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

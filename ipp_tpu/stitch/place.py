@@ -26,7 +26,8 @@ import numpy as np
 
 from ..geometry.stacks import Displacement, TileGrid
 
-__all__ = ["project_displacements", "threshold_displacements", "place_tiles_mst"]
+__all__ = ["project_displacements", "threshold_displacements",
+           "place_tiles_mst", "place_tiles_lqp"]
 
 S_UNRELIABLE_WEIGHT = 1000.0  # reference S_config.h:89
 
@@ -220,6 +221,61 @@ def place_tiles_mst(grid: TileGrid) -> None:
 
     # rebase to non-negative (reference TPAlgoMST step 5 rebases to [0][0];
     # we rebase to the min like the TSV consumer, tsv/volume.py:775-790)
+    abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
+    for r in range(rows):
+        for c in range(cols):
+            s = grid.stacks[r][c]
+            s.abs_v = int(abs_coord[r, c, 0])
+            s.abs_h = int(abs_coord[r, c, 1])
+            s.abs_d = int(abs_coord[r, c, 2])
+
+
+def place_tiles_lqp(grid: TileGrid) -> None:
+    """Global placement as a reliability-weighted least-squares problem
+    (the TPAlgoLQP alternative to the MST; reference TPAlgoLQP.cpp +
+    pyscripts/LQP_HE.py solve an integer quadratic program — here the
+    relaxed LS problem per axis, solved exactly by a sparse normal system,
+    then rounded; unlike the MST it reconciles loop inconsistencies by
+    spreading error over all edges).
+
+    minimize per axis k:  sum_edges w_e * (p[child] - p[parent] - d_e,k)^2
+    with p[0,0] fixed at 0; w_e = max(reliability_k, eps).
+    """
+    from scipy.sparse import lil_matrix
+    from scipy.sparse.linalg import lsqr
+
+    rows, cols = grid.n_rows, grid.n_cols
+    n = rows * cols
+
+    def node(r: int, c: int) -> int:
+        return r * cols + c
+
+    abs_coord = np.zeros((rows, cols, 3), dtype=np.int64)
+    for k in range(3):
+        edges = []
+        for r in range(rows):
+            for c in range(cols):
+                s = grid.stacks[r][c]
+                # NORTH link: p[r,c] = p[r-1,c] - displ_k
+                if r > 0 and s.north is not None:
+                    w = max(s.north.reliability[k], 1e-3)
+                    edges.append((node(r - 1, c), node(r, c),
+                                  -s.north.displ[k], w))
+                if c > 0 and s.west is not None:
+                    w = max(s.west.reliability[k], 1e-3)
+                    edges.append((node(r, c - 1), node(r, c),
+                                  -s.west.displ[k], w))
+        A = lil_matrix((len(edges) + 1, n))
+        b = np.zeros(len(edges) + 1)
+        for i, (u, v, d, w) in enumerate(edges):
+            sw = math.sqrt(w)
+            A[i, v] = sw
+            A[i, u] = -sw
+            b[i] = sw * d
+        A[len(edges), 0] = 1000.0  # anchor p[0,0] = 0
+        sol = lsqr(A.tocsr(), b)[0]
+        abs_coord[:, :, k] = np.rint(sol).reshape(rows, cols)
+
     abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
     for r in range(rows):
         for c in range(cols):
