@@ -61,7 +61,7 @@ def main() -> None:
           f"({mvox_s:.1f} Mvox/s)", file=sys.stderr)
 
     # --- secondary: destripe throughput -----------------------------------
-    tiles = jnp.asarray(rng.integers(0, 40000, (4, 1024, 1024))
+    tiles = jnp.asarray(rng.integers(0, 40000, (16, 1024, 1024))
                         .astype(np.uint16))
     def run_destripe():
         return int(jnp.sum(filter_streaks(tiles, sigma=(128, 128),

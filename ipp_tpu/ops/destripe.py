@@ -149,12 +149,12 @@ def _plan_padding(shape: Tuple[int, int], sigma: Tuple[int, int], level: int,
 @partial(jax.jit, static_argnames=(
     "sigma", "level", "wavelet", "crossover", "padding_mode", "bidirectional",
     "bleach_correction_frequency", "bleach_correction_max_method",
-    "log1p_normalization_needed", "out_dtype"))
+    "log1p_normalization_needed", "out_dtype", "use_thresholding"))
 def _filter_streaks_impl(img, threshold, bleach_clip_min, bleach_clip_med,
                          bleach_clip_max, *, sigma, level, wavelet, crossover,
                          padding_mode, bidirectional, bleach_correction_frequency,
                          bleach_correction_max_method, log1p_normalization_needed,
-                         out_dtype):
+                         out_dtype, use_thresholding=False):
     sigma1, sigma2 = sigma
     x = img
     if log1p_normalization_needed:
@@ -170,8 +170,22 @@ def _filter_streaks_impl(img, threshold, bleach_clip_min, bleach_clip_med,
         x = jnp.pad(x, pad, mode=padding_mode)
         axes = (-1, -2) if bidirectional else (-1,)
         # dual-band logic (reference filter_streak_dual_band,
-        # pystripe/core.py:943-979, use_thresholding=False path)
-        if sigma1 > 0 and sigma1 == sigma2:
+        # pystripe/core.py:943-979)
+        if use_thresholding and sigma1 != sigma2 and threshold is not None:
+            # thresholded fg/bg split with sigmoid crossover blend
+            # (pystripe/core.py:948-978; incompatible with log1p, caller
+            # passes log1p_normalization_needed=False)
+            from .intensity import foreground_fraction
+
+            fg = jnp.clip(x, threshold, None)
+            bg = jnp.clip(x, None, threshold)
+            if sigma1 > 0:
+                fg = filter_subband(fg, sigma1, lv, wavelet, axes=axes)
+            if sigma2 > 0:
+                bg = filter_subband(bg, sigma2, lv, wavelet, axes=axes)
+            frac = foreground_fraction(x, threshold, crossover, smoothing=1)
+            x = (fg * frac + bg * (1.0 - frac)) * threshold
+        elif sigma1 > 0 and sigma1 == sigma2:
             x = filter_subband(x, sigma1, lv, wavelet, axes=axes)
         else:
             if sigma1 > 0:
@@ -211,6 +225,7 @@ def filter_streaks(
     bleach_correction_clip_med: Optional[float] = None,
     bleach_correction_clip_max: Optional[float] = None,
     log1p_normalization_needed: bool = True,
+    use_thresholding: bool = False,
 ) -> jnp.ndarray:
     """Destripe (and optionally bleach-correct) a tile or batch of tiles
     (reference filter_streaks, pystripe/core.py:982-1160).
@@ -250,4 +265,5 @@ def filter_streaks(
         bleach_correction_max_method=bool(bleach_correction_max_method),
         log1p_normalization_needed=bool(log1p_normalization_needed),
         out_dtype=str(np.dtype(out_dtype)),
+        use_thresholding=bool(use_thresholding),
     )

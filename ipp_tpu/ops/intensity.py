@@ -32,6 +32,7 @@ __all__ = [
     "butter_lowpass_coeffs",
     "filtfilt1",
     "correct_bleaching",
+    "hist_match",
 ]
 
 
@@ -217,3 +218,26 @@ def correct_bleaching(img: jnp.ndarray, frequency: float, clip_min: float,
         flt = filtfilt1(flt, b, a)  # scipy default axis=-1
     fmax = jnp.max(flt, axis=(-2, -1), keepdims=True)
     return img / flt * fmax
+
+
+def hist_match(source: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
+    """Histogram matching: map source pixel quantiles onto the template's
+    value distribution (reference hist_match, pystripe/core.py:426-463),
+    implemented with sorted-array quantile interpolation so it stays
+    jittable (equivalent to the reference's unique/cumsum formulation for
+    continuous data; ties map to the same value)."""
+    shape = source.shape
+    s = source.reshape(-1).astype(jnp.float32)
+    t = template.reshape(-1).astype(jnp.float32)
+    s_sorted = jnp.sort(s)
+    t_sorted = jnp.sort(t)
+    # quantile of each source pixel
+    ranks = jnp.searchsorted(s_sorted, s, side="right").astype(jnp.float32)
+    q = ranks / s.shape[0]
+    # corresponding template value
+    idx = jnp.clip(q * t.shape[0] - 0.5, 0.0, t.shape[0] - 1.0)
+    lo = jnp.floor(idx).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t.shape[0] - 1)
+    frac = idx - lo
+    matched = t_sorted[lo] * (1.0 - frac) + t_sorted[hi] * frac
+    return matched.reshape(shape)

@@ -54,6 +54,7 @@ def run_tile_pipeline(
     compression: Optional[str] = None,
     progress_desc: str = "tiles",
     reader: Optional[Callable[[Path], np.ndarray]] = None,
+    read_timeout: float = 300.0,
 ) -> Dict[str, int]:
     """Run `process_batch` over all tasks; returns counters
     {'done', 'skipped', 'failed'}."""
@@ -81,6 +82,11 @@ def run_tile_pipeline(
     task_iter = iter(tasks)
     iter_lock = threading.Lock()
 
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    from concurrent.futures import TimeoutError as _FTimeout
+
+    timeout_pool = _TPE(max_workers=reader_threads)
+
     def read_worker():
         while True:
             with iter_lock:
@@ -89,7 +95,15 @@ def run_tile_pipeline(
                 in_q.put(None)
                 return
             try:
-                img = np.asarray(read_fn(t.input_path))
+                # timeout sandbox: a hung/corrupt read becomes a zero tile
+                # (reference 1-task inner pool with timeout,
+                # pystripe/core.py:1710-1755)
+                img = np.asarray(
+                    timeout_pool.submit(read_fn, t.input_path)
+                    .result(timeout=read_timeout))
+            except _FTimeout:
+                print(f"read timeout, substituting zeros: {t.input_path}")
+                img = None
             except Exception:
                 traceback.print_exc()
                 img = None  # zero-tile substitution downstream
@@ -171,5 +185,6 @@ def run_tile_pipeline(
         out_q.put(None)
     for th in writers:
         th.join()
+    timeout_pool.shutdown(wait=False)
     prog.close()
     return counters

@@ -29,7 +29,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io import tiff as tio
-from ..ops.deconv import fft_shape_for, richardson_lucy_batched
+from ..ops.deconv import fft_shape_for, richardson_lucy
 from ..ops.destripe import filter_streaks
 from ..ops.fftutil import next_fast_len
 from ..utils.jaxconfig import enable_persistent_cache
@@ -186,10 +186,13 @@ def deconvolve_volume(
         if dark > 0:
             x = jnp.maximum(x - dark, 0.0)
         fft_shape = fft_shape_for(x.shape, psf.shape)
-        dec = richardson_lucy_batched(
-            x[None], psf_j, niter=niter, lam=lam,
+        # single-block path: the 3D rfftn executable is ~1.8x faster than
+        # the batched 4D variant at B=1 (measured on v5e)
+        dec = richardson_lucy(
+            x, psf_j, niter=niter, lam=lam,
+            stop_criterion=stop_criterion,
             regularize_interval=regularize_interval, fft_shape=fft_shape,
-            classic=classic_rl)[0]
+            classic=classic_rl)
         if destripe_sigma:
             # z-destripe each xz slice (reference filter_subband_3d_z.m)
             dec = jnp.asarray(np.asarray(
@@ -238,3 +241,83 @@ def deconvolve_volume(
                         slab[i].astype(out_dtype))
     log.info(f"deconvolved series written to {output_dir}")
     return output_dir
+
+
+def build_parser():
+    """CLI exposing the LsDeconv parameter surface that has effect here
+    (reference decwrap.py + the 29 positional MATLAB args, LsDeconv.m:44-75:
+    optics -> PSF, iterations, damping lambda, stop criterion, regularization
+    interval, gaussian prefilter, dark, destripe sigma, bit depth,
+    amplification, clip percentile, resume, block size)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Richardson-Lucy volume deconvolution "
+                    "(LsDeconvolveMultiGPU equivalent)")
+    p.add_argument("--input", "-i", required=True, type=Path,
+                   help="directory of z-plane TIFFs")
+    p.add_argument("--output", "-o", required=True, type=Path)
+    p.add_argument("--dxy", type=float, default=406.0,
+                   help="xy voxel size in nm")
+    p.add_argument("--dz", type=float, default=800.0, help="z step in nm")
+    p.add_argument("--na", type=float, default=0.4)
+    p.add_argument("--rf", type=float, default=1.45,
+                   help="refractive index")
+    p.add_argument("--lambda-ex", type=float, default=488.0)
+    p.add_argument("--lambda-em", type=float, default=525.0)
+    p.add_argument("--fcyl", type=float, default=80000.0)
+    p.add_argument("--slitwidth", type=float, default=12000.0)
+    p.add_argument("--niter", "-n", type=int, default=10)
+    p.add_argument("--lambda", dest="lam", type=float, default=0.0)
+    p.add_argument("--stop-criterion", type=float, default=0.0)
+    p.add_argument("--regularize-interval", type=int, default=0)
+    p.add_argument("--gaussian-sigma", type=float, nargs=3, default=None,
+                   metavar=("Z", "Y", "X"))
+    p.add_argument("--dark", type=float, default=0.0)
+    p.add_argument("--destripe-sigma", type=float, default=0.0)
+    p.add_argument("--bit-depth", type=int, default=16, choices=[8, 16])
+    p.add_argument("--amplification", type=float, default=1.0)
+    p.add_argument("--clip-percentile", type=float, default=99.999)
+    p.add_argument("--max-block-mvox", type=float, default=96.0)
+    p.add_argument("--reference-scheme", action="store_true",
+                   help="use the reference's bl-as-y RL variant")
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    import sys as _sys
+
+    import numpy as _np
+
+    from ..ops.psf import make_psf
+
+    args = build_parser().parse_args(argv)
+    log = Logger()
+    psf_xyz, fwhm_xy, fwhm_z = make_psf(
+        dxy=args.dxy, dz=args.dz, NA=args.na, n=args.rf,
+        lambda_ex=args.lambda_ex, lambda_em=args.lambda_em,
+        fcyl=args.fcyl, slitwidth=args.slitwidth)
+    psf = _np.transpose(psf_xyz, (2, 1, 0))  # -> (z, y, x)
+    log.info(f"PSF {psf.shape}, FWHM xy {fwhm_xy:.0f} nm z {fwhm_z:.0f} nm")
+    deconvolve_volume(
+        args.input, args.output, psf, niter=args.niter, lam=args.lam,
+        stop_criterion=args.stop_criterion,
+        regularize_interval=args.regularize_interval,
+        gaussian_sigma=tuple(args.gaussian_sigma) if args.gaussian_sigma else None,
+        dark=args.dark,
+        destripe_sigma=args.destripe_sigma or None,
+        out_dtype=_np.uint8 if args.bit_depth == 8 else _np.uint16,
+        amplification=args.amplification,
+        clip_percentile=args.clip_percentile,
+        max_block_elems=int(args.max_block_mvox * 2 ** 20),
+        resume=args.resume,
+        classic_rl=not args.reference_scheme,
+        log=log)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

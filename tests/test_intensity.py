@@ -98,3 +98,19 @@ def test_multiotsu_trimodal(rng):
     assert len(th) == 2
     assert 40 < th[0] < 110
     assert 130 < th[1] < 210
+
+
+def test_hist_match(rng):
+    import jax.numpy as jnp
+
+    src = rng.normal(50, 5, (64, 64)).astype(np.float32)
+    tmpl = rng.normal(200, 20, (64, 64)).astype(np.float32)
+    out = np.asarray(it.hist_match(jnp.asarray(src), jnp.asarray(tmpl)))
+    # matched distribution adopts the template's stats
+    assert abs(out.mean() - tmpl.mean()) < 2.0
+    assert abs(out.std() - tmpl.std()) < 2.0
+    # rank order preserved
+    flat_in = src.ravel()
+    flat_out = out.ravel()
+    idx = np.argsort(flat_in)
+    assert (np.diff(flat_out[idx]) >= -1e-3).all()
