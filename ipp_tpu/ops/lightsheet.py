@@ -98,7 +98,12 @@ def correct_lightsheet(
     pystripe/lightsheet_correct.py:31-107; called from process_img,
     pystripe/core.py:1337-1352)."""
     x = img.astype(jnp.float32)
-    ls = local_percentile_1d(x, artifact_length, percentile, axis=-1)
+    # the reference evaluates BOTH percentile fields on sparse grids and
+    # zoom-interpolates (apply_local_function with spacing defaulting to
+    # selem, pystripe/lightsheet_correct.py:113-180): the lightsheet term
+    # on a (1, artifact_length) grid, the background on its spacing grid
+    ls = grid_percentile(x, (1, artifact_length), (1, artifact_length),
+                         (1, 1), percentile)
     bg = grid_percentile(
         x, (background_window_size, background_window_size),
         background_spacing, background_step, percentile)

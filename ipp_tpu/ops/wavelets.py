@@ -27,6 +27,7 @@ approximation along -1 (x) — the subband containing stripes elongated in x.
 from __future__ import annotations
 
 import functools
+import os
 from math import comb
 from typing import List, Sequence, Tuple
 
@@ -278,11 +279,21 @@ def _circ_conv_last(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return out.reshape(*batch_shape, n)
 
 
+USE_PALLAS_DWT = os.environ.get("IPP_TPU_PALLAS_DWT", "0") == "1"
+
+
 def _dwt_last(x: jnp.ndarray, rec_lo: np.ndarray, rec_hi: np.ndarray):
     """1-level circular DWT along the last axis.  Analysis is circular
     correlation with the *reconstruction* filters at even shifts (the
     orthonormal-basis inner products), which makes synthesis its exact
-    transpose."""
+    transpose.
+
+    With IPP_TPU_PALLAS_DWT=1 the fused Pallas kernel
+    (ops/pallas_dwt.py) computes both subbands in one VMEM pass."""
+    if USE_PALLAS_DWT:
+        from .pallas_dwt import dwt_analysis_pallas
+
+        return dwt_analysis_pallas(x, rec_lo, rec_hi)
     kernels = np.stack([rec_lo, rec_hi])
     out = _conv_stride2_last(x, kernels)
     return out[..., 0, :], out[..., 1, :]

@@ -92,3 +92,21 @@ def test_stripe_lands_in_cH(rng):
 def test_max_level():
     assert wv.dwt_max_level(1024, "db9") == int(np.floor(np.log2(1024 / 17)))
     assert wv.dwt_max_level(10, "db9") == 0
+
+
+def test_pallas_dwt_matches_conv_path(rng):
+    """Fused Pallas DWT kernel (interpret mode on CPU) vs the conv path."""
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.pallas_dwt import dwt_analysis_pallas
+
+    for name in ("db2", "db9"):
+        _, _, rec_lo, rec_hi = wv.filter_bank(name)
+        x = rng.standard_normal((5, 64)).astype(np.float32)
+        ca_ref, cd_ref = wv._dwt_last(jnp.asarray(x), rec_lo, rec_hi)
+        ca, cd = dwt_analysis_pallas(jnp.asarray(x), rec_lo, rec_hi,
+                                     rows_per_block=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(ca_ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(cd), np.asarray(cd_ref),
+                                   atol=2e-5)
