@@ -1,0 +1,90 @@
+"""Golden cross-validation against the actual TeraStitcher binary.
+
+The reference repo vendors Linux builds of terastitcher; when one runs on
+this host, execute its steps 1-3 on a synthetic jittered grid and require
+our step-2/3 pipeline to reproduce its projected displacements EXACTLY
+(integer displ per axis) and its NCC peaks to 3 decimals.
+
+This pins the whole chain — MIPs, all-shifts NCC, peak refinement, width,
+per-axis fusion, nominal-offset addition, mirroring, z-chunk projection —
+to the reference implementation.
+"""
+
+import shutil
+import subprocess
+from pathlib import Path
+from xml.etree import ElementTree as ET
+
+import numpy as np
+import pytest
+
+from tests.synth import cut_tiles, make_phantom, write_tile_grid
+
+TS_BIN = Path("/root/reference/TeraStitcher/Linux/SSE2/terastitcher")
+
+
+def _binary_runs() -> bool:
+    if not TS_BIN.exists():
+        return False
+    try:
+        out = subprocess.run([str(TS_BIN), "--version"], capture_output=True,
+                             timeout=30)
+        return out.returncode == 0
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _binary_runs(),
+                                reason="terastitcher binary unavailable")
+
+
+def test_displacements_match_reference_binary(tmp_path, rng):
+    vol = make_phantom(rng, (20, 420, 420), smooth=8.0)
+    tiles, offsets = cut_tiles(vol, 3, 3, (160, 160), 48, jitter=5, rng=rng)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    grid = write_tile_grid(raw, tiles, overlap_nominal_px=48)
+
+    def ts(*args):
+        subprocess.run([str(TS_BIN), *args, "--noprogressbar"], check=True,
+                       capture_output=True, timeout=600)
+
+    xi = tmp_path / "xi.xml"
+    xd = tmp_path / "xd.xml"
+    xp = tmp_path / "xp.xml"
+    # SmartSPIM x-first dir naming needs ref1=H ref2=V
+    # (reference process_images.py:464-466)
+    ts("-1", f"--volin={raw}", "--ref1=H", "--ref2=V", "--ref3=D",
+       "--vxl1=1", "--vxl2=1", "--vxl3=1", f"--projout={xi}")
+    ts("-2", f"--projin={xi}", f"--projout={xd}", "--oV=48", "--oH=48",
+       "--sV=12", "--sH=12", "--sD=5", "--subvoldim=20")
+    ts("-3", f"--projin={xd}", f"--projout={xp}")
+
+    from ipp_tpu.stitch.align import compute_displacements
+    from ipp_tpu.stitch.place import project_displacements
+
+    cands = compute_displacements(grid, overlap_v=48, overlap_h=48,
+                                  displ_max_v=12, displ_max_h=12,
+                                  displ_max_d=5, subvol_dim=20)
+    project_displacements(grid, cands, 48, 48)
+
+    root = ET.parse(xp).getroot()
+    n_checked = 0
+    for st in root.iter("Stack"):
+        r, c = int(st.get("ROW")), int(st.get("COL"))
+        for side, tag in (("north", "NORTH_displacements"),
+                          ("west", "WEST_displacements")):
+            el = st.find(tag)
+            d = el.find("Displacement") if el is not None else None
+            if d is None:
+                continue
+            mine = getattr(grid.stacks[r][c], side)
+            assert mine is not None, (r, c, side)
+            for i, ax in enumerate("VHD"):
+                a = d.find(ax)
+                ref_displ = int(a.get("displ"))
+                ref_peak = float(a.get("nccPeak"))
+                assert mine.displ[i] == ref_displ, (r, c, side, ax)
+                assert abs(mine.ncc_peak[i] - ref_peak) < 2e-3, (r, c, side, ax)
+                n_checked += 1
+    assert n_checked >= 36  # 12 links x 3 axes
