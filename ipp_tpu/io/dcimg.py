@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Tuple, Union
+from typing import Union
 
 import numpy as np
 

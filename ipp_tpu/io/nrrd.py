@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import gzip
-import zlib
 from pathlib import Path
 from typing import Dict, Tuple
 

@@ -17,7 +17,6 @@ TPU-native equivalents of the reference's skimage-based resampling:
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple
 
 import jax

@@ -11,8 +11,6 @@ data-dependent device control flow.
 
 from __future__ import annotations
 
-from itertools import combinations
-from typing import Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ over the 'data' axis; large single blocks shard their z axis over 'z'
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -24,7 +24,7 @@ import json
 import math
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -286,8 +286,6 @@ def build_parser():
 
 
 def main(argv=None) -> int:
-    import sys as _sys
-
     import numpy as _np
 
     from ..ops.psf import make_psf

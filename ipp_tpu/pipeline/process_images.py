@@ -18,7 +18,6 @@ channel-color table mirror process_images.py:52-64.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path
@@ -34,7 +33,7 @@ from ..stitch.merge import downsampled_npz, merge_to_tif_series
 from ..stitch.place import (place_tiles_mst, project_displacements,
                             threshold_displacements)
 from ..utils.jaxconfig import enable_persistent_cache
-from ..utils.log import Colors, Logger
+from ..utils.log import Logger
 from ..utils.progress import StageTimer
 from .pystripe_cli import batch_filter
 

@@ -21,13 +21,13 @@ import re
 import shutil
 import sys
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
 from ..geometry.extent import VExtent
 from ..io import tiff as tio
-from ..ops.resample import block_reduce, resize
+from ..ops.resample import block_reduce
 from ..stitch.blend import PlaneBlender
 from ..utils.log import Logger
 

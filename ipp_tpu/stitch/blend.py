@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import enum
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

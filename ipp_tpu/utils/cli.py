@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Tuple, Type, Union
+from typing import Tuple, Type
 
 from .log import Colors
 

@@ -5,7 +5,6 @@ supplements/cli_interface.py:67-79)."""
 from __future__ import annotations
 
 import re
-import sys
 import time
 from pathlib import Path
 from typing import Optional

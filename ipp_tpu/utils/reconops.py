@@ -10,7 +10,7 @@ N3DFix, inter-node pruning) are external binaries and are represented by
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

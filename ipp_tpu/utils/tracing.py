@@ -9,8 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import os
-from pathlib import Path
-from typing import Iterator, Optional
+from typing import Iterator
 
 __all__ = ["trace_to", "annotate"]
 
