@@ -243,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="isotropic target voxel (um) for npz export")
     p.add_argument("--convert-to-8bit", action="store_true")
     p.add_argument("--bit-shift", type=int, default=8)
+    p.add_argument("--imaris", action="store_true",
+                   help="export each stitched channel to .ims")
+    p.add_argument("--terafly", action="store_true",
+                   help="export each stitched channel to a TeraFly pyramid")
+    p.add_argument("--rgb-composite", action="store_true",
+                   help="align channels and write RGB composites")
     p.add_argument("--resume", action="store_true")
     return p
 
@@ -283,7 +289,7 @@ def main(argv=None) -> int:
         if not args.no_preprocess:
             cfg = ProcessConfig(sigma=(args.sigma1, args.sigma2),
                                 wavelet=args.wavelet, dark=args.dark)
-        process_channel(
+        out_dir = process_channel(
             ch_path, preproc_root / ch, stitched_root / ch,
             (vx, vy, vz), tile_size, cfg,
             search_radius=args.search_radius, subvol_dim=args.subvol_dim,
@@ -292,6 +298,39 @@ def main(argv=None) -> int:
             target_voxel_um=args.downsampled_voxel,
             convert_to_8bit=args.convert_to_8bit, bit_shift=args.bit_shift,
             resume=args.resume, log=log)
+        # exports (reference: TeraFly via paraconverter, Imaris via wine
+        # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)
+        color = dict(ALL_CHANNELS).get(ch, "g")
+        if args.terafly:
+            from ..io.terafly import tif_series_to_terafly
+
+            log.info(f"TeraFly export for {ch} ...")
+            tif_series_to_terafly(out_dir, stitched_root / f"{ch}_terafly",
+                                  voxel_um=(vz, vy, vx))
+        if args.imaris:
+            from ..io.ims import tif_series_to_imaris
+
+            log.info(f"Imaris export for {ch} ...")
+            tif_series_to_imaris(
+                out_dir, stitched_root / f"{ch}.ims", voxel_um=(vz, vy, vx),
+                channel_color={"r": "Red", "g": "Green", "b": "Blue"}[color])
+    if args.rgb_composite and len(channels) >= 2:
+        # channel alignment + composite (reference align_main +
+        # merge_all_channels, process_images.py:860-1000,1393-1419)
+        from .merge_channels import main as merge_main
+
+        color_of = dict(ALL_CHANNELS)
+        argv2 = ["--output", str(stitched_root / "composite")]
+        used = set()
+        for ch in channels:
+            c = color_of.get(ch, "g")
+            flag = {"r": "--red", "g": "--green", "b": "--blue"}[c]
+            if flag in used:
+                log.warn(f"skipping {ch}: color {c} already assigned")
+                continue
+            used.add(flag)
+            argv2 += [flag, str(stitched_root / ch)]
+        merge_main(argv2)
     log.info("all channels complete")
     return 0
 

@@ -122,3 +122,33 @@ def test_composite_writer(tmp_path, rng):
     img = tio.imread(outs[0])
     assert img.shape == (32, 32, 3)
     assert img[0, 0, 0] == 100 and img[0, 0, 1] == 50 and img[0, 0, 2] == 0
+
+
+def test_process_images_multichannel_exports(tmp_path, rng):
+    """Two channels -> stitched + .ims + TeraFly + RGB composite."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (4, 160, 160), smooth=6.0)
+    for ch in ("Ex_488_Em_525", "Ex_561_Em_600"):
+        tiles, _ = cut_tiles(vol, 2, 2, (100, 100), 48, jitter=2, rng=rng)
+        ch_dir = tmp_path / "raw" / ch
+        ch_dir.mkdir(parents=True)
+        write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
+                        voxel_um=(0.41, 0.41, 0.1))
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess",
+        "--search-radius", "6", "--subvol-dim", "4",
+        "--imaris", "--terafly", "--rgb-composite",
+    ])
+    assert rc == 0
+    assert (tmp_path / "stitched" / "Ex_488_Em_525.ims").exists()
+    assert any((tmp_path / "stitched" / "Ex_488_Em_525_terafly").iterdir())
+    comps = sorted((tmp_path / "stitched" / "composite").glob("*.tif"))
+    assert len(comps) == 4
+    img = tio.imread(comps[0])
+    assert img.ndim == 3 and img.shape[2] == 3
+    # blue (488) and green (561) populated, red empty
+    assert img[..., 2].max() > 0 and img[..., 1].max() > 0
+    assert img[..., 0].max() == 0
