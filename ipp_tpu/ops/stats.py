@@ -94,3 +94,42 @@ def threshold_multiotsu(image: np.ndarray, classes: int = 3,
         j = i
     splits = sorted(splits)
     return np.array([centers[s - 1] for s in splits], dtype=np.float64)
+
+
+def estimate_bit_shift(log_img: np.ndarray, threshold: float,
+                       percentile: float = 99.9) -> int:
+    """Smallest right bit-shift whose 8-bit range covers the image's bright
+    percentile (reference estimate_bit_shift, process_images.py:320-332;
+    input is a log1p image, threshold usually the upper multi-Otsu clip)."""
+    vals = log_img[log_img > threshold]
+    if vals.size:
+        upper = float(np.percentile(vals, percentile))
+    else:
+        upper = float(np.max(log_img))
+    upper = int(round(np.expm1(upper)))
+    for b in range(0, 9):
+        if 256 * 2 ** b >= upper:
+            return b
+    return 8
+
+
+def estimate_image_params(sample_planes, classes: int = 4,
+                          percentile: float = 99.99):
+    """Auto-estimate (dark, bit_shift, clip_min, clip_med, clip_max) from
+    sample z planes (reference estimate_img_related_params,
+    process_images.py:594-655: multi-Otsu on log1p of the 25/50/75% planes,
+    max bit shift across them, dark = expm1(clip_min))."""
+    bit_shifts = []
+    clips = None
+    for plane in sample_planes:
+        x = np.log1p(np.asarray(plane, dtype=np.float32))
+        if np.all(x == x.flat[0]):
+            continue
+        lb, mb, ub = threshold_multiotsu(x, classes=classes)
+        bit_shifts.append(estimate_bit_shift(x, threshold=ub,
+                                             percentile=percentile))
+        clips = (float(lb), float(mb), float(ub))
+    if not bit_shifts or clips is None:
+        return 0, 8, None, None, None
+    dark = int(round(np.expm1(clips[0])))
+    return dark, max(bit_shifts), clips[0], clips[1], clips[2]

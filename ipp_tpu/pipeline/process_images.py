@@ -133,7 +133,9 @@ def process_channel(
     cosine_blending: bool = True,
     target_voxel_um: Optional[float] = None,
     convert_to_8bit: bool = False,
-    bit_shift: int = 8,
+    bit_shift: Optional[int] = 8,
+    dark: float = 0.0,
+    auto_params: bool = False,
     resume: bool = False,
     log: Optional[Logger] = None,
 ) -> Path:
@@ -186,16 +188,45 @@ def process_channel(
     grid.to_xml(xml_path)
     log.info(f"placement written to {xml_path}")
 
+    if auto_params:
+        # sample the 25/50/75% merged planes to estimate dark + bit shift
+        # (reference estimate_img_related_params, process_images.py:594-655)
+        timer.start("estimate params")
+        from ..ops.stats import estimate_image_params
+        from ..stitch.blend import PlaneBlender
+        from ..geometry.extent import VExtent
+
+        stacks_fl = grid.flattened()
+        blender = PlaneBlender([s.extent for s in stacks_fl],
+                               cosine=cosine_blending)
+        bbox = grid.volume
+        depth = bbox.z1 - bbox.z0
+        samples = []
+        for frac in (0.25, 0.5, 0.75):
+            z = bbox.z0 + min(depth - 1, int(depth * frac))
+            ext = VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1, z, z + 1)
+            samples.append(blender.blend_plane(
+                ext, lambda i, e: stacks_fl[i].imread(e), dtype=np.uint16))
+        est_dark, est_shift, cmin, cmed, cmax = estimate_image_params(samples)
+        log.info(f"auto params: dark={est_dark}, bit_shift={est_shift}, "
+                 f"clips=({cmin}, {cmed}, {cmax})")
+        dark = dark or float(est_dark)
+        bit_shift = est_shift if bit_shift is None else bit_shift
+
     timer.start("merge (step 6)")
     post_fn = None
-    if convert_to_8bit:
-        from ..ops.intensity import convert_to_8bit as to8
+    if convert_to_8bit or dark > 0:
+        from ..ops.intensity import convert_to_8bit as to8, subtract_dark
 
         import jax.numpy as jnp
 
         def post_fn(plane):
-            return np.asarray(to8(jnp.asarray(np.clip(plane, 0, 65535)
-                                              .astype(np.uint16)), bit_shift))
+            x = jnp.asarray(np.clip(plane, 0, 65535).astype(np.uint16))
+            if dark > 0:
+                x = subtract_dark(x, dark)
+            if convert_to_8bit:
+                x = to8(x, bit_shift if bit_shift is not None else 8)
+            return np.asarray(x)
 
     out_dir, ds_vol = merge_to_tif_series(
         grid, stitched_path, cosine_blending=cosine_blending,
@@ -242,7 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downsampled-voxel", type=float, default=None,
                    help="isotropic target voxel (um) for npz export")
     p.add_argument("--convert-to-8bit", action="store_true")
-    p.add_argument("--bit-shift", type=int, default=8)
+    p.add_argument("--bit-shift", type=int, default=None,
+                   help="right bit shift for 8-bit conversion; default: "
+                        "auto when --auto-params, else 8")
+    p.add_argument("--auto-params", action="store_true",
+                   help="estimate dark level and bit shift from sample "
+                        "planes (multi-Otsu)")
     p.add_argument("--imaris", action="store_true",
                    help="export each stitched channel to .ims")
     p.add_argument("--terafly", action="store_true",
@@ -297,6 +333,8 @@ def main(argv=None) -> int:
             cosine_blending=not args.no_cosine_blending,
             target_voxel_um=args.downsampled_voxel,
             convert_to_8bit=args.convert_to_8bit, bit_shift=args.bit_shift,
+            dark=args.dark if args.no_preprocess else 0.0,
+            auto_params=args.auto_params,
             resume=args.resume, log=log)
         # exports (reference: TeraFly via paraconverter, Imaris via wine
         # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)

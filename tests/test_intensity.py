@@ -114,3 +114,16 @@ def test_hist_match(rng):
     flat_out = out.ravel()
     idx = np.argsort(flat_in)
     assert (np.diff(flat_out[idx]) >= -1e-3).all()
+
+
+def test_estimate_image_params(rng):
+    base = rng.normal(80, 10, (128, 128))
+    fg = rng.normal(8000, 500, (128, 128))
+    mask = rng.random((128, 128)) < 0.1
+    img = np.clip(np.where(mask, fg, base), 0, 65535).astype(np.uint16)
+    dark, shift, cmin, cmed, cmax = stats.estimate_image_params([img, img, img])
+    assert 0 <= shift <= 8
+    # bright foreground ~8000-9500 -> needs shift 5-6 (256*2^5=8192)
+    assert shift in (5, 6)
+    assert 0 < dark < 8000
+    assert cmin < cmed < cmax
