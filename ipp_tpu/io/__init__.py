@@ -1,0 +1,3 @@
+"""Codecs and dataset IO."""
+
+from . import dcimg, ims, nrrd, raw, terafly, tiff  # noqa: F401

@@ -105,14 +105,38 @@ def merge_to_tif_series(
     reduced_chunks: List[np.ndarray] = []
     chunk_len = 1 << n_z_halvings
 
+    # prefetch the next plane's tile crops on reader threads while the
+    # device blends the current plane (the reference overlaps via process
+    # pools; here one plane of read-ahead suffices to hide IO)
+    from concurrent.futures import ThreadPoolExecutor
+
+    read_pool = ThreadPoolExecutor(max_workers=io_threads)
+
+    def plane_ext_of(zi: int) -> VExtent:
+        z = bbox.z0 + zi
+        return VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1, z, z + 1)
+
+    def prefetch(zi: int):
+        ext = plane_ext_of(zi)
+        futs = {}
+        for i, inter, _w in blender.weights_for(ext):
+            futs[(i, inter)] = read_pool.submit(stacks[i].imread, inter)
+        return futs
+
+    next_futs = prefetch(0) if depth else {}
     for zi in range(depth):
         z = bbox.z0 + zi
         path = out_dir / f"{tif_prefix}_{zi:06d}.tif"
-        plane_ext = VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1, z, z + 1)
+        plane_ext = plane_ext_of(zi)
+        futs = next_futs
+        next_futs = prefetch(zi + 1) if zi + 1 < depth else {}
         if resume and path.exists() and target_voxel_um is None:
             continue
         merged = blender.blend_plane(
-            plane_ext, lambda i, e: stacks[i].imread(e), dtype=np.float32)
+            plane_ext,
+            lambda i, e: (futs[(i, e)].result() if (i, e) in futs
+                          else stacks[i].imread(e)),
+            dtype=np.float32)
         if post_fn is not None:
             merged_out = post_fn(merged)
         else:
@@ -147,6 +171,7 @@ def merge_to_tif_series(
         write_q.put(None)
     for w in writers:
         w.join()
+    read_pool.shutdown(wait=False)
     if errors:
         raise errors[0]
 
