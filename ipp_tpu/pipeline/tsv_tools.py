@@ -194,3 +194,39 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def crop_series(input_dir, output_dir, y0: int, y1: int, x0: int, x1: int,
+                z0: int = 0, z1: int = None) -> int:
+    """Crop a TIFF series to a sub-box (reference supplements/croping.py)."""
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    paths = sorted(p for p in input_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    paths = paths[z0:z1]
+    for i, p in enumerate(paths):
+        img = tio.imread(p)
+        tio.imwrite(output_dir / f"img_{i:06d}.tif", img[y0:y1, x0:x1])
+    return len(paths)
+
+
+def resize3d_series(input_dir, output_dir,
+                    target_shape_zyx: Tuple[int, int, int]) -> Path:
+    """Resize a whole TIFF series volume to a target 3D shape
+    (reference supplements/resize3D.py)."""
+    from ..ops.resample import resize
+
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    paths = sorted(p for p in input_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    vol = np.stack([tio.imread(p) for p in paths])
+    dtype = vol.dtype
+    out = np.asarray(resize(vol.astype(np.float32), target_shape_zyx))
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        out = np.clip(np.rint(out), info.min, info.max)
+    out = out.astype(dtype)
+    for z in range(out.shape[0]):
+        tio.imwrite(output_dir / f"img_{z:06d}.tif", out[z])
+    return output_dir

@@ -152,3 +152,14 @@ def compute_displacements(
             # store on the B side, mirrored (B's NORTH/WEST points to A)
             out.setdefault(key, []).append(_mirror(disp))
     return out
+
+
+def merge_displacement_candidates(dicts):
+    """Merge partial candidate dicts from separately-computed z ranges or
+    workers into one (the `mergedisplacements` binary's role for MPI step-2
+    partial XMLs, reference utils/mergedisplacements)."""
+    out: Dict[Tuple[int, int, str], List[Displacement]] = {}
+    for d in dicts:
+        for key, cands in d.items():
+            out.setdefault(key, []).extend(cands)
+    return out
