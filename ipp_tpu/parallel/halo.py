@@ -50,7 +50,10 @@ def sharded_map_blocks_z(fn, mesh: Mesh, halo: int, axis_name: str = "z"):
     wrapper returns the cropped (local_z, H, W) pieces reassembled as a
     global (Z, H, W) array sharded over `axis_name`.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.7 name
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     def local_fn(block):
         ext = exchange_halos_z(block, halo, axis_name)

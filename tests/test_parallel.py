@@ -70,7 +70,7 @@ def test_data_sharding_destripe(mesh8, rng):
         sharded = jax.device_put(tiles, data_sharding(mesh8, 3))
         ref = np.asarray(filter_streaks(tiles, sigma=(8, 8), wavelet="db3"))
         # shard_map per-device local programs
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         f = shard_map(lambda t: filter_streaks(t, sigma=(8, 8), wavelet="db3"),
                       mesh=mesh8, in_specs=P(("data", "z"), None, None),
