@@ -246,6 +246,11 @@ def filter_streaks(
         raise ValueError(
             "bleach correction clips must be resolved host-side first "
             "(use ipp_tpu.ops.stats.threshold_multiotsu on log1p(img))")
+    if use_thresholding and threshold is None:
+        raise ValueError(
+            "use_thresholding requires an explicit threshold; resolve it "
+            "host-side (ipp_tpu.ops.stats.threshold_otsu) — the reference "
+            "computes Otsu inline (pystripe/core.py:948-950)")
     out_dtype = img.dtype
     zero = jnp.float32(0)
     return _filter_streaks_impl(

@@ -176,11 +176,10 @@ def _sym_scaling(p: int) -> np.ndarray:
 def scaling_filter(name: str) -> np.ndarray:
     """Return the orthogonal scaling (lowpass synthesis) filter for `name`.
 
-    Supported: haar, dbN (1..34), symN (2..20), coifN (1..5).  Higher-order
-    coiflets (the reference's process_img default is 'coif15',
-    pystripe/core.py:1202) are mapped to the nearest supported symlet, which
-    is also near-symmetric; destriping runs on padded tiles so the practical
-    difference is below test tolerance.
+    Supported: haar, dbN (1..34), symN (2..20), coifN (1..17 — 1..5 from
+    the published tables, 6..17 derived numerically in ops/coif_data.py; the
+    reference's process_img default 'coif15' is exact).  coifN>17 maps to
+    the nearest symlet.
     """
     name = name.lower().strip()
     if name == "haar":
@@ -200,7 +199,12 @@ def scaling_filter(name: str) -> np.ndarray:
         if p in _COIF_TABLE:
             h = np.array(_COIF_TABLE[p], dtype=np.float64)
             return h * np.sqrt(2.0) / h.sum()
-        # nearest-symlet fallback for large coiflets (documented deviation)
+        from .coif_data import COIF_HIGH
+
+        if p in COIF_HIGH:
+            h = np.array(COIF_HIGH[p], dtype=np.float64)
+            return h * np.sqrt(2.0) / h.sum()
+        # nearest-symlet fallback beyond the derived orders
         return _sym_scaling(min(max(2 * p, 2), 20))
     raise ValueError(f"unsupported wavelet {name!r}")
 

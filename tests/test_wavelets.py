@@ -110,3 +110,38 @@ def test_pallas_dwt_matches_conv_path(rng):
                                    atol=2e-5)
         np.testing.assert_allclose(np.asarray(cd), np.asarray(cd_ref),
                                    atol=2e-5)
+
+
+def test_high_order_coiflets_properties():
+    """Derived coif6+ filters: orthonormality, sum sqrt(2), and the coiflet
+    vanishing moments (wavelet AND scaling function)."""
+    from ipp_tpu.ops.coif_data import COIF_HIGH
+
+    assert 15 in COIF_HIGH or 6 in COIF_HIGH
+    for K in sorted(COIF_HIGH):
+        h = wv.scaling_filter(f"coif{K}")
+        L = len(h)
+        assert L == 6 * K
+        assert np.isclose(h.sum(), np.sqrt(2), atol=1e-8)
+        assert np.isclose(np.dot(h, h), 1.0, atol=1e-8)
+        for m in range(1, L // 2):
+            assert abs(np.dot(h[:L - 2 * m], h[2 * m:])) < 1e-7, (K, m)
+        n = np.arange(L, dtype=np.float64)
+        sgn = (-1.0) ** n
+        for m in range(0, 2 * K):
+            wm = np.dot(sgn * n ** m, h[::-1]) / max(1.0, float(L) ** m)
+            assert abs(wm) < 1e-8, (K, "wavelet moment", m)
+        shift = 4 * K - 1
+        for m in range(1, 2 * K):
+            sm = np.dot((n - shift) ** m, h) / max(1.0, float(L) ** m)
+            assert abs(sm) < 1e-8, (K, "scaling moment", m)
+
+
+def test_coif15_roundtrip(rng):
+    from ipp_tpu.ops.coif_data import COIF_HIGH
+
+    K = 15 if 15 in COIF_HIGH else max(COIF_HIGH)
+    img = rng.standard_normal((2, 128, 128)).astype(np.float32)
+    coeffs = wv.wavedec2(img, f"coif{K}", 1)
+    rec = wv.waverec2(coeffs, f"coif{K}")
+    np.testing.assert_allclose(np.asarray(rec), img, atol=5e-4)
