@@ -152,6 +152,9 @@ class PlaneBlender:
             if w is None:
                 w3 = cosine_blend_weight(inter, ext, others)
                 w = w3[0] if w3.shape[0] == 1 else w3
+                # cache as a device array: weight maps are reused for every
+                # z plane, so the host->HBM upload happens once per layout
+                w = jnp.asarray(w, jnp.float32)
                 self._weight_cache[key] = w
             out.append((i, inter, w))
         return out
@@ -174,8 +177,9 @@ class PlaneBlender:
             img = reader(i, inter)
             img2 = img[0] if img.ndim == 3 else img
             parts.append(jnp.asarray(img2))
-            ww = w if self.cosine else np.ones_like(img2, np.float32)
-            weights.append(jnp.asarray(ww, jnp.float32))
+            ww = (w if self.cosine
+                  else jnp.ones(img2.shape, jnp.float32))
+            weights.append(ww)
             offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
         out = _blend_accumulate(tuple(parts), tuple(weights), tuple(offsets),
                                 canvas_shape, self.cosine)
