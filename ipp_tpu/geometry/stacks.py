@@ -285,6 +285,14 @@ class TileGrid:
 
     # -- XML interop --------------------------------------------------------
 
+    def _mirror_displ(self, d: "Displacement") -> "Displacement":
+        return Displacement(
+            displ=tuple(-c for c in d.displ),
+            default_displ=tuple(-c for c in d.default_displ),
+            reliability=d.reliability, ncc_peak=d.ncc_peak,
+            ncc_width=d.ncc_width, ncc_w_range_thr=d.ncc_w_range_thr,
+            ncc_inv_width=d.ncc_inv_width, delay=d.delay)
+
     def to_xml(self, path: Optional[Path] = None) -> ET.ElementTree:
         root = ET.Element("TeraStitcher", volume_format=self.volume_format,
                           input_plugin=self.input_plugin)
@@ -301,10 +309,24 @@ class TileGrid:
         ET.SubElement(root, "dimensions", stack_rows=str(self.n_rows),
                       stack_columns=str(self.n_cols), stack_slices=str(depth))
         stacks_el = ET.SubElement(root, "STACKS")
-        for row in self.stacks:
-            for s in row:
-                if s is not None:
-                    stacks_el.append(s.to_xml())
+        for r, row in enumerate(self.stacks):
+            for c, s in enumerate(row):
+                if s is None:
+                    continue
+                el = s.to_xml()
+                # populate SOUTH/EAST as mirrors of the neighbors' NORTH/WEST
+                # so the XML drives TeraStitcher's own steps 4-5, which
+                # require one displacement per adjacent pair on both sides
+                # (StackStitcher.cpp:1640-1690)
+                if r + 1 < self.n_rows and self.stacks[r + 1][c] is not None \
+                        and self.stacks[r + 1][c].north is not None:
+                    el.find("SOUTH_displacements").append(
+                        self._mirror_displ(self.stacks[r + 1][c].north).to_xml())
+                if c + 1 < self.n_cols and self.stacks[r][c + 1] is not None \
+                        and self.stacks[r][c + 1].west is not None:
+                    el.find("EAST_displacements").append(
+                        self._mirror_displ(self.stacks[r][c + 1].west).to_xml())
+                stacks_el.append(el)
         tree = ET.ElementTree(root)
         if path is not None:
             ET.indent(tree)

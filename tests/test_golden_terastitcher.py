@@ -88,3 +88,48 @@ def test_displacements_match_reference_binary(tmp_path, rng):
                 assert abs(mine.ncc_peak[i] - ref_peak) < 2e-3, (r, c, side, ax)
                 n_checked += 1
     assert n_checked >= 36  # 12 links x 3 axes
+
+
+def test_our_xml_drives_reference_steps_4_5(tmp_path, rng):
+    """Reverse interop: an XML written by our step 2-3 pipeline must be
+    consumable by the reference binary's steps 4 (threshold) and 5 (place),
+    and its placement must match ours."""
+    vol = make_phantom(rng, (12, 300, 300), smooth=8.0)
+    tiles, offsets = cut_tiles(vol, 2, 2, (128, 128), 48, jitter=4, rng=rng)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    grid = write_tile_grid(raw, tiles, overlap_nominal_px=48)
+
+    from ipp_tpu.stitch.align import compute_displacements
+    from ipp_tpu.stitch.place import (place_tiles_mst, project_displacements,
+                                      threshold_displacements)
+
+    cands = compute_displacements(grid, 48, 48, displ_max_v=8, displ_max_h=8,
+                                  displ_max_d=3, subvol_dim=12)
+    project_displacements(grid, cands, 48, 48)
+    ours_xml = tmp_path / "ours.xml"
+    grid.to_xml(ours_xml)
+
+    thr = tmp_path / "thr.xml"
+    placed = tmp_path / "placed.xml"
+    subprocess.run([str(TS_BIN), "-4", f"--projin={ours_xml}",
+                    f"--projout={thr}", "--threshold=0.6", "--noprogressbar"],
+                   check=True, capture_output=True, timeout=300)
+    subprocess.run([str(TS_BIN), "-5", f"--projin={thr}",
+                    f"--projout={placed}", "--noprogressbar"],
+                   check=True, capture_output=True, timeout=300)
+
+    # our own steps 4-5 on the same displacements
+    threshold_displacements(grid, 0.6)
+    place_tiles_mst(grid)
+    root = ET.parse(placed).getroot()
+    ref_pos = {}
+    for st in root.iter("Stack"):
+        ref_pos[(int(st.get("ROW")), int(st.get("COL")))] = (
+            int(st.get("ABS_V")), int(st.get("ABS_H")), int(st.get("ABS_D")))
+    deltas = set()
+    for (r, c), (v, h, d) in ref_pos.items():
+        s = grid.stacks[r][c]
+        deltas.add((v - s.abs_v, h - s.abs_h, d - s.abs_d))
+    # identical up to one global shift
+    assert len(deltas) == 1, deltas

@@ -129,3 +129,33 @@ def test_sharded_rl_matches_blockwise(rng):
     # taper; production slabs are hundreds of planes.)
     np.testing.assert_allclose(out_sh, ref, rtol=1e-4, atol=1e-2)
     assert np.isfinite(out_sh).all() and out_sh.max() > 0
+
+
+def test_run_tile_pipeline_resume_and_corrupt(tmp_path, rng):
+    """Executor: batching, resume skip, corrupt-file zero substitution."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.executor import TileTask, run_tile_pipeline
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    tasks = []
+    for i in range(6):
+        p = in_dir / f"t{i}.tif"
+        tio.imwrite(p, np.full((16, 16), i + 1, np.uint16))
+        tasks.append(TileTask(p, out_dir / f"t{i}.tif"))
+    # corrupt one input
+    (in_dir / "t3.tif").write_bytes(b"not a tiff at all")
+
+    counters = run_tile_pipeline(tasks, lambda b: b * 2, batch_size=4,
+                                 reader_threads=2, writer_threads=2)
+    assert counters["done"] == 6
+    assert counters["failed"] == 1  # the corrupt one, zero-substituted
+    out3 = tio.imread(out_dir / "t3.tif")
+    assert (out3 == 0).all()
+    out2 = tio.imread(out_dir / "t2.tif")
+    assert (out2 == 6).all()
+
+    # resume: everything skipped
+    counters2 = run_tile_pipeline(tasks, lambda b: b * 2, resume=True)
+    assert counters2["skipped"] == 6 and counters2["done"] == 0
