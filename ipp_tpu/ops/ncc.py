@@ -47,6 +47,7 @@ __all__ = [
     "peak_and_widths",
     "fuse_axis",
     "align_pair",
+    "align_pairs_batched",
 ]
 
 # reference defaults (PDAlgoMIPNCC.cpp:80-94, S_config.h)
@@ -313,6 +314,93 @@ def fuse_axis(d1: int, peak1: float, width1: int, d2: int, peak2: float,
     if ok2:
         return d2, peak2, width2
     return params.inv_coord, params.unr_ncc, inf_w
+
+
+def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
+                        overlap: int, delay_v: int, delay_h: int,
+                        delay_d: int, params: Optional[NCCParams] = None):
+    """Align a BATCH of same-shape pairs in three device calls total.
+
+    vols_a/vols_b: (P, D, V, H).  The three NCC map kinds are each computed
+    for every pair in one `ncc_maps_batched` call (the per-pair host loop
+    only does the tiny peak/width/fusion math) — this amortizes dispatch
+    and, on the tunneled TPU, round-trip latency across all pairs of a
+    z-chunk (the MPI-rank-per-pair structure of Parastitcher collapses into
+    batched executables).
+
+    Returns a list of NCCResult, one per pair.
+    """
+    params = params or NCCParams()
+    assert vols_a.shape == vols_b.shape and vols_a.ndim == 4
+    P, dimk, dimi, dimj = vols_a.shape
+    nk = ni = nj = 0
+    if side == "ns":
+        ni = dimi - overlap
+        a = vols_a[:, :, ni:, :]
+        b = vols_b[:, :, : dimi - ni, :]
+    elif side == "we":
+        nj = dimj - overlap
+        a = vols_a[:, :, :, nj:]
+        b = vols_b[:, :, :, : dimj - nj]
+    elif side == "tb":
+        nk = dimk - overlap
+        a = vols_a[:, nk:, :, :]
+        b = vols_b[:, : dimk - nk, :, :]
+    else:
+        raise ValueError("side must be 'ns', 'we' or 'tb'")
+    dimk_v, dimi_v, dimj_v = a.shape[1], a.shape[2], a.shape[3]
+    delay_v = min(delay_v, max(0, dimi_v - params.min_dim_ncc_src))
+    delay_h = min(delay_h, max(0, dimj_v - params.min_dim_ncc_src))
+    delay_d = min(delay_d, max(0, dimk_v - params.min_dim_ncc_src))
+    wr_v = params.w_range(delay_v)
+    wr_h = params.w_range(delay_h)
+    wr_d = params.w_range(delay_d)
+    inf_w = max(wr_v, wr_h, wr_d) + 1
+
+    mips_a = compute_mips(jnp.asarray(a, jnp.float32))
+    mips_b = compute_mips(jnp.asarray(b, jnp.float32))
+    ncc_xy = np.asarray(ncc_maps_batched(
+        mips_a[0], mips_b[0], delay_v + wr_v, delay_h + wr_h), np.float64)
+    ncc_xz = np.asarray(ncc_maps_batched(
+        mips_a[1], mips_b[1], delay_v + wr_v, delay_d + wr_d), np.float64)
+    ncc_yz = np.asarray(ncc_maps_batched(
+        mips_a[2], mips_b[2], delay_h + wr_h, delay_d + wr_d), np.float64)
+
+    failed_xy = delay_v == 0 and delay_h == 0
+    failed_xz = delay_v == 0 and delay_d == 0
+    failed_yz = delay_h == 0 and delay_d == 0
+    results = []
+    for p_i in range(P):
+        if failed_xy:
+            dv1 = dh1 = 0
+            pk_xy, wv1, wh1 = params.unr_ncc, inf_w, inf_w
+        else:
+            dv1, dh1, pk_xy, wv1, wh1 = peak_and_widths(
+                ncc_xy[p_i], delay_v, delay_h, wr_v, wr_h, params)
+        if failed_xz:
+            dv2 = dd1 = 0
+            pk_xz, wv2, wd1 = params.unr_ncc, inf_w, inf_w
+        else:
+            dv2, dd1, pk_xz, wv2, wd1 = peak_and_widths(
+                ncc_xz[p_i], delay_v, delay_d, wr_v, wr_d, params)
+        if failed_yz:
+            dh2 = dd2 = 0
+            pk_yz, wh2, wd2 = params.unr_ncc, inf_w, inf_w
+        else:
+            dh2, dd2, pk_yz, wh2, wd2 = peak_and_widths(
+                ncc_yz[p_i], delay_h, delay_d, wr_h, wr_d, params)
+        cv, pv, wv = fuse_axis(dv1, pk_xy, wv1, dv2, pk_xz, wv2, params, inf_w)
+        ch, ph, wh = fuse_axis(dh1, pk_xy, wh1, dh2, pk_yz, wh2, params, inf_w)
+        cd, pd, wd = fuse_axis(dd1, pk_xz, wd1, dd2, pk_yz, wd2, params, inf_w)
+        if side == "ns":
+            cv += ni
+        elif side == "we":
+            ch += nj
+        else:
+            cd += nk
+        results.append(NCCResult(coord=(cv, ch, cd), ncc_peak=(pv, ph, pd),
+                                 ncc_width=(wv, wh, wd)))
+    return results
 
 
 def align_pair(vol_a: np.ndarray, vol_b: np.ndarray, side: str,

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..geometry.stacks import Displacement, TileGrid, TileStack
-from ..ops.ncc import NCCParams, NCCResult, align_pair
+from ..ops.ncc import NCCParams, NCCResult, align_pairs_batched
 
 __all__ = ["compute_displacements", "PairResult"]
 
@@ -134,23 +134,33 @@ def compute_displacements(
                         futs[id(s)] = pool.submit(_read_substack, s, zs, ze)
             for sid, f in futs.items():
                 substacks[sid] = f.result()
-        for a, b, side, (rb, cb) in pairs:
-            overlap = overlap_v if side == "ns" else overlap_h
-            res = align_pair(substacks[id(a)], substacks[id(b)], side,
-                             overlap, displ_max_v, displ_max_h, displ_max_d,
-                             params)
-            # defaults = nominal stage displacement
-            # (reference insertDisplacement, vmVirtualVolume.cpp:280-316)
-            th, tw = a.plane_shape
-            if side == "ns":
-                default = (th - overlap_v, 0, 0)
-                key = (rb, cb, "north")
-            else:
-                default = (0, tw - overlap_h, 0)
-                key = (rb, cb, "west")
-            disp = _to_displacement(res, delays, default, params)
-            # store on the B side, mirrored (B's NORTH/WEST points to A)
-            out.setdefault(key, []).append(_mirror(disp))
+        # batch all same-side pairs of this z chunk into three device calls
+        # (collapses Parastitcher's rank-per-pair structure into batched
+        # executables; dispatch/tunnel latency amortizes across pairs)
+        for side_sel in ("ns", "we"):
+            group = [(a, b, rb, cb) for a, b, side, (rb, cb) in pairs
+                     if side == side_sel]
+            if not group:
+                continue
+            overlap = overlap_v if side_sel == "ns" else overlap_h
+            vols_a = np.stack([substacks[id(a)] for a, _, _, _ in group])
+            vols_b = np.stack([substacks[id(b)] for _, b, _, _ in group])
+            results = align_pairs_batched(
+                vols_a, vols_b, side_sel, overlap, displ_max_v, displ_max_h,
+                displ_max_d, params)
+            for (a, b, rb, cb), res in zip(group, results):
+                # defaults = nominal stage displacement
+                # (reference insertDisplacement, vmVirtualVolume.cpp:280-316)
+                th, tw = a.plane_shape
+                if side_sel == "ns":
+                    default = (th - overlap_v, 0, 0)
+                    key = (rb, cb, "north")
+                else:
+                    default = (0, tw - overlap_h, 0)
+                    key = (rb, cb, "west")
+                disp = _to_displacement(res, delays, default, params)
+                # store on the B side, mirrored (B's NORTH/WEST points to A)
+                out.setdefault(key, []).append(_mirror(disp))
     return out
 
 
