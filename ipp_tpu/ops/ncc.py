@@ -357,8 +357,19 @@ def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
     wr_d = params.w_range(delay_d)
     inf_w = max(wr_v, wr_h, wr_d) + 1
 
-    mips_a = compute_mips(jnp.asarray(a, jnp.float32))
-    mips_b = compute_mips(jnp.asarray(b, jnp.float32))
+    # MIPs on the host: uploading 3 projections per pair moves ~250x less
+    # data than uploading the raw overlap volumes (the NCC math is the
+    # device-worthy part; a max-reduce is memory-bound either way and the
+    # volumes are already in host RAM from the tile reads)
+    def host_mips(v):
+        return (np.max(v, axis=1),
+                np.swapaxes(np.max(v, axis=3), 1, 2),
+                np.swapaxes(np.max(v, axis=2), 1, 2))
+
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    mips_a = host_mips(a)
+    mips_b = host_mips(b)
     ncc_xy = np.asarray(ncc_maps_batched(
         mips_a[0], mips_b[0], delay_v + wr_v, delay_h + wr_h), np.float64)
     ncc_xz = np.asarray(ncc_maps_batched(
