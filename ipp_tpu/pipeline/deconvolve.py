@@ -115,11 +115,13 @@ class TiffDirVolume:
         (z0, z1), (y0, y1), (x0, x1) = bounds
         from .. import native
 
+        # keep the native dtype: uploading u16 halves H2D traffic; the
+        # device converts to f32
         block = native.read_block(self.paths[z0:z1], y0, y1, x0, x1,
                                   dtype=self.dtype)
         if block is not None:
-            return block.astype(np.float32)
-        out = np.empty((z1 - z0, y1 - y0, x1 - x0), np.float32)
+            return block
+        out = np.empty((z1 - z0, y1 - y0, x1 - x0), self.dtype)
         for i, z in enumerate(range(z0, z1)):
             plane = self._cache.get(z)
             if plane is None:
@@ -180,7 +182,7 @@ def deconvolve_volume(
             continue
         bounds = plan.padded_bounds(vol.shape)
         block = vol.read_block(bounds)
-        x = jnp.asarray(block)
+        x = jnp.asarray(block).astype(jnp.float32)
         if gaussian_sigma is not None:
             x = gauss3d(x, gaussian_sigma)
         if dark > 0:
