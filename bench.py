@@ -51,7 +51,7 @@ def main() -> None:
     run()
     compile_s = time.time() - t0
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         run()
         times.append(time.time() - t0)

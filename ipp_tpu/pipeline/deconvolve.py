@@ -241,6 +241,25 @@ def deconvolve_volume(
         for i, z in enumerate(range(z0, z1)):
             tio.imwrite(output_dir / f"img_{z:06d}.tif",
                         slab[i].astype(out_dtype))
+    # run manifest (the decwrap.py JSON log role)
+    import time as _time
+
+    manifest_path.write_text(json.dumps({
+        "stats": stats, "n_blocks": len(plans), "vol_shape": vol.shape,
+        "params": {
+            "niter": niter, "lambda": lam, "stop_criterion": stop_criterion,
+            "regularize_interval": regularize_interval,
+            "gaussian_sigma": gaussian_sigma, "dark": dark,
+            "destripe_sigma": destripe_sigma,
+            "out_dtype": str(np.dtype(out_dtype)),
+            "amplification": amplification,
+            "clip_percentile": clip_percentile,
+            "classic_rl": classic_rl,
+            "psf_shape": list(psf.shape), "halo": list(halo),
+        },
+        "clip_high": hi, "scale": scale,
+        "finished": _time.strftime("%Y-%m-%d %H:%M:%S"),
+    }, indent=1))
     log.info(f"deconvolved series written to {output_dir}")
     return output_dir
 
