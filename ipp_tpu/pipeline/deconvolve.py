@@ -174,14 +174,26 @@ def deconvolve_volume(
     prog = ProgressReporter(len(plans), desc="decon blocks")
     psf_j = jnp.asarray(psf, jnp.float32)
 
-    # group blocks of identical padded shape for batched RL
-    for plan in plans:
+    # one-block read-ahead: the threaded block read of plan i+1 overlaps the
+    # device RL of plan i (the reference overlaps via its parfor workers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    read_pool = ThreadPoolExecutor(max_workers=1)
+    todo = [p_ for p_ in plans
+            if not (resume and (brick_dir / f"block_{p_.index:05d}.npy").exists())]
+    n_skipped = len(plans) - len(todo)
+    for _ in range(n_skipped):
+        prog.step()
+    next_fut = (read_pool.submit(vol.read_block,
+                                 todo[0].padded_bounds(vol.shape))
+                if todo else None)
+    for i, plan in enumerate(todo):
         brick = brick_dir / f"block_{plan.index:05d}.npy"
-        if resume and brick.exists():
-            prog.step()
-            continue
         bounds = plan.padded_bounds(vol.shape)
-        block = vol.read_block(bounds)
+        block = next_fut.result()
+        next_fut = (read_pool.submit(vol.read_block,
+                                     todo[i + 1].padded_bounds(vol.shape))
+                    if i + 1 < len(todo) else None)
         x = jnp.asarray(block).astype(jnp.float32)
         if gaussian_sigma is not None:
             x = gauss3d(x, gaussian_sigma)
@@ -213,6 +225,7 @@ def deconvolve_volume(
             {"stats": stats, "n_blocks": len(plans),
              "vol_shape": vol.shape}))
         prog.step()
+    read_pool.shutdown(wait=False)
 
     # reassemble z-slabs and rescale globally (reference postprocess_save,
     # LsDeconv.m:950-1180)
