@@ -177,9 +177,18 @@ def _decompress(data: bytes, compression: int, expected: int) -> bytes:
     raise TiffError(f"unsupported compression {compression}")
 
 
-def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+def _undo_predictor(arr: np.ndarray, predictor: int,
+                    samples: int = 1) -> np.ndarray:
+    """Undo horizontal differencing.  TIFF predictor=2 differences per
+    sample channel, so interleaved RGB rows must cumsum along the width
+    axis with the channel axis kept separate."""
     if predictor == 2:
-        np.cumsum(arr, axis=-1, dtype=arr.dtype, out=arr)
+        if samples > 1:
+            rows = arr.shape[0]
+            v = arr.reshape(rows, -1, samples)
+            np.cumsum(v, axis=1, dtype=v.dtype, out=v)
+        else:
+            np.cumsum(arr, axis=-1, dtype=arr.dtype, out=arr)
     return arr
 
 
@@ -229,7 +238,7 @@ def _read_striped(f, page: _TiffPage, dtype) -> np.ndarray:
         raw = _decompress(raw, page.compression, expected)
         arr = np.frombuffer(raw[:expected], dtype=dtype).reshape(nrows, w * s)
         if page.predictor == 2:
-            arr = _undo_predictor(arr.copy(), 2)
+            arr = _undo_predictor(arr.copy(), 2, s)
         rows_out.append(arr)
     img = np.concatenate(rows_out, axis=0)
     if s > 1:
@@ -258,7 +267,7 @@ def _read_tiled(f, page: _TiffPage, dtype) -> np.ndarray:
         raw = _decompress(raw, page.compression, expected)
         tile = np.frombuffer(raw[:expected], dtype=dtype).reshape(tl, tw * s)
         if page.predictor == 2:
-            tile = _undo_predictor(tile.copy(), 2)
+            tile = _undo_predictor(tile.copy(), 2, s)
         y0, x0 = ty * tl, tx * tw * s
         ny = min(tl, h - y0)
         nx = min(tw * s, w * s - x0)

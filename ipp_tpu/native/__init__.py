@@ -44,7 +44,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     with _build_lock:
         if _lib is None:
             lib = None
-            if _SO.exists():
+            src = _HERE / "fastio.cpp"
+            fresh = (_SO.exists() and
+                     _SO.stat().st_mtime >= src.stat().st_mtime)
+            if fresh:
                 try:
                     lib = ctypes.CDLL(str(_SO))
                 except OSError:
@@ -67,7 +70,7 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.fastio_tiff_read.restype = c.c_int
     lib.fastio_read_block.argtypes = [
         c.POINTER(c.c_char_p), c.c_int32, c.c_int32, c.c_int32, c.c_int32,
-        c.c_int32, c.c_void_p, c.c_int32, c.c_int32]
+        c.c_int32, c.c_void_p, c.c_int32, c.c_int32, c.c_void_p]
     lib.fastio_read_block.restype = c.c_int
     lib.fastio_tiff_write.argtypes = [
         c.c_char_p, c.c_void_p, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
@@ -131,8 +134,13 @@ def tiff_write(path, img: np.ndarray, compress_level: int = 0) -> bool:
 
 def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
                dtype=np.uint16, nthreads: int = 8) -> Optional[np.ndarray]:
-    """Threaded ROI block load: (len(paths), y1-y0, x1-x0).  Failed planes
-    come back zero-filled (reference dummy substitution)."""
+    """Threaded ROI block load: (len(paths), y1-y0, x1-x0).
+
+    Planes the minimal C++ parser cannot decode (tiled layout, LZW,
+    big-endian f32, ...) are re-read through the robust Python codec
+    (ipp_tpu.io.tiff.imread: numpy parser + PIL fallback + retries); only
+    genuinely missing/corrupt files come back zero-filled — the reference's
+    dummy-substitution semantics (tsv/volume.py:378-397)."""
     lib = _get_lib()
     if lib is None:
         return None
@@ -140,9 +148,20 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
     out = np.empty((len(paths), y1 - y0, x1 - x0), dt)
     enc = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * len(enc))(*enc)
-    lib.fastio_read_block(arr, len(enc), y0, y1, x0, x1,
-                          out.ctypes.data_as(ctypes.c_void_p), dt.itemsize,
-                          nthreads)
+    failed = np.zeros(len(enc), np.uint8)
+    n_failed = lib.fastio_read_block(
+        arr, len(enc), y0, y1, x0, x1,
+        out.ctypes.data_as(ctypes.c_void_p), dt.itemsize, nthreads,
+        failed.ctypes.data_as(ctypes.c_void_p))
+    if n_failed:
+        from ..io import tiff as _tio
+
+        for z in np.nonzero(failed)[0]:
+            try:
+                img = _tio.imread(paths[z], retries=2)
+                out[z] = img[y0:y1, x0:x1].astype(dt, copy=False)
+            except Exception:
+                out[z] = 0  # genuinely missing/corrupt: dummy zeros
     return out
 
 

@@ -32,6 +32,7 @@ namespace {
 struct TiffPage {
   uint32_t width = 0, height = 0;
   uint16_t bits = 0, compression = 1, sample_format = 1, samples = 1;
+  uint16_t predictor = 1;  // tag 317: 1=none, 2=horizontal differencing
   uint32_t rows_per_strip = 0;
   std::vector<uint64_t> strip_offsets;
   std::vector<uint64_t> strip_counts;
@@ -142,6 +143,7 @@ bool parse_tiff_page(FILE* f, TiffPage* page) {
       case 259: page->compression = (uint16_t)read_tag_value(f, e, le, big, typ, count, 0); break;
       case 277: page->samples = (uint16_t)read_tag_value(f, e, le, big, typ, count, 0); break;
       case 278: page->rows_per_strip = (uint32_t)read_tag_value(f, e, le, big, typ, count, 0); break;
+      case 317: page->predictor = (uint16_t)read_tag_value(f, e, le, big, typ, count, 0); break;
       case 339: page->sample_format = (uint16_t)read_tag_value(f, e, le, big, typ, count, 0); break;
       case 273:
         page->strip_offsets.resize(count);
@@ -182,8 +184,28 @@ bool packbits_decode(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
   return o == cap;
 }
 
+// Undo TIFF horizontal differencing (predictor=2) in place: per row, per
+// sample channel, cumulative sum along the width axis.
+template <typename T>
+void undo_predictor_rows(uint8_t* data, uint32_t nrows, uint32_t width,
+                         uint16_t samples) {
+  for (uint32_t r = 0; r < nrows; ++r) {
+    T* row = reinterpret_cast<T*>(data) + (size_t)r * width * samples;
+    for (uint32_t x = 1; x < width; ++x)
+      for (uint16_t s = 0; s < samples; ++s)
+        row[x * samples + s] = (T)(row[x * samples + s] + row[(x - 1) * samples + s]);
+  }
+}
+
 // decode the full image into `out` (row-major, native byte order)
 bool decode_page(FILE* f, const TiffPage& pg, uint8_t* out) {
+  // predictor=2 (horizontal differencing) handled below for integer data;
+  // predictor=3 (floating-point) falls back to the Python codec
+  if (pg.predictor != 1 && (pg.predictor != 2 || pg.sample_format == 3))
+    return false;
+  // big-endian: only 8/16-bit swaps are implemented — wider types fall
+  // back to the Python codec rather than returning byteswapped garbage
+  if (!pg.little_endian && pg.bits > 16) return false;
   size_t px_bytes = pg.bits / 8 * pg.samples;
   size_t row_bytes = (size_t)pg.width * px_bytes;
   uint32_t rps = pg.rows_per_strip;
@@ -214,6 +236,14 @@ bool decode_page(FILE* f, const TiffPage& pg, uint8_t* out) {
     if (!pg.little_endian && pg.bits == 16) {
       uint16_t* w = reinterpret_cast<uint16_t*>(dst);
       for (size_t i = 0; i < expect / 2; ++i) w[i] = (uint16_t)((w[i] >> 8) | (w[i] << 8));
+    }
+    if (pg.predictor == 2) {  // differencing operates on native sample values
+      switch (pg.bits) {
+        case 8: undo_predictor_rows<uint8_t>(dst, nrows, pg.width, pg.samples); break;
+        case 16: undo_predictor_rows<uint16_t>(dst, nrows, pg.width, pg.samples); break;
+        case 32: undo_predictor_rows<uint32_t>(dst, nrows, pg.width, pg.samples); break;
+        default: return false;
+      }
     }
     out_row += nrows;
   }
@@ -254,12 +284,15 @@ int fastio_tiff_read(const char* path, uint8_t* out, int64_t out_cap) {
 // Threaded ROI block loader: one TIFF per z plane -> (nz, y1-y0, x1-x0)
 // contiguous block (the load_bl_tif.cpp role).  paths is an array of nz
 // C strings.  Work is distributed by an atomic index; each thread owns its
-// file handle.  Returns 0 on success, else the count of failed planes
-// (failed planes are zero-filled — the reference's dummy-substitution
-// semantics, tsv/volume.py:378-397).
+// file handle.  Returns 0 on success, else the count of failed planes.
+// Failed planes are zero-filled and flagged in failed_mask (nullable,
+// nz bytes) so the caller can re-read them through a robust codec instead
+// of silently accepting zeros (the reference always substitutes a dummy
+// only for genuinely missing files, tsv/volume.py:378-397).
 int fastio_read_block(const char** paths, int32_t nz, int32_t y0, int32_t y1,
                       int32_t x0, int32_t x1, uint8_t* out,
-                      int32_t bytes_per_px, int32_t nthreads) {
+                      int32_t bytes_per_px, int32_t nthreads,
+                      uint8_t* failed_mask) {
   const int64_t plane_out = (int64_t)(y1 - y0) * (x1 - x0) * bytes_per_px;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
@@ -288,6 +321,7 @@ int fastio_read_block(const char** paths, int32_t nz, int32_t y0, int32_t y1,
           }
         }
       }
+      if (failed_mask) failed_mask[z] = ok ? 0 : 1;
       if (!ok) {
         std::memset(dst, 0, plane_out);
         failures.fetch_add(1);

@@ -174,15 +174,19 @@ def _filter_streaks_impl(img, threshold, bleach_clip_min, bleach_clip_med,
         if use_thresholding and sigma1 != sigma2 and threshold is not None:
             # thresholded fg/bg split with sigmoid crossover blend
             # (pystripe/core.py:948-978; incompatible with log1p, caller
-            # passes log1p_normalization_needed=False)
+            # passes log1p_normalization_needed=False).  A band with
+            # sigma == 0 stays the UNCLIPPED image — the reference only
+            # clips the copy it is about to filter.
             from .intensity import foreground_fraction
 
-            fg = jnp.clip(x, threshold, None)
-            bg = jnp.clip(x, None, threshold)
+            fg = x
             if sigma1 > 0:
-                fg = filter_subband(fg, sigma1, lv, wavelet, axes=axes)
+                fg = filter_subband(jnp.clip(x, threshold, None), sigma1,
+                                    lv, wavelet, axes=axes)
+            bg = x
             if sigma2 > 0:
-                bg = filter_subband(bg, sigma2, lv, wavelet, axes=axes)
+                bg = filter_subband(jnp.clip(x, None, threshold), sigma2,
+                                    lv, wavelet, axes=axes)
             frac = foreground_fraction(x, threshold, crossover, smoothing=1)
             x = (fg * frac + bg * (1.0 - frac)) * threshold
         elif sigma1 > 0 and sigma1 == sigma2:
@@ -251,6 +255,13 @@ def filter_streaks(
             "use_thresholding requires an explicit threshold; resolve it "
             "host-side (ipp_tpu.ops.stats.threshold_otsu) — the reference "
             "computes Otsu inline (pystripe/core.py:948-950)")
+    if threshold is not None and threshold <= 0:
+        # reference routes non-positive thresholds to a single sigma1-band
+        # filter (filter_streak_dual_band, pystripe/core.py:945-946)
+        use_thresholding = False
+        sigma = (sigma[0], sigma[0])
+        if sigma[0] == 0 and bleach_correction_frequency is None:
+            return img
     out_dtype = img.dtype
     zero = jnp.float32(0)
     return _filter_streaks_impl(

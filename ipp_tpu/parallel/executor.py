@@ -55,9 +55,19 @@ def run_tile_pipeline(
     progress_desc: str = "tiles",
     reader: Optional[Callable[[Path], np.ndarray]] = None,
     read_timeout: float = 300.0,
+    expected_shape: Optional[Tuple[int, int]] = None,
+    expected_dtype=np.uint16,
 ) -> Dict[str, int]:
     """Run `process_batch` over all tasks; returns counters
-    {'done', 'skipped', 'failed'}."""
+    {'done', 'skipped', 'failed'}.
+
+    Failed/hung reads ALWAYS produce an output tile (zeros pushed through
+    `process_batch` so shape/dtype match real outputs) — the reference's
+    dummy-substitution guarantee (pystripe/core.py:1730-1755); without it
+    the stitcher would see holes in the output series.  The dummy shape
+    comes from the first successful read in the same input directory, then
+    any successful read, then `expected_shape`.  Dummies count once, under
+    'failed'."""
     tasks = [t for t in tasks]
     counters = {"done": 0, "skipped": 0, "failed": 0}
     lock = threading.Lock()
@@ -114,12 +124,12 @@ def run_tile_pipeline(
             item = out_q.get()
             if item is None:
                 return
-            t, img = item
+            t, img, is_dummy = item
             try:
                 t.output_path.parent.mkdir(parents=True, exist_ok=True)
                 tio.imwrite(t.output_path, img, compression=compression)
                 with lock:
-                    counters["done"] += 1
+                    counters["failed" if is_dummy else "done"] += 1
             except Exception:
                 traceback.print_exc()
                 with lock:
@@ -136,6 +146,7 @@ def run_tile_pipeline(
     # batch by shape/dtype so each jit executable sees uniform batches
     pending: Dict[Tuple, _Batch] = {}
     finished_readers = 0
+    dummy_ids = set()  # id(task) of zero-substituted tiles: count as failed
 
     def flush(key):
         b = pending.pop(key, None)
@@ -146,7 +157,7 @@ def run_tile_pipeline(
             out = np.asarray(process_batch(batch))
             assert out.shape[0] == batch.shape[0]
             for t, o in zip(b.tasks, out):
-                out_q.put((t, o))
+                out_q.put((t, o, id(t) in dummy_ids))
         except Exception:
             traceback.print_exc()
             with lock:
@@ -154,7 +165,26 @@ def run_tile_pipeline(
             for _ in b.tasks:
                 prog.step()
 
-    shape_hint: Optional[Tuple] = None
+    def enqueue(t: TileTask, img: np.ndarray):
+        key = (img.shape, str(img.dtype))
+        b = pending.setdefault(key, _Batch([], []))
+        b.tasks.append(t)
+        b.imgs.append(img)
+        if len(b.imgs) >= batch_size:
+            flush(key)
+
+    # dummy shape: first successful read in the same input dir, then any
+    # successful read, then the caller-provided expectation
+    dir_hints: Dict[Path, Tuple] = {}
+    global_hint: Optional[Tuple] = None
+    deferred: List[TileTask] = []  # failed before any usable shape hint
+
+    def hint_for(t: TileTask) -> Optional[Tuple]:
+        h = dir_hints.get(t.input_path.parent, global_hint)
+        if h is None and expected_shape is not None:
+            h = (tuple(expected_shape), np.dtype(expected_dtype))
+        return h
+
     while finished_readers < reader_threads:
         item = in_q.get()
         if item is None:
@@ -162,22 +192,25 @@ def run_tile_pipeline(
             continue
         t, img = item
         if img is None:
-            if shape_hint is not None:
-                img = np.zeros(shape_hint[0], shape_hint[1])
-                with lock:
-                    counters["failed"] += 1
+            dummy_ids.add(id(t))
+            h = hint_for(t)
+            if h is not None:
+                enqueue(t, np.zeros(h[0], h[1]))
             else:
-                with lock:
-                    counters["failed"] += 1
-                prog.step()
-                continue
-        shape_hint = (img.shape, img.dtype)
-        key = (img.shape, str(img.dtype))
-        b = pending.setdefault(key, _Batch([], []))
-        b.tasks.append(t)
-        b.imgs.append(img)
-        if len(b.imgs) >= batch_size:
-            flush(key)
+                deferred.append(t)
+            continue
+        dir_hints.setdefault(t.input_path.parent, (img.shape, img.dtype))
+        global_hint = global_hint or (img.shape, img.dtype)
+        enqueue(t, img)
+    for t in deferred:
+        h = hint_for(t)
+        if h is None:
+            # nothing succeeded and no expectation given: still emit a
+            # file (the reference never leaves a hole in the series)
+            h = ((16, 16), np.dtype(expected_dtype))
+            print(f"no shape hint for dummy tile {t.output_path}; "
+                  "writing 16x16 zeros")
+        enqueue(t, np.zeros(h[0], h[1]))
     for key in list(pending):
         flush(key)
 

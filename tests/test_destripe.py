@@ -91,3 +91,47 @@ def test_destripe_with_bleach_correction(rng):
     left = out[:, :64].mean()
     right = out[:, -64:].mean()
     assert right > 0.4 * left
+
+
+def test_dual_band_sigma1_zero_uses_unclipped_foreground(rng):
+    """When sigma1 == 0 the foreground band is the UNCLIPPED image
+    (reference filter_streak_dual_band, pystripe/core.py:953-958);
+    round-1 clipped it at the threshold (ADVICE)."""
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.destripe import (_plan_padding, filter_subband,
+                                      filter_streaks)  # noqa: F401
+    from ipp_tpu.ops.intensity import foreground_fraction
+
+    img = (rng.random((64, 64)) * 200).astype(np.float32)
+    threshold, crossover, sigma2, wavelet = 80.0, 10.0, 16.0, "db3"
+    got = np.asarray(filter_streaks(
+        img, sigma=(0, sigma2), wavelet=wavelet, threshold=threshold,
+        crossover=crossover, use_thresholding=True,
+        log1p_normalization_needed=False))
+
+    # expected: reference formula with fg = x (unclipped)
+    x = jnp.asarray(img)
+    base_pad, (py, px), _, lv = _plan_padding(
+        img.shape, (0.0, sigma2), 0, wavelet)
+    xp = jnp.pad(x, [(base_pad, base_pad + py), (base_pad, base_pad + px)],
+                 mode="wrap")
+    bg = filter_subband(jnp.clip(xp, None, threshold), sigma2, lv, wavelet,
+                        axes=(-1,))
+    frac = foreground_fraction(xp, jnp.float32(threshold), crossover,
+                               smoothing=1)
+    blended = (xp * frac + bg * (1.0 - frac)) * threshold
+    expected = np.asarray(blended[base_pad:base_pad + 64 + 0,
+                                  base_pad:base_pad + 64])
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-3)
+
+
+def test_dual_band_nonpositive_threshold_routes_single_band(rng):
+    """threshold <= 0 routes to a single sigma1-band filter
+    (reference pystripe/core.py:945-946)."""
+    img = (rng.random((64, 64)) * 1000).astype(np.uint16)
+    got = np.asarray(ds.filter_streaks(
+        img, sigma=(24, 8), wavelet="db3", threshold=-1.0,
+        use_thresholding=True))
+    single = np.asarray(ds.filter_streaks(img, sigma=(24, 24), wavelet="db3"))
+    np.testing.assert_array_equal(got, single)

@@ -103,3 +103,93 @@ def test_load_slab_assembly(tmp_path, rng):
         bricks.append((str(p), y0, x0, by, bx))
     out = native.load_slab(bricks, 4, 40, 60, np.float32)
     np.testing.assert_array_equal(out, slab)
+
+
+def _write_tiff_predictor2(path, img: np.ndarray, samples: int = 1):
+    """Hand-craft a classic little-endian TIFF with deflate compression and
+    predictor=2 (horizontal differencing), one strip."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    dt = img.dtype
+    diff = img.astype(np.int64).copy()
+    if samples == 1:
+        diff[:, 1:] -= img.astype(np.int64)[:, :-1]
+    else:
+        diff[:, 1:, :] -= img.astype(np.int64)[:, :-1, :]
+    raw = diff.astype(dt).tobytes()
+    comp = zlib.compress(raw)
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h),
+        (258, 3, samples, None if samples > 1 else dt.itemsize * 8),
+        (259, 3, 1, 8), (262, 3, 1, 2 if samples >= 3 else 1),
+        (273, 4, 1, 0),  # patched
+        (277, 3, 1, samples), (278, 4, 1, h),
+        (279, 4, 1, len(comp)), (317, 3, 1, 2),
+        (339, 3, samples, None if samples > 1 else 1),
+    ]
+    ifd_off = 8
+    n = len(tags)
+    extra = bytearray()
+    extra_base = ifd_off + 2 + n * 12 + 4
+    out_entries = []
+    for tag, typ, count, val in tags:
+        if val is None:  # out-of-line array of uint16s (all same value)
+            v = dt.itemsize * 8 if tag == 258 else 1
+            off = extra_base + len(extra)
+            extra += struct.pack("<" + "H" * count, *([v] * count))
+            out_entries.append((tag, typ, count, off))
+        else:
+            out_entries.append((tag, typ, count, val))
+    data_off = extra_base + len(extra)
+    out_entries = [(t, ty, c, data_off if t == 273 else v)
+                   for (t, ty, c, v) in out_entries]
+    buf = struct.pack("<2sHI", b"II", 42, ifd_off)
+    buf += struct.pack("<H", n)
+    for tag, typ, count, val in out_entries:
+        if typ == 3 and count == 1:
+            buf += struct.pack("<HHIHH", tag, typ, count, val, 0)
+        else:
+            buf += struct.pack("<HHII", tag, typ, count, val)
+    buf += struct.pack("<I", 0) + bytes(extra) + comp
+    path.write_bytes(buf)
+
+
+def test_predictor2_gray_native_and_python(tmp_path, rng):
+    """Predictor=2 (horizontal differencing) TIFFs decode to the original
+    values through both codecs (ADVICE round-1: the native parser used to
+    ignore tag 317 and return differenced garbage)."""
+    img = rng.integers(0, 65535, (33, 47)).astype(np.uint16)
+    p = tmp_path / "pred2.tif"
+    _write_tiff_predictor2(p, img)
+    np.testing.assert_array_equal(tio.read_tiff(p), img)
+    out = native.tiff_read(p)
+    assert out is not None, "native parser should handle predictor=2"
+    np.testing.assert_array_equal(out, img)
+
+
+def test_predictor2_rgb_python(tmp_path, rng):
+    """RGB predictor=2 differences per sample channel (ADVICE round-1:
+    cumsum across the interleaved row was wrong)."""
+    img = rng.integers(0, 255, (9, 13, 3)).astype(np.uint8)
+    p = tmp_path / "pred2rgb.tif"
+    _write_tiff_predictor2(p, img, samples=3)
+    np.testing.assert_array_equal(tio.read_tiff(p), img)
+
+
+def test_read_block_robust_fallback_for_undecodable_planes(tmp_path, rng):
+    """Planes the minimal C++ parser cannot decode must be re-read through
+    the robust Python path, not silently zero-filled (ADVICE round-1)."""
+    from PIL import Image
+
+    good = rng.integers(0, 65535, (24, 28)).astype(np.uint16)
+    exotic = rng.integers(0, 255, (24, 28)).astype(np.uint8)
+    p0 = tmp_path / "0.tif"
+    p1 = tmp_path / "1.tif"
+    tio.imwrite(p0, good)
+    # LZW is outside the native parser's subset but PIL decodes it
+    Image.fromarray(exotic).save(p1, compression="tiff_lzw")
+    block = native.read_block([p0, p1], 2, 20, 3, 25, dtype=np.uint16)
+    np.testing.assert_array_equal(block[0], good[2:20, 3:25])
+    np.testing.assert_array_equal(block[1], exotic[2:20, 3:25].astype(np.uint16))

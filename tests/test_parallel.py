@@ -149,7 +149,7 @@ def test_run_tile_pipeline_resume_and_corrupt(tmp_path, rng):
 
     counters = run_tile_pipeline(tasks, lambda b: b * 2, batch_size=4,
                                  reader_threads=2, writer_threads=2)
-    assert counters["done"] == 6
+    assert counters["done"] == 5  # real tiles
     assert counters["failed"] == 1  # the corrupt one, zero-substituted
     out3 = tio.imread(out_dir / "t3.tif")
     assert (out3 == 0).all()
@@ -159,3 +159,50 @@ def test_run_tile_pipeline_resume_and_corrupt(tmp_path, rng):
     # resume: everything skipped
     counters2 = run_tile_pipeline(tasks, lambda b: b * 2, resume=True)
     assert counters2["skipped"] == 6 and counters2["done"] == 0
+
+
+def test_run_tile_pipeline_all_failed_still_emits(tmp_path):
+    """A read failing before ANY successful read must still write a dummy
+    tile (reference guarantee, pystripe/core.py:1730-1755) — round-1 gap."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.executor import TileTask, run_tile_pipeline
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    tasks = []
+    for i in range(3):
+        p = in_dir / f"t{i}.tif"
+        p.write_bytes(b"corrupt")
+        tasks.append(TileTask(p, out_dir / f"t{i}.tif"))
+    counters = run_tile_pipeline(
+        tasks, lambda b: (b * 2).astype(np.uint16), batch_size=2,
+        reader_threads=2, writer_threads=1,
+        expected_shape=(8, 8), expected_dtype=np.uint16)
+    assert counters["failed"] == 3 and counters["done"] == 0
+    for i in range(3):
+        out = tio.imread(out_dir / f"t{i}.tif")
+        assert out.shape == (8, 8) and (out == 0).all()
+
+
+def test_run_tile_pipeline_dummy_shape_per_dir(tmp_path):
+    """Dummy shape comes from the same input directory, not the last-seen
+    batch of a differently-shaped directory."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.executor import TileTask, run_tile_pipeline
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    out_dir = tmp_path / "out"
+    a.mkdir()
+    b.mkdir()
+    tio.imwrite(a / "t0.tif", np.ones((8, 8), np.uint16))
+    tio.imwrite(b / "t0.tif", np.ones((12, 12), np.uint16))
+    (b / "t1.tif").write_bytes(b"corrupt")
+    tasks = [TileTask(a / "t0.tif", out_dir / "a0.tif"),
+             TileTask(b / "t0.tif", out_dir / "b0.tif"),
+             TileTask(b / "t1.tif", out_dir / "b1.tif")]
+    counters = run_tile_pipeline(tasks, lambda x: x, batch_size=1,
+                                 reader_threads=1, writer_threads=1)
+    assert counters["done"] == 2 and counters["failed"] == 1
+    assert tio.imread(out_dir / "b1.tif").shape == (12, 12)
