@@ -34,6 +34,7 @@ from .fftutil import next_fast_len
 
 __all__ = [
     "gauss3d",
+    "gauss3d_batched",
     "make_taper",
     "edge_taper_3d",
     "pad_to_shape",
@@ -78,6 +79,17 @@ def gauss3d(vol: jnp.ndarray, sigma) -> jnp.ndarray:
     for ax, s in enumerate(sigma):
         if s > 0:
             out = _conv1d_axis(out, _gauss_kernel(s), ax)
+    return out
+
+
+def gauss3d_batched(vols: jnp.ndarray, sigma) -> jnp.ndarray:
+    """gauss3d over a (B, D, H, W) batch: separable convs on axes 1..3."""
+    if np.isscalar(sigma):
+        sigma = (float(sigma),) * 3
+    out = vols
+    for ax, s in enumerate(sigma):
+        if s > 0:
+            out = _conv1d_axis(out, _gauss_kernel(s), ax + 1)
     return out
 
 
