@@ -285,6 +285,27 @@ def _circ_conv_last(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
 
 USE_PALLAS_DWT = os.environ.get("IPP_TPU_PALLAS_DWT", "0") == "1"
 
+# DWT backend: 'matmul' (MXU circulant block matmuls, ops/mxu_dwt.py),
+# 'conv' (strided XLA convs), or 'auto' (matmul on TPU — the conv chain is
+# VPU-bound and profiled as 99% of destripe time in round 1)
+_DWT_BACKEND = os.environ.get("IPP_TPU_DWT", "auto")
+_RESOLVED_BACKEND = None
+
+
+def _dwt_backend() -> str:
+    global _RESOLVED_BACKEND
+    if _RESOLVED_BACKEND is None:
+        if _DWT_BACKEND != "auto":
+            _RESOLVED_BACKEND = _DWT_BACKEND
+        else:
+            try:
+                plat = jax.devices()[0].platform.lower()
+            except Exception:  # pragma: no cover
+                plat = "cpu"
+            _RESOLVED_BACKEND = ("matmul" if ("tpu" in plat or "axon" in plat)
+                                 else "conv")
+    return _RESOLVED_BACKEND
+
 
 def _dwt_last(x: jnp.ndarray, rec_lo: np.ndarray, rec_hi: np.ndarray):
     """1-level circular DWT along the last axis.  Analysis is circular
@@ -292,18 +313,26 @@ def _dwt_last(x: jnp.ndarray, rec_lo: np.ndarray, rec_hi: np.ndarray):
     orthonormal-basis inner products), which makes synthesis its exact
     transpose.
 
-    With IPP_TPU_PALLAS_DWT=1 the fused Pallas kernel
-    (ops/pallas_dwt.py) computes both subbands in one VMEM pass."""
+    Backends: MXU block matmuls (default on TPU), strided convs, or the
+    fused Pallas kernel (IPP_TPU_PALLAS_DWT=1)."""
     if USE_PALLAS_DWT:
         from .pallas_dwt import dwt_analysis_pallas
 
         return dwt_analysis_pallas(x, rec_lo, rec_hi)
+    if _dwt_backend() == "matmul":
+        from .mxu_dwt import dwt_last_mm
+
+        return dwt_last_mm(x, rec_lo, rec_hi)
     kernels = np.stack([rec_lo, rec_hi])
     out = _conv_stride2_last(x, kernels)
     return out[..., 0, :], out[..., 1, :]
 
 
 def _idwt_last(cA: jnp.ndarray, cD: jnp.ndarray, rec_lo: np.ndarray, rec_hi: np.ndarray):
+    if _dwt_backend() == "matmul" and not USE_PALLAS_DWT:
+        from .mxu_dwt import idwt_last_mm
+
+        return idwt_last_mm(cA, cD, rec_lo, rec_hi)
     ya = _circ_conv_last(_upsample2_last(cA), rec_lo)
     yd = _circ_conv_last(_upsample2_last(cD), rec_hi)
     return ya + yd

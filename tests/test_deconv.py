@@ -116,3 +116,23 @@ def test_make_psf_small():
     assert psf[c] == psf.max()
     np.testing.assert_allclose(psf, psf[::-1, :, :], atol=1e-7)
     np.testing.assert_allclose(psf, psf[:, :, ::-1], atol=1e-7)
+
+
+def test_matmul_fft_matches_numpy(rng):
+    """MXU matmul rfftn/irfftn (ops/mxu_fft.py) vs numpy.fft."""
+    from ipp_tpu.ops.mxu_fft import MatmulFFT3
+
+    shape = (16, 24, 40)
+    x = rng.random(shape).astype(np.float32)
+    k = rng.random(shape).astype(np.float32)
+    plan = MatmulFFT3(shape)
+    re, im = plan.rfftn(x)
+    ref = np.fft.rfftn(x)
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(plan.irfftn(re, im)), x, atol=1e-5)
+    conv = np.asarray(plan.convolve(x, plan.otf(k)))
+    ref_conv = np.fft.irfftn(np.fft.rfftn(k) * np.fft.rfftn(x),
+                             s=shape, axes=(0, 1, 2))
+    rel = np.abs(conv - ref_conv).max() / np.abs(ref_conv).max()
+    assert rel < 1e-5, rel

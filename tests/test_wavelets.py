@@ -145,3 +145,25 @@ def test_coif15_roundtrip(rng):
     coeffs = wv.wavedec2(img, f"coif{K}", 1)
     rec = wv.waverec2(coeffs, f"coif{K}")
     np.testing.assert_allclose(np.asarray(rec), img, atol=5e-4)
+
+
+def test_matmul_dwt_backend_matches_conv(rng):
+    """The MXU block-matmul DWT backend (ops/mxu_dwt.py) is numerically
+    interchangeable with the strided-conv path."""
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops import mxu_dwt, wavelets as wv
+
+    for wavelet in ("db9", "coif15", "db3"):
+        _, _, lo, hi = wv.filter_bank(wavelet)
+        x = rng.random((2, 3, 128, 256)).astype(np.float32)
+        kernels = np.stack([lo, hi])
+        conv = wv._conv_stride2_last(jnp.asarray(x), kernels)
+        a0, d0 = conv[..., 0, :], conv[..., 1, :]
+        a1, d1 = mxu_dwt.dwt_last_mm(jnp.asarray(x), lo, hi)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=1e-5, atol=1e-5)
+        y = mxu_dwt.idwt_last_mm(a1, d1, lo, hi)
+        np.testing.assert_allclose(np.asarray(y), x, rtol=1e-5, atol=1e-5)
