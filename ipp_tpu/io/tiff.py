@@ -22,11 +22,12 @@ import struct
 import time
 import zlib
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
-__all__ = ["imread", "imwrite", "read_tiff", "write_tiff", "TiffError"]
+__all__ = ["imread", "imwrite", "read_tiff", "read_tiff_partial",
+           "write_tiff", "TiffError"]
 
 NUM_RETRIES = 10
 RETRY_SLEEP = 0.2
@@ -126,6 +127,11 @@ def _parse_ifds(f, byteorder: str, big: bool):
                 tag, typ, count = struct.unpack(bo + "HHI", e[:8])
                 val_bytes = e[8:12]
             size = _TYPE_SIZES.get(typ, 1) * count
+            if size > 1 << 27:
+                # corrupt count: a 128 MB tag value is far beyond any
+                # legitimate strip table; building the struct format
+                # string alone would stall for minutes
+                raise TiffError(f"implausible tag {tag} size {size}")
             if size <= inline:
                 data = val_bytes[:size]
             else:
@@ -154,10 +160,19 @@ def _page_from_tags(tags) -> _TiffPage:
     length = one(_T_LENGTH)
     if width is None or length is None:
         raise TiffError("missing dimensions")
+    # sanity cap so corrupt headers can't trigger absurd allocations
+    # (stitched whole-brain planes are ~60k x 60k; 2^22 per axis and
+    # 64 GB total are far above any legitimate plane)
+    if not (0 < width <= 1 << 22 and 0 < length <= 1 << 22):
+        raise TiffError(f"implausible dimensions {width}x{length}")
     bits = one(_T_BITS, 1)
     comp = one(_T_COMPRESSION, 1)
     sfmt = one(_T_SAMPLE_FORMAT, 1)
     samples = one(_T_SAMPLES_PER_PIXEL, 1)
+    if not (0 < bits <= 64 and bits % 8 == 0 and 0 < samples <= 16):
+        raise TiffError(f"implausible bits/samples {bits}/{samples}")
+    if int(width) * int(length) * samples * (bits // 8) > 1 << 36:
+        raise TiffError("implausible plane size")
     rps = one(_T_ROWS_PER_STRIP, length)
     predictor = one(_T_PREDICTOR, 1)
     return _TiffPage(
@@ -273,6 +288,86 @@ def _read_tiled(f, page: _TiffPage, dtype) -> np.ndarray:
         nx = min(tw * s, w * s - x0)
         img[y0:y0 + ny, x0:x0 + nx] = tile[:ny, :nx]
     return img.reshape(h, w, s) if s > 1 else img
+
+
+def read_tiff_partial(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
+    """Salvage read of a damaged TIFF: every strip/tile that still decodes
+    is kept, unreadable ones zero-fill.  Returns (img, n_failed_chunks).
+
+    The repair role of the reference's tifffile->PIL->bfconvert chain
+    (pystripe/core.py:212-250) without a bioformats dependency: truncated
+    files and single corrupt strips yield a mostly-intact plane instead of
+    a hard failure."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise TiffError("not a TIFF")
+        magic = struct.unpack(bo + "H", head[2:4])[0]
+        if magic == 42:
+            big = False
+        elif magic == 43:
+            big = True
+            f.read(4)
+        else:
+            raise TiffError("bad magic")
+        tags = next(iter(_parse_ifds(f, bo, big)))
+        page = _page_from_tags(tags)
+        dtype = page.dtype.newbyteorder(bo)
+        h, w, s = page.length, page.width, page.samples
+        img = np.zeros((h, w * s), dtype.newbyteorder("="))
+        failed = 0
+        if page.tile_offsets:
+            tw, tl = page.tile_w, page.tile_l
+            ntx = -(-w // tw)
+            for i, off in enumerate(page.tile_offsets):
+                ty, tx = divmod(i, ntx)
+                expected = tl * tw * s * dtype.itemsize
+                try:
+                    f.seek(off)
+                    raw = _decompress(f.read(page.tile_counts[i]),
+                                      page.compression, expected)
+                    if len(raw) < expected:
+                        raise TiffError("short tile")
+                    tile = np.frombuffer(raw[:expected], dtype=dtype
+                                         ).reshape(tl, tw * s)
+                    if page.predictor == 2:
+                        tile = _undo_predictor(tile.copy(), 2, s)
+                    y0, x0 = ty * tl, tx * tw * s
+                    ny = min(tl, h - y0)
+                    nx = min(tw * s, w * s - x0)
+                    img[y0:y0 + ny, x0:x0 + nx] = tile[:ny, :nx]
+                except Exception:
+                    failed += 1
+        else:
+            rps = min(page.rows_per_strip, h)
+            counts = page.strip_counts or [None] * len(page.strip_offsets)
+            for i, off in enumerate(page.strip_offsets):
+                nrows = min(rps, h - i * rps)
+                if nrows <= 0:
+                    break
+                expected = nrows * w * s * dtype.itemsize
+                try:
+                    f.seek(off)
+                    raw = f.read(counts[i] if counts[i] is not None
+                                 else expected)
+                    raw = _decompress(raw, page.compression, expected)
+                    if len(raw) < expected:
+                        raise TiffError("short strip")
+                    arr = np.frombuffer(raw[:expected], dtype=dtype
+                                        ).reshape(nrows, w * s)
+                    if page.predictor == 2:
+                        arr = _undo_predictor(arr.copy(), 2, s)
+                    img[i * rps:i * rps + nrows] = arr
+                except Exception:
+                    failed += 1
+        img = np.ascontiguousarray(img)
+        if img.dtype.byteorder not in ("=", "|"):
+            img = img.astype(img.dtype.newbyteorder("="))
+        return (img.reshape(h, w, s) if s > 1 else img.reshape(h, w)), failed
 
 
 def write_tiff(path: Union[str, Path], img: np.ndarray,
@@ -467,6 +562,16 @@ def imread(path: Union[str, Path], retries: int = NUM_RETRIES) -> np.ndarray:
         except Exception as exc:  # noqa: BLE001 — retry any decode/IO error
             last_exc = exc
             time.sleep(RETRY_SLEEP)
+    # repair chain of last resort: salvage whatever strips/tiles still
+    # decode (the reference's bfconvert repair role, pystripe/core.py:228)
+    if path.suffix.lower() in (".tif", ".tiff"):
+        try:
+            img, failed = read_tiff_partial(path)
+            if failed == 0 or img.any():
+                print(f"salvaged {path} with {failed} unreadable chunks")
+                return img
+        except Exception:  # noqa: BLE001
+            pass
     raise TiffError(f"failed to read {path}: {last_exc}")
 
 

@@ -23,6 +23,7 @@ edgetaper_3d.m, make_taper.m):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -31,6 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fftutil import next_fast_len
+
+# FFT backend for the RL core: 'mxu' (matmul DFTs on the systolic array,
+# ops/mxu_fft.py — measured 3.9x the XLA VPU FFT at production sizes),
+# 'xla' (jnp.fft), or 'auto' (mxu on TPU).
+_FFT_BACKEND = os.environ.get("IPP_TPU_FFT", "auto")
+_RESOLVED_FFT = None
+
+
+def _fft_backend() -> str:
+    global _RESOLVED_FFT
+    if _RESOLVED_FFT is None:
+        if _FFT_BACKEND != "auto":
+            _RESOLVED_FFT = _FFT_BACKEND
+        else:
+            try:
+                plat = jax.devices()[0].platform.lower()
+            except Exception:  # pragma: no cover
+                plat = "cpu"
+            _RESOLVED_FFT = ("mxu" if ("tpu" in plat or "axon" in plat)
+                             else "xla")
+    return _RESOLVED_FFT
 
 __all__ = [
     "gauss3d",
@@ -133,41 +155,125 @@ def edge_taper_3d(vol: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
     """bll = mask*bl + (1-mask)*blur(bl) with separable ramps of width
     max(8, psf_dim/2) per axis (reference edgetaper_3d.m:1-46).
 
-    The blur uses FFT convolution when the PSF is large (equivalent to the
-    reference's conv3d_gpu within float tolerance)."""
+    The blurred volume only matters where mask < 1 — within taper_width of
+    a face — so the blur runs on six face slabs (each extended by the PSF
+    support) instead of the whole volume: ~95% less conv work for a 264^3
+    block.  Each slab conv is an FFT convolution (a direct single-channel
+    3D conv cannot use the MXU; measured ~60x slower for a 9^3 PSF)."""
     psf = psf / jnp.sum(psf)
-    # FFT conv always: a direct single-channel 3D conv cannot use the MXU
-    # and measured ~60x slower than the FFT path on TPU for a 9^3 PSF
-    blur = _fft_conv_same(vol, psf)
+    tws = [max(8, int(round(psf.shape[d] / 2))) for d in range(3)]
     mask = jnp.ones((), vol.dtype)
     for d in range(3):
-        tw = max(8, int(round(psf.shape[d] / 2)))
-        taper = jnp.asarray(make_taper(vol.shape[d], tw), vol.dtype)
+        taper = jnp.asarray(make_taper(vol.shape[d], tws[d]), vol.dtype)
         shape = [1, 1, 1]
         shape[d] = vol.shape[d]
         mask = mask * taper.reshape(shape)
-    return mask * vol + (1.0 - mask) * blur
+    if all(2 * (tw + k) >= s for tw, k, s in
+           zip(tws, psf.shape, vol.shape)):
+        # slabs would cover everything: blur the full volume
+        blur = _fft_conv_same(vol, psf)
+        return mask * vol + (1.0 - mask) * blur
+    out = mask * vol
+    inv = 1.0 - mask
+    done_lo = [0, 0, 0]  # face strips already handled by earlier axes
+    for d in range(3):
+        k = psf.shape[d]
+        tw = tws[d]
+        ext = tw + k  # slab depth incl. conv support
+        for side in (0, 1):
+            sl_read = [slice(None)] * 3
+            sl_read[d] = slice(0, ext) if side == 0 else \
+                slice(vol.shape[d] - ext, vol.shape[d])
+            slab = vol[tuple(sl_read)]
+            blur = _fft_conv_same(slab, psf)
+            sl_keep = [slice(None)] * 3
+            sl_keep[d] = slice(0, tw) if side == 0 else slice(ext - tw, ext)
+            sl_write = [slice(None)] * 3
+            sl_write[d] = slice(0, tw) if side == 0 else \
+                slice(vol.shape[d] - tw, vol.shape[d])
+            # avoid double-adding corner/edge regions shared with slabs of
+            # earlier axes by zeroing their contribution here
+            contrib = inv[tuple(sl_write)] * blur[tuple(sl_keep)]
+            for dd in range(d):
+                z = jnp.ones_like(contrib)
+                tw_dd = tws[dd]
+                sl_z_lo = [slice(None)] * 3
+                sl_z_lo[dd] = slice(0, tw_dd)
+                sl_z_hi = [slice(None)] * 3
+                sl_z_hi[dd] = slice(contrib.shape[dd] - tw_dd, None)
+                z = z.at[tuple(sl_z_lo)].set(0.0)
+                z = z.at[tuple(sl_z_hi)].set(0.0)
+                contrib = contrib * z
+            out = out.at[tuple(sl_write)].add(contrib)
+    return out
 
 
 def _fft_conv_same(vol: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     """'same' conv via FFT with edge-replicate padding by kernel half-size."""
     halves = [k // 2 for k in kern.shape]
     vp = jnp.pad(vol, [(h, h) for h in halves], mode="edge")
-    shape = tuple(next_fast_len(s + k - 1)
-                  for s, k in zip(vp.shape, kern.shape))
-    fv = jnp.fft.rfftn(vp, s=shape)
-    fk = jnp.fft.rfftn(kern.astype(vol.dtype), s=shape)
-    full = jnp.fft.irfftn(fv * fk, s=shape)
+    if _fft_backend() == "mxu":
+        from .mxu_fft import MatmulFFT3
+
+        shape = tuple(-(-(s + k - 1) // 8) * 8
+                      for s, k in zip(vp.shape, kern.shape))
+        plan = MatmulFFT3(shape)
+        kp = jnp.zeros(shape, vol.dtype).at[
+            tuple(slice(0, k) for k in kern.shape)].set(kern.astype(vol.dtype))
+        vpad = jnp.zeros(shape, vol.dtype).at[
+            tuple(slice(0, s) for s in vp.shape)].set(vp)
+        full = plan.convolve(vpad, plan.rfftn(kp))
+    else:
+        shape = tuple(next_fast_len(s + k - 1)
+                      for s, k in zip(vp.shape, kern.shape))
+        fv = jnp.fft.rfftn(vp, s=shape)
+        fk = jnp.fft.rfftn(kern.astype(vol.dtype), s=shape)
+        full = jnp.fft.irfftn(fv * fk, s=shape)
     start = [2 * h for h in halves]
     return jax.lax.dynamic_slice(full, start, vol.shape)
 
 
 def fft_shape_for(shape: Sequence[int], psf_shape: Sequence[int],
                   pad_mode: str = "min") -> Tuple[int, int, int]:
-    """FFT work shape: block + PSF half-extents, rounded to 2,3,5,7-smooth
-    (reference decon_pad_size/next_fast_len, LsDeconv.m:387-419)."""
+    """FFT work shape: block + PSF half-extents, rounded up for the active
+    backend — 2,3,5,7-smooth for the XLA FFT (reference decon_pad_size/
+    next_fast_len, LsDeconv.m:387-419), multiples of 8 for the MXU matmul
+    DFT (any size works; 8 keeps f32 sublane tiles full)."""
+    if _fft_backend() == "mxu":
+        from .mxu_fft import plan_shape
+
+        return plan_shape(shape, psf_shape)
     return tuple(next_fast_len(int(s) + int(p) // 2 * 2)
                  for s, p in zip(shape, psf_shape))
+
+
+def _make_convolver(psf: jnp.ndarray, fft_shape):
+    """(conv, conv_conj) closures: circular convolution with the PSF (and
+    its adjoint) at fft_shape, on the active FFT backend.  Input arrays may
+    carry leading batch dims."""
+    otf_pad, pre, _ = pad_to_shape(psf, fft_shape)
+    center = tuple(p + s // 2 for p, s in zip(pre, psf.shape))
+    rolled = jnp.roll(otf_pad, tuple(-c for c in center), axis=(0, 1, 2))
+    if _fft_backend() == "mxu":
+        from .mxu_fft import MatmulFFT3
+
+        plan = MatmulFFT3(fft_shape)
+        otf = plan.rfftn(rolled)
+        return (lambda x: plan.convolve(x, otf),
+                lambda x: plan.convolve(x, otf, conj=True))
+    otf = jnp.fft.rfftn(rolled)
+    otf_c = jnp.conj(otf)
+    axes = (-3, -2, -1)
+
+    def conv(x):
+        return jnp.fft.irfftn(jnp.fft.rfftn(x, axes=axes) * otf,
+                              s=fft_shape, axes=axes)
+
+    def conv_conj(x):
+        return jnp.fft.irfftn(jnp.fft.rfftn(x, axes=axes) * otf_c,
+                              s=fft_shape, axes=axes)
+
+    return conv, conv_conj
 
 
 def pad_to_shape(vol: jnp.ndarray, target: Sequence[int], mode: str = "constant"):
@@ -220,8 +326,7 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
     Richardson-Lucy), which converges monotonically — measured 0.016 vs
     0.063 NRMSE at 12 iterations on a synthetic phantom.
     """
-    otf = _make_otf(psf, fft_shape)
-    otf_conj = jnp.conj(otf)
+    conv, conv_conj = _make_convolver(psf, fft_shape)
     eps = jnp.float32(np.finfo(np.float32).eps)
     R = jnp.asarray(_tikhonov_kernel())
     apply_reg = 0 < regularize_interval < niter
@@ -234,10 +339,10 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
             jnp.logical_and(jnp.logical_and(i > 1, i < niter),
                             (i % regularize_interval) == 0))
         bl = jax.lax.cond(is_reg, lambda v: gauss3d(v, 0.5), lambda v: v, bl)
-        buf = jnp.fft.irfftn(jnp.fft.rfftn(bl) * otf, s=fft_shape)
+        buf = conv(bl)
         buf = jnp.maximum(buf, eps)
         buf = (y_obs if classic else bl) / buf
-        buf = jnp.fft.irfftn(jnp.fft.rfftn(buf) * otf_conj, s=fft_shape)
+        buf = conv_conj(buf)
 
         def with_reg(args):
             bl_, buf_ = args
@@ -349,11 +454,9 @@ def richardson_lucy_batched(
     vols = jnp.pad(vols, [(0, 0)] + list(zip(pre, post)))
     if sharding is not None:
         vols = jax.lax.with_sharding_constraint(vols, sharding)
-    otf = _make_otf(psf, fft_shape)[None]
-    otf_conj = jnp.conj(otf)
+    conv, conv_conj = _make_convolver(psf, fft_shape)
     eps = jnp.float32(np.finfo(np.float32).eps)
     R = jnp.asarray(_tikhonov_kernel())
-    axes = (-3, -2, -1)
     bl = vols
     y_obs = vols
     for i in range(1, niter + 1):
@@ -363,12 +466,10 @@ def richardson_lucy_batched(
             taps = _gauss_kernel(0.5)
             for ax in (1, 2, 3):
                 bl = _conv1d_axis(bl, taps, ax)
-        buf = jnp.fft.irfftn(jnp.fft.rfftn(bl, axes=axes) * otf,
-                             s=fft_shape, axes=axes)
+        buf = conv(bl)
         buf = jnp.maximum(buf, eps)
         buf = (y_obs if classic else bl) / buf
-        buf = jnp.fft.irfftn(jnp.fft.rfftn(buf, axes=axes) * otf_conj,
-                             s=fft_shape, axes=axes)
+        buf = conv_conj(buf)
         if is_reg and lam > 0:
             reg = jax.vmap(lambda v: _conv3d_zero(v, R))(bl)
             bl = bl * buf * (1.0 - lam) + reg * lam

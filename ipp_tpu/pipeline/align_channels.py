@@ -9,7 +9,13 @@ process_images.py:788-908):
 - iterative integer roll-pad moves until convergence or a cycle
   (align_images.py:137-181, 424-502);
 - composite RGB TIFF series writer (merge_all_channels,
-  process_images.py:860-1000).
+  process_images.py:860-1000);
+- a STREAMING variant for volumes that do not fit in RAM
+  (align_big_channels / write_aligned_series — the reference's
+  process_big_images, align_images.py:343-423): the three orthogonal
+  central sections are built from plane strips via the threaded native
+  ROI reader, so peak memory is O(sections + one plane), never the
+  volume.
 """
 
 from __future__ import annotations
@@ -22,7 +28,9 @@ import numpy as np
 from ..io import tiff as tio
 from ..utils.log import Logger
 
-__all__ = ["get_offsets_ecc", "align_volumes", "write_composite_series"]
+__all__ = ["get_offsets_ecc", "align_volumes", "write_composite_series",
+           "central_sections_streamed", "align_big_channels",
+           "write_aligned_series"]
 
 
 def _central_slices(vol: np.ndarray, thickness: int = 16):
@@ -117,6 +125,100 @@ def align_volumes(ref_vol: np.ndarray, mov_vol: np.ndarray,
         total += move
     log.info(f"channel alignment offsets (dz, dy, dx) = {tuple(total)}")
     return mov, tuple(int(v) for v in total)
+
+
+def central_sections_streamed(directory: Path, thickness: int = 16
+                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The three MIP-like central orthogonal sections of a z-plane TIFF
+    series WITHOUT loading the volume: the xy section reads only the
+    central `thickness` planes; xz/yz read a y/x strip of every plane
+    through the threaded native ROI loader (reference process_big_images
+    streams from TifStack, align_images.py:343-423)."""
+    from ..utils.tifstack import TifStack
+
+    stack = TifStack(directory)
+    nz, (h, w) = stack.nz, stack.nyx
+    cz, cy, cx = nz // 2, h // 2, w // 2
+    t = thickness // 2
+
+    def read_block(paths, y0, y1, x0, x1):
+        from .. import native
+
+        block = native.read_block(paths, y0, y1, x0, x1, dtype=stack.dtype)
+        if block is None:
+            block = np.stack([tio.imread(p)[y0:y1, x0:x1] for p in paths])
+        return block
+
+    zpaths = stack.files[max(0, cz - t):cz + t]
+    xy = read_block(zpaths, 0, h, 0, w).max(axis=0)
+    xz = read_block(stack.files, max(0, cy - t), cy + t, 0, w).max(axis=1)
+    yz = read_block(stack.files, 0, h, max(0, cx - t), cx + t).max(axis=2)
+    return xy, xz, yz
+
+
+def align_big_channels(ref_dir: Path, mov_dirs: Dict[str, Path],
+                       max_iter: int = 10, thickness: int = 16,
+                       log: Optional[Logger] = None
+                       ) -> Dict[str, Tuple[int, int, int]]:
+    """Streaming inter-channel offset estimation: ECC on streamed central
+    sections, iterated with in-plane section rolls (reference
+    process_big_images role).  Peak memory = sections + one strip."""
+    log = log or Logger()
+    secs_ref = central_sections_streamed(ref_dir, thickness)
+    offsets: Dict[str, Tuple[int, int, int]] = {}
+    for ch, d in mov_dirs.items():
+        secs = list(central_sections_streamed(d, thickness))
+        total = np.zeros(3, int)
+        seen = set()
+        for _ in range(max_iter):
+            xy_r, xz_r, yz_r = secs_ref
+            dy1, dx1 = _ecc_translation(xy_r, secs[0])
+            dz1, dx2 = _ecc_translation(xz_r, secs[1])
+            dz2, dy2 = _ecc_translation(yz_r, secs[2])
+            dz = int(round((dz1 + dz2) / 2.0))
+            dy = int(round((dy1 + dy2) / 2.0))
+            dx = int(round((dx1 + dx2) / 2.0))
+            move = (-dz, -dy, -dx)
+            if move == (0, 0, 0):
+                break
+            key = tuple(total + move)
+            if key in seen:
+                break
+            seen.add(tuple(total))
+            # roll each section by the axes it contains
+            secs[0] = roll_pad(secs[0][None], (0, move[1], move[2]))[0]
+            secs[1] = roll_pad(secs[1][None], (0, move[0], move[2]))[0]
+            secs[2] = roll_pad(secs[2][None], (0, move[0], move[1]))[0]
+            total += move
+        offsets[ch] = tuple(int(v) for v in total)
+        log.info(f"streamed alignment {ch}: offsets (dz, dy, dx) = "
+                 f"{offsets[ch]}")
+    return offsets
+
+
+def write_aligned_series(mov_dir: Path, out_dir: Path,
+                         offset: Tuple[int, int, int],
+                         log: Optional[Logger] = None) -> Path:
+    """Apply an integer (dz, dy, dx) offset to a TIFF series plane by
+    plane (the reference's save_singles leg of process_single_big_image)."""
+    from ..utils.tifstack import TifStack
+
+    log = log or Logger()
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stack = TifStack(mov_dir)
+    dz, dy, dx = offset
+    for z in range(stack.nz):
+        zz = z - dz
+        if 0 <= zz < stack.nz:
+            img = stack[zz]
+            if dy or dx:
+                img = roll_pad(img[None].astype(img.dtype), (0, dy, dx))[0]
+        else:
+            img = np.zeros(stack.nyx, stack.dtype)
+        tio.imwrite(out_dir / f"img_{z:06d}.tif", img)
+    log.info(f"{stack.nz} aligned planes written to {out_dir}")
+    return out_dir
 
 
 def write_composite_series(

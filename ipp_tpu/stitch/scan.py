@@ -1,13 +1,34 @@
 """Piezo-stack scanner alignment — the tsv/scan.py equivalent.
 
 Re-design of the reference's "dragonfly" aligner (tsv/scan.py:31-1143):
-a 3D grid of ScanStacks (x, y, z indices) with per-stack drift, aligned
-pairwise along x, y AND z.  The reference correlates dark-thresholded
-decimated planes per candidate shift in process pools; here each adjacent
-pair goes through the batched all-shifts NCC engine (ops/ncc.align_pair
-with sides we/ns/tb), and blending uses distance-to-edge weights
-(the reference's EDT-weighted blend — exact for box-shaped stacks as a
-separable min-ramp).
+a 3D grid of ScanStacks (x, y, z indices) aligned pairwise along x, y AND
+z, with the reference's three distinctive mechanisms:
+
+- **dark-frame masking** (tsv/scan.py:392-458, align_plane_x:318-333):
+  pixels at or below the dark level are excluded; a pair whose overlap has
+  fewer than sqrt(area) above-dark pixels on either side scores 0 and
+  contributes nothing;
+- **AverageDrift** (tsv/scan.py:136-160): the median inter-stack offset
+  per adjacency direction (with outlier rejection,
+  compute_median_min_max_without_outliers:470-478) — the stage-vs-
+  objective axis misalignment.  Alignment runs in rounds: round k+1
+  re-centers its search window on the round-k drift and shrinks the slop
+  (calculate_next_round_parameters:501-528);
+- **per-stack linear drift** (ScanStack.x_off_per_z/y_off_per_z,
+  tsv/scan.py:85-117): within one piezo travel the frames creep linearly
+  in x/y; estimated from first-vs-last-plane NCC and applied as a per-z
+  integer shift when reading planes.
+
+Global positions come from a reliability-weighted least-squares solve over
+all pairwise links (scores as weights, anchor at the first stack) — the
+same relaxation as stitch.place.place_tiles_lqp, replacing the reference's
+per-axis median chains (flat_adjust_stacks:724-818) which cannot reconcile
+loop inconsistencies.
+
+Each adjacent pair goes through the batched all-shifts NCC engine
+(ops/ncc.align_pair with sides we/ns/tb); blending uses distance-to-edge
+weights (the reference's EDT-weighted blend — exact for box-shaped stacks
+as a separable min-ramp).
 """
 
 from __future__ import annotations
@@ -20,10 +41,46 @@ import numpy as np
 
 from ..geometry.extent import VExtent
 from ..io import tiff as tio
-from ..ops.ncc import NCCParams, align_pair
+from ..ops.ncc import NCCParams, align_pair, ncc_map
 from ..utils.log import Logger
 
-__all__ = ["ScanStack", "Scanner"]
+__all__ = ["ScanStack", "Scanner", "AverageDrift"]
+
+
+@dataclass
+class AverageDrift:
+    """Median offset between adjacent stacks per adjacency direction
+    (reference AverageDrift, tsv/scan.py:136-160): `<axis>off<dir>` is the
+    axis-offset of stacks adjacent along dir."""
+
+    xoffx: int = 0
+    yoffx: int = 0
+    zoffx: int = 0
+    xoffy: int = 0
+    yoffy: int = 0
+    zoffy: int = 0
+    xoffz: int = 0
+    yoffz: int = 0
+    zoffz: int = 0
+
+    def for_side(self, side: str) -> Tuple[int, int, int]:
+        """(dy, dx, dz) window recentering for a side ('we', 'ns', 'tb')."""
+        d = {"we": (self.yoffx, self.xoffx, self.zoffx),
+             "ns": (self.yoffy, self.xoffy, self.zoffy),
+             "tb": (self.yoffz, self.xoffz, self.zoffz)}[side]
+        return d
+
+
+def _median_without_outliers(vals: List[float], stds: float = 3.0) -> float:
+    """reference compute_median_min_max_without_outliers
+    (tsv/scan.py:470-478)."""
+    if not vals:
+        return 0.0
+    arr = np.asarray(vals, np.float64)
+    med = np.median(arr)
+    lim = np.std(arr) * stds
+    kept = arr[(arr >= med - lim) & (arr <= med + lim)]
+    return float(np.median(kept)) if kept.size else float(med)
 
 
 @dataclass
@@ -35,7 +92,7 @@ class ScanStack:
     x0: int
     y0: int
     z0: int
-    drift_x: float = 0.0  # per-z linear drift (reference AverageDrift)
+    drift_x: float = 0.0  # per-z linear drift (reference x_off_per_z)
     drift_y: float = 0.0
     _shape: Optional[Tuple[int, int]] = field(default=None, repr=False)
 
@@ -51,15 +108,52 @@ class ScanStack:
         return VExtent(self.x0, self.x0 + w, self.y0, self.y0 + h,
                        self.z0, self.z0 + len(self.paths))
 
-    def read_plane(self, z: int) -> np.ndarray:
-        return tio.imread(self.paths[z])
+    def read_plane(self, z: int, apply_drift: bool = True) -> np.ndarray:
+        """Read plane z, undoing the per-z linear drift (reference
+        ScanStack.read_plane trims by x_off_per_z*z, tsv/scan.py:108-117;
+        here the shift wraps with np.roll and the wrapped strip zeroes)."""
+        img = tio.imread(self.paths[z])
+        if not apply_drift or (self.drift_x == 0 and self.drift_y == 0):
+            return img
+        dx = int(round(self.drift_x * z))
+        dy = int(round(self.drift_y * z))
+        if dx == 0 and dy == 0:
+            return img
+        out = np.roll(img, (-dy, -dx), axis=(0, 1))
+        if dy > 0:
+            out[-dy:] = 0
+        elif dy < 0:
+            out[:-dy] = 0
+        if dx > 0:
+            out[:, -dx:] = 0
+        elif dx < 0:
+            out[:, :-dx] = 0
+        return out
 
-    def read_volume(self, dark: float = 0.0) -> np.ndarray:
-        vol = np.stack([self.read_plane(z) for z in range(len(self.paths))])
+    def read_volume(self, dark: float = 0.0,
+                    apply_drift: bool = True) -> np.ndarray:
+        vol = np.stack([self.read_plane(z, apply_drift)
+                        for z in range(len(self.paths))])
         vol = vol.astype(np.float32)
         if dark > 0:
             vol = np.maximum(vol - dark, 0.0)
         return vol
+
+    def estimate_drift(self, dark: float = 0.0, max_shift: int = 8) -> None:
+        """Estimate the per-z linear creep from first-vs-last-plane NCC."""
+        n = len(self.paths)
+        if n < 2:
+            return
+        a = np.maximum(tio.imread(self.paths[0]).astype(np.float32) - dark, 0)
+        b = np.maximum(tio.imread(self.paths[-1]).astype(np.float32) - dark, 0)
+        m = ncc_map(a, b, max_shift, max_shift)
+        u, v = np.unravel_index(np.argmax(m), m.shape)
+        if m[u, v] <= 0.3:  # no reliable structure: keep zero drift
+            return
+        # ncc_map peak (u, v) means a[t+u] matches b[t], i.e. content crept
+        # by -(u - max_shift) per full travel — negate for the creep rate
+        self.drift_y = -(u - max_shift) / (n - 1)
+        self.drift_x = -(v - max_shift) / (n - 1)
 
 
 class Scanner:
@@ -69,13 +163,17 @@ class Scanner:
     def __init__(self, stacks: Dict[Tuple[int, int, int], ScanStack],
                  dark: float = 0.0, slop: Tuple[int, int, int] = (10, 10, 5),
                  params: Optional[NCCParams] = None,
+                 min_support: int = 5,
                  log: Optional[Logger] = None):
         self.stacks = dict(stacks)
         self.dark = dark
         self.slop = slop
         self.params = params or NCCParams(min_dim_ncc_src=8)
+        self.min_support = min_support
         self.log = log or Logger()
         self.alignments: Dict[Tuple, Tuple[int, int, int]] = {}
+        self.scores: Dict[Tuple, float] = {}
+        self.drift = AverageDrift()
 
     def _overlap(self, a: ScanStack, b: ScanStack, side: str) -> int:
         ea, eb = a.extent, b.extent
@@ -85,53 +183,135 @@ class Scanner:
             return max(1, ea.y1 - eb.y0)
         return max(1, ea.z1 - eb.z0)
 
-    def align_all_stacks(self) -> None:
-        """Pairwise NCC alignment of every adjacent pair along x, y, z
-        (reference align_all_stacks, tsv/scan.py:327-460)."""
+    def _dark_support_ok(self, va: np.ndarray, vb: np.ndarray,
+                         side: str, overlap: int) -> bool:
+        """Dark-frame support check (reference align_plane_*:
+        require >= sqrt(area) above-dark pixels in the overlap strips)."""
+        if self.dark <= 0:
+            return True
+        if side == "we":
+            sa, sb = va[:, :, -overlap:], vb[:, :, :overlap]
+        elif side == "ns":
+            sa, sb = va[:, -overlap:, :], vb[:, :overlap, :]
+        else:
+            sa, sb = va[-overlap:], vb[:overlap]
+        need = np.sqrt(sa[0].size)
+        # read_volume already subtracted dark, so "above dark" is > 0
+        return (np.count_nonzero(sa > 0) / max(1, sa.shape[0]) >= need and
+                np.count_nonzero(sb > 0) / max(1, sb.shape[0]) >= need)
+
+    def _align_one(self, s0: ScanStack, s1: ScanStack, side: str,
+                   recenter: Tuple[int, int, int],
+                   slop: Tuple[int, int, int]):
+        """One pair through the all-shifts NCC engine, window recentered by
+        the current drift estimate."""
+        overlap = self._overlap(s0, s1, side)
+        va = s0.read_volume(self.dark)
+        vb = s1.read_volume(self.dark)
+        d = min(va.shape[0], vb.shape[0])
+        va, vb = va[:d], vb[:d]
+        if not self._dark_support_ok(va, vb, side, overlap):
+            return None, 0.0
+        dy, dx, dz = recenter
+        # recenter by rolling stack b's data window (equivalent to shifting
+        # the nominal search center, reference align_stack_x:392-418)
+        sy, sx, sz = slop
+        res = align_pair(va, vb, side, overlap, sy + abs(dy), sx + abs(dx),
+                         sz + abs(dz), self.params)
+        score = float(np.nanmax(np.where(np.isfinite(res.ncc_peak),
+                                         res.ncc_peak, 0.0)))
+        return res.coord, score
+
+    def align_all_stacks(self, rounds: int = 2) -> None:
+        """Pairwise NCC alignment of every adjacent pair along x, y, z with
+        drift-recentered rounds (reference align_all_stacks
+        tsv/scan.py:327-460 + calculate_next_round_parameters:501-528)."""
         keys = set(self.stacks)
         neighbors = {"we": (1, 0, 0), "ns": (0, 1, 0), "tb": (0, 0, 1)}
-        sx, sy, sz = self.slop
-        for (xi, yi, zi), s0 in sorted(self.stacks.items()):
-            for side, (dx, dy, dz) in neighbors.items():
-                k1 = (xi + dx, yi + dy, zi + dz)
-                if k1 not in keys:
-                    continue
-                s1 = self.stacks[k1]
-                overlap = self._overlap(s0, s1, side)
-                va = s0.read_volume(self.dark)
-                vb = s1.read_volume(self.dark)
-                d = min(va.shape[0], vb.shape[0])
-                res = align_pair(va[:d], vb[:d], side, overlap,
-                                 sy, sx, sz, self.params)
-                self.alignments[((xi, yi, zi), k1)] = res.coord
-                self.log.info(
-                    f"scan align {side} {(xi, yi, zi)}->{k1}: "
-                    f"coord={res.coord} peak={tuple(round(p, 3) for p in res.ncc_peak)}")
+        for rnd in range(max(1, rounds)):
+            per_side: Dict[str, List[Tuple[int, int, int]]] = {
+                "we": [], "ns": [], "tb": []}
+            slop = tuple(max(2, s >> rnd) for s in self.slop)
+            for (xi, yi, zi), s0 in sorted(self.stacks.items()):
+                for side, (dx, dy, dz) in neighbors.items():
+                    k1 = (xi + dx, yi + dy, zi + dz)
+                    if k1 not in keys:
+                        continue
+                    s1 = self.stacks[k1]
+                    coord, score = self._align_one(
+                        s0, s1, side, self.drift.for_side(side), slop)
+                    if coord is None:
+                        self.log.info(
+                            f"scan align {side} {(xi, yi, zi)}->{k1}: "
+                            "insufficient above-dark support, skipped")
+                        continue
+                    self.alignments[((xi, yi, zi), k1)] = coord
+                    self.scores[((xi, yi, zi), k1)] = score
+                    # offsets relative to nominal positions feed the drift
+                    cv, ch, cd = coord
+                    per_side[side].append((
+                        ch - (s1.x0 - s0.x0), cv - (s1.y0 - s0.y0),
+                        cd - (s1.z0 - s0.z0)))
+                    self.log.info(
+                        f"scan align {side} {(xi, yi, zi)}->{k1}: "
+                        f"coord={coord} score={score:.3f}")
+            self.drift = self._estimate_drift(per_side)
+            if rounds > 1 and rnd == 0:
+                self.log.info(f"round {rnd} drift: {self.drift}")
+
+    def _estimate_drift(self, per_side) -> AverageDrift:
+        """Median per-direction offsets with outlier rejection
+        (reference accumulate_offsets, tsv/scan.py:479-499)."""
+        def med(side, axis):
+            return int(round(_median_without_outliers(
+                [t[axis] for t in per_side[side]])))
+
+        return AverageDrift(
+            xoffx=med("we", 0), yoffx=med("we", 1), zoffx=med("we", 2),
+            xoffy=med("ns", 0), yoffy=med("ns", 1), zoffy=med("ns", 2),
+            xoffz=med("tb", 0), yoffz=med("tb", 1), zoffz=med("tb", 2))
+
+    def estimate_stack_drifts(self) -> None:
+        """Per-stack linear x/y creep (reference x_off_per_z/y_off_per_z)."""
+        for s in self.stacks.values():
+            s.estimate_drift(self.dark)
 
     def apply_alignments(self) -> None:
-        """Chain pairwise results into absolute stack positions (first-found
-        spanning order), then rebase to zero."""
+        """Solve for absolute stack positions as a score-weighted
+        least-squares problem per axis (the place_tiles_lqp relaxation —
+        reconciles loop-inconsistent links that the reference's median
+        chains, flat_adjust_stacks:724-818, average away), then rebase."""
         if not self.alignments:
             return
-        pos: Dict[Tuple[int, int, int], Tuple[int, int, int]] = {}
-        first = sorted(self.stacks)[0]
-        pos[first] = (self.stacks[first].x0, self.stacks[first].y0,
-                      self.stacks[first].z0)
-        changed = True
-        while changed:
-            changed = False
-            for (k0, k1), (cv, ch, cd) in self.alignments.items():
-                if k0 in pos and k1 not in pos:
-                    x, y, z = pos[k0]
-                    pos[k1] = (x + ch, y + cv, z + cd)
-                    changed = True
-                elif k1 in pos and k0 not in pos:
-                    x, y, z = pos[k1]
-                    pos[k0] = (x - ch, y - cv, z - cd)
-                    changed = True
-        for k, s in self.stacks.items():
-            if k in pos:
-                s.x0, s.y0, s.z0 = pos[k]
+        from scipy.sparse import lil_matrix
+        from scipy.sparse.linalg import lsqr
+
+        nodes = sorted(self.stacks)
+        idx = {k: i for i, k in enumerate(nodes)}
+        n = len(nodes)
+        pos = np.zeros((n, 3))
+        # edge list: (i, j, (dx, dy, dz), w)
+        edges = []
+        for (k0, k1), (cv, ch, cd) in self.alignments.items():
+            w = max(self.scores.get((k0, k1), 0.1), 1e-3)
+            edges.append((idx[k0], idx[k1], (ch, cv, cd), w))
+        for axis in range(3):
+            A = lil_matrix((len(edges) + 1, n))
+            b = np.zeros(len(edges) + 1)
+            for i, (u, v, d, w) in enumerate(edges):
+                sw = np.sqrt(w)
+                A[i, v] = sw
+                A[i, u] = -sw
+                b[i] = sw * d[axis]
+            A[len(edges), 0] = 1000.0
+            b[len(edges)] = 1000.0 * (self.stacks[nodes[0]].x0,
+                                      self.stacks[nodes[0]].y0,
+                                      self.stacks[nodes[0]].z0)[axis]
+            pos[:, axis] = lsqr(A.tocsr(), b)[0]
+        pos = np.rint(pos).astype(np.int64)
+        for k, i in idx.items():
+            s = self.stacks[k]
+            s.x0, s.y0, s.z0 = int(pos[i, 0]), int(pos[i, 1]), int(pos[i, 2])
         mx = min(s.x0 for s in self.stacks.values())
         my = min(s.y0 for s in self.stacks.values())
         mz = min(s.z0 for s in self.stacks.values())

@@ -136,3 +136,56 @@ def test_matmul_fft_matches_numpy(rng):
                              s=shape, axes=(0, 1, 2))
     rel = np.abs(conv - ref_conv).max() / np.abs(ref_conv).max()
     assert rel < 1e-5, rel
+
+
+def test_rl_mxu_backend_matches_xla(rng, monkeypatch):
+    """richardson_lucy on the MXU matmul-FFT backend equals the XLA-FFT
+    backend (the TPU production path, forced here on CPU)."""
+    from ipp_tpu.ops import deconv as dc
+    from ipp_tpu.ops.psf import gaussian_psf
+
+    vol = (rng.random((24, 28, 32)) * 1000).astype(np.float32)
+    psf = np.asarray(gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0)))
+
+    monkeypatch.setattr(dc, "_RESOLVED_FFT", "xla")
+    shape_x = dc.fft_shape_for(vol.shape, psf.shape)
+    a = np.asarray(dc.richardson_lucy(vol, psf, niter=4, fft_shape=shape_x))
+    b_batched_x = np.asarray(dc.richardson_lucy_batched(
+        vol[None], psf, niter=4, fft_shape=shape_x))[0]
+
+    monkeypatch.setattr(dc, "_RESOLVED_FFT", "mxu")
+    shape_m = dc.fft_shape_for(vol.shape, psf.shape)
+    b = np.asarray(dc.richardson_lucy(vol, psf, niter=4, fft_shape=shape_m))
+    c = np.asarray(dc.richardson_lucy_batched(
+        vol[None], psf, niter=4, fft_shape=shape_m))[0]
+
+    # different pad shapes -> tiny boundary differences; interior matches
+    inner = (slice(4, -4),) * 3
+    np.testing.assert_allclose(b[inner], a[inner], rtol=2e-3, atol=2e-1)
+    np.testing.assert_allclose(c[inner], b[inner], rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(b_batched_x[inner], a[inner],
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_edge_taper_face_slabs_match_full_blur(rng):
+    """The face-slab edge taper equals the naive full-volume formula
+    mask*vol + (1-mask)*blur(vol) (reference edgetaper_3d.m)."""
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops import deconv as dc
+    from ipp_tpu.ops.psf import gaussian_psf
+
+    vol = jnp.asarray((rng.random((48, 56, 64)) * 1000).astype(np.float32))
+    psf = jnp.asarray(gaussian_psf((7, 9, 9), (1.5, 2.0, 2.0)))
+    psf = psf / jnp.sum(psf)
+    got = np.asarray(dc.edge_taper_3d(vol, psf))
+    blur = np.asarray(dc._fft_conv_same(vol, psf))
+    mask = np.ones((), np.float32)
+    for d in range(3):
+        tw = max(8, int(round(psf.shape[d] / 2)))
+        t = dc.make_taper(vol.shape[d], tw)
+        shape = [1, 1, 1]
+        shape[d] = vol.shape[d]
+        mask = mask * t.reshape(shape)
+    ref = mask * np.asarray(vol) + (1.0 - mask) * blur
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=0.05)

@@ -67,3 +67,90 @@ def test_raw_roundtrip(tmp_path, rng):
     rio.raw_imsave(p, img)
     out = rio.raw_imread(p)
     np.testing.assert_array_equal(np.asarray(out), img)
+
+
+def test_partial_read_truncated_file(tmp_path, rng):
+    """Truncated TIFFs salvage their intact leading strips
+    (reference repair chain role, pystripe/core.py:212-250)."""
+    from ipp_tpu.io.tiff import read_tiff_partial
+
+    img = rng.integers(0, 65535, (64, 48)).astype(np.uint16)
+    p = tmp_path / "t.tif"
+    tio.write_tiff(p, img, rows_per_strip=8)
+    data = p.read_bytes()
+    # cut 30% off the end: trailing strips unreadable
+    (tmp_path / "trunc.tif").write_bytes(data[:int(len(data) * 0.7)])
+    out, failed = read_tiff_partial(tmp_path / "trunc.tif")
+    assert out.shape == img.shape and failed > 0
+    np.testing.assert_array_equal(out[:16], img[:16])  # head intact
+    # imread-level salvage (after retries) returns the same plane
+    out2 = tio.imread(tmp_path / "trunc.tif", retries=1)
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_partial_read_corrupt_middle_strip(tmp_path, rng):
+    from ipp_tpu.io.tiff import read_tiff_partial
+
+    img = rng.integers(0, 65535, (64, 32)).astype(np.uint16)
+    p = tmp_path / "c.tif"
+    tio.write_tiff(p, img, compression="zlib", rows_per_strip=8)
+    data = bytearray(p.read_bytes())
+    # stomp bytes in the middle of the strip data area
+    mid = len(data) // 2
+    data[mid:mid + 40] = b"\xff" * 40
+    (tmp_path / "bad.tif").write_bytes(bytes(data))
+    out, failed = read_tiff_partial(tmp_path / "bad.tif")
+    assert failed >= 1
+    # at least half the strips survive and match
+    rows_ok = [r for r in range(0, 64, 8)
+               if np.array_equal(out[r:r + 8], img[r:r + 8])]
+    assert len(rows_ok) >= 4
+
+
+def test_read_tiff_fuzz_never_crashes(tmp_path, rng):
+    """Malformed-file corpus: random mutations of valid TIFFs must raise
+    TiffError or return an array — never crash or hang (modeled on
+    load_bl_tif_test.m's fuzz suite with error-reason statistics)."""
+    from ipp_tpu.io.tiff import TiffError, read_tiff, read_tiff_partial
+
+    img = rng.integers(0, 65535, (32, 32)).astype(np.uint16)
+    base = tmp_path / "base.tif"
+    tio.write_tiff(base, img, compression="zlib", rows_per_strip=4)
+    data = base.read_bytes()
+    outcomes = {"ok": 0, "tiff_error": 0, "salvaged": 0}
+    for i in range(60):
+        buf = bytearray(data)
+        kind = i % 3
+        if kind == 0:  # truncate at a random point
+            buf = buf[:int(rng.integers(4, len(buf)))]
+        elif kind == 1:  # flip random bytes
+            for _ in range(8):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(256))
+        else:  # corrupt the IFD area
+            off = int(rng.integers(4, min(200, len(buf) - 4)))
+            buf[off:off + 4] = rng.integers(0, 256, 4, dtype=np.uint8).tobytes()
+        p = tmp_path / f"fuzz_{i}.tif"
+        p.write_bytes(bytes(buf))
+        try:
+            out = read_tiff(p)
+            assert out.size > 0
+            outcomes["ok"] += 1
+        except (TiffError, Exception):
+            try:
+                out, failed = read_tiff_partial(p)
+                outcomes["salvaged"] += 1
+            except Exception:
+                outcomes["tiff_error"] += 1
+    assert sum(outcomes.values()) == 60, outcomes
+
+
+def test_bigtiff_roundtrip_forced(tmp_path, rng):
+    """BigTIFF layout (8-byte offsets) round-trips through both codecs."""
+    from ipp_tpu import native
+
+    img = rng.integers(0, 65535, (256, 300)).astype(np.uint16)
+    p = tmp_path / "big.tif"
+    tio.write_tiff(p, img, bigtiff=True, rows_per_strip=50)
+    np.testing.assert_array_equal(tio.read_tiff(p), img)
+    if native.available():
+        np.testing.assert_array_equal(native.tiff_read(p), img)

@@ -194,3 +194,42 @@ def test_deconvolve_pipeline_mesh_matches_single_device(tmp_path, rng):
         a = tio.imread(p1).astype(np.int32)
         b = tio.imread(out8 / p1.name).astype(np.int32)
         assert np.abs(a - b).max() <= 1  # u16 rounding of float-tol diffs
+
+
+def test_streamed_channel_alignment_matches_in_ram(tmp_path, rng):
+    """VERDICT round-1 item 6: big-volume channel alignment streams from
+    disk (sections + one strip in RAM) and recovers the same offsets as
+    the in-RAM path (reference process_big_images, align_images.py:343)."""
+    from ipp_tpu.pipeline.align_channels import (align_big_channels,
+                                                 align_volumes, roll_pad,
+                                                 write_aligned_series)
+
+    # ECC needs sharp gradients: a dot phantom (smooth random fields are
+    # degenerate for Sobel-ECC, which real microscopy data never is)
+    vol = np.zeros((24, 96, 96), np.float32)
+    pts = rng.integers(6, 90, (300, 2))
+    vol[rng.integers(3, 21, 300), pts[:, 0], pts[:, 1]] = 3000.0
+    vol = gaussian_filter(vol, 1.5)
+    true_off = (2, -3, 4)
+    mov = roll_pad(vol.copy(), true_off)
+    ref_dir = tmp_path / "ref"
+    mov_dir = tmp_path / "mov"
+    ref_dir.mkdir()
+    mov_dir.mkdir()
+    for z in range(vol.shape[0]):
+        tio.imwrite(ref_dir / f"img_{z:06d}.tif",
+                    vol[z].astype(np.uint16))
+        tio.imwrite(mov_dir / f"img_{z:06d}.tif",
+                    mov[z].astype(np.uint16))
+    offsets = align_big_channels(ref_dir, {"ch1": mov_dir})
+    _, in_ram = align_volumes(vol, mov)
+    # recovered offset undoes the injected shift to within a pixel
+    assert all(abs(o + t) <= 1 for o, t in zip(offsets["ch1"], true_off)), (offsets, true_off)
+    assert all(abs(o - r) <= 1 for o, r in zip(offsets["ch1"], in_ram))
+
+    out = write_aligned_series(mov_dir, tmp_path / "aligned",
+                               offsets["ch1"])
+    realigned = np.stack([tio.imread(p) for p in sorted(out.glob("*.tif"))])
+    inner = (slice(4, -4),) * 3
+    c = np.corrcoef(realigned[inner].ravel(), vol[inner].ravel())[0, 1]
+    assert c > 0.95, c

@@ -120,3 +120,72 @@ def test_generate_downsampled_npz(tmp_path, rng):
     data = np.load(npz, allow_pickle=True)
     assert data["I"].shape == (4, 10, 15)
     assert len(data["xI"]) == 3
+
+
+def test_scanner_recovers_injected_drift(tmp_path, rng):
+    """VERDICT round-1 item 5: synthetic piezo grid with an injected
+    stage-axis drift (every +x stack step also creeps +2 px in y) is
+    recovered to +-1 px by drift-recentered rounds + the weighted LS
+    solve (reference AverageDrift + flat_adjust_stacks roles)."""
+    from ipp_tpu.stitch.scan import Scanner, ScanStack
+
+    vol = make_phantom(rng, (12, 140, 260), smooth=6.0)
+    # 3 stacks along x, nominal x0 = 0/80/160 with width 100 (20 px overlap)
+    # true y creep: +2 px per x step (not told to the scanner)
+    truth = []
+    stacks = {}
+    for xi in range(3):
+        x0 = 80 * xi
+        y0 = 2 * xi
+        sub = vol[:, y0:y0 + 100, x0:x0 + 100]
+        paths = _write_stack(tmp_path / f"s{xi}", sub)
+        stacks[(xi, 0, 0)] = ScanStack(paths, x0=x0, y0=0, z0=0)
+        truth.append((x0, y0, 0))
+    sc = Scanner(stacks, slop=(5, 5, 2), dark=0.0)
+    sc.align_all_stacks(rounds=2)
+    assert sc.drift.yoffx != 0  # the creep was detected
+    sc.apply_alignments()
+    base = stacks[(0, 0, 0)]
+    for xi in range(3):
+        s = stacks[(xi, 0, 0)]
+        tx, ty, tz = truth[xi]
+        assert abs((s.x0 - base.x0) - tx) <= 1, (xi, s.x0, tx)
+        assert abs((s.y0 - base.y0) - ty) <= 1, (xi, s.y0, ty)
+        assert abs((s.z0 - base.z0) - tz) <= 1, (xi, s.z0, tz)
+
+
+def test_scanstack_estimates_linear_creep(tmp_path, rng):
+    """Per-stack linear x/y drift (reference x_off_per_z) estimated from
+    first-vs-last-plane NCC and undone by read_plane."""
+    from ipp_tpu.stitch.scan import ScanStack
+
+    base = make_phantom(rng, (1, 96, 96), smooth=4.0)[0]
+    nz = 9
+    planes = []
+    for z in range(nz):  # creep: +0.5 px/z in x
+        dx = int(round(0.5 * z))
+        planes.append(np.roll(base, dx, axis=1))
+    paths = _write_stack(tmp_path / "drift", np.stack(planes))
+    s = ScanStack(paths, x0=0, y0=0, z0=0)
+    s.estimate_drift()
+    assert abs(s.drift_x - 0.5) <= 0.15, s.drift_x
+    assert abs(s.drift_y) <= 0.1, s.drift_y
+    # reading with drift undone re-aligns the last plane to the first
+    p_last = s.read_plane(nz - 1)
+    inner = (slice(8, -8), slice(8, -8))
+    corr = np.corrcoef(p_last[inner].ravel(), base[inner].ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_scanner_dark_support_skips_empty_overlap(tmp_path, rng):
+    """Pairs whose overlap is below the dark level are skipped
+    (reference dark-frame masking, align_plane_x)."""
+    from ipp_tpu.stitch.scan import Scanner, ScanStack
+
+    a = np.zeros((6, 64, 64), np.uint16)  # all dark
+    b = np.zeros((6, 64, 64), np.uint16)
+    sa = ScanStack(_write_stack(tmp_path / "a", a), x0=0, y0=0, z0=0)
+    sb = ScanStack(_write_stack(tmp_path / "b", b), x0=48, y0=0, z0=0)
+    sc = Scanner({(0, 0, 0): sa, (1, 0, 0): sb}, dark=100.0, slop=(4, 4, 2))
+    sc.align_all_stacks(rounds=1)
+    assert ((0, 0, 0), (1, 0, 0)) not in sc.alignments
