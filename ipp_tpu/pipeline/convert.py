@@ -1,10 +1,11 @@
 """Parallel converter CLI — the top-level convert.py equivalent.
 
 (reference convert.py:23-404: IMS/TIFF dir -> preprocessed TIFF series
-with optional 8-bit/destripe/resize, then TeraFly / Imaris / downsampled
-npz exports — the reference shells out to MPI paraconverter and wine
-ImarisConvertiv; here the exports are native: ipp_tpu.io.terafly and
-ipp_tpu.io.ims.)
+with optional 8-bit/destripe/resize, then TeraFly / Imaris / FNT-cube /
+MP4 exports — the reference shells out to MPI paraconverter, wine
+ImarisConvertiv, fnt-slice2cube and ffmpeg; here every export is native:
+ipp_tpu.io.terafly, ipp_tpu.io.ims, tif_series_to_fnt (nrrd cubes the
+fnt_cube_processor tooling rglobs), and tif_series_to_movie via cv2.)
 """
 
 from __future__ import annotations
@@ -24,7 +25,87 @@ from ..utils.jaxconfig import enable_persistent_cache
 from ..utils.log import Logger
 from ..utils.progress import ProgressReporter
 
-__all__ = ["convert", "main"]
+__all__ = ["convert", "main", "tif_series_to_fnt", "tif_series_to_movie"]
+
+
+def tif_series_to_fnt(tif_dir: Path, out_dir: Path, cube: int = 128,
+                      voxel_um=(1.0, 1.0, 1.0),
+                      log: Optional[Logger] = None) -> Path:
+    """Cut a z-plane TIFF series into FNT .nrrd cubes (the fnt-slice2cube
+    role, reference convert.py:168-193).  Cubes land in
+    out/Zzzzz/Yyyyy_Xxxxx.nrrd; the FNT tooling (and our
+    pipeline.fnt_cubes) discovers cubes by rglob('*.nrrd'), so the layout
+    only needs to be deterministic.  One z slab is in RAM at a time."""
+    from ..io.nrrd import write_nrrd
+
+    log = log or Logger()
+    tif_dir = Path(tif_dir)
+    out_dir = Path(out_dir)
+    paths = sorted(p for p in tif_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {tif_dir}")
+    first = tio.imread(paths[0])
+    h, w = first.shape
+    nz = len(paths)
+    vz, vy, vx = voxel_um
+    n_cubes = 0
+    for zi, z0 in enumerate(range(0, nz, cube)):
+        slab = np.stack([tio.imread(p) for p in paths[z0:z0 + cube]])
+        for yi, y0 in enumerate(range(0, h, cube)):
+            for xi, x0 in enumerate(range(0, w, cube)):
+                blk = slab[:, y0:y0 + cube, x0:x0 + cube]
+                p = out_dir / f"Z{zi:04d}" / f"Y{yi:04d}_X{xi:04d}.nrrd"
+                p.parent.mkdir(parents=True, exist_ok=True)
+                write_nrrd(p, blk, extra_header={
+                    "spacings": f"{vz} {vy} {vx}",
+                    "ipp_origin": f"{z0} {y0} {x0}"})
+                n_cubes += 1
+    log.info(f"{n_cubes} FNT cubes written to {out_dir}")
+    return out_dir
+
+
+def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
+                        start: Optional[int] = None,
+                        end: Optional[int] = None,
+                        log: Optional[Logger] = None) -> Path:
+    """Render a TIFF series to a video file (the ffmpeg leg of the
+    reference, convert.py:231-247) via cv2.VideoWriter.  16-bit planes are
+    contrast-scaled to 8-bit by the series' 0.1/99.9 percentiles."""
+    import cv2
+
+    log = log or Logger()
+    tif_dir = Path(tif_dir)
+    movie_path = Path(movie_path)
+    paths = sorted(p for p in tif_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))[start:end]
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {tif_dir}")
+    first = tio.imread(paths[0])
+    h, w = first.shape[:2]
+    if first.dtype != np.uint8:
+        sample = first.astype(np.float32)
+        lo, hi = np.percentile(sample, [0.1, 99.9])
+        hi = max(hi, lo + 1)
+    fourcc = cv2.VideoWriter_fourcc(
+        *("mp4v" if movie_path.suffix.lower() == ".mp4" else "MJPG"))
+    movie_path.parent.mkdir(parents=True, exist_ok=True)
+    vw = cv2.VideoWriter(str(movie_path), fourcc, fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(
+            f"cv2.VideoWriter cannot open {movie_path} (codec missing?); "
+            "try an .avi extension (MJPG)")
+    for p in paths:
+        img = tio.imread(p)
+        if img.dtype != np.uint8:
+            img = np.clip((img.astype(np.float32) - lo) * (255.0 / (hi - lo)),
+                          0, 255).astype(np.uint8)
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        vw.write(img)
+    vw.release()
+    log.info(f"{len(paths)} frames -> {movie_path}")
+    return movie_path
 
 
 def _open_source(src: Path):
@@ -46,6 +127,10 @@ def convert(
     voxel_um=(1.0, 1.0, 1.0),
     to_terafly: bool = False,
     to_imaris: bool = False,
+    to_fnt: Optional[Path] = None,
+    to_movie: Optional[Path] = None,
+    fnt_cube: int = 128,
+    movie_fps: int = 60,
     resume: bool = False,
     log: Optional[Logger] = None,
 ) -> Path:
@@ -74,6 +159,13 @@ def convert(
         log.info("writing Imaris file ...")
         tif_series_to_imaris(tif_dir, tif_dir.parent / (tif_dir.name + ".ims"),
                              voxel_um=voxel_um)
+    if to_fnt:
+        log.info("cutting FNT cubes ...")
+        tif_series_to_fnt(tif_dir, Path(to_fnt), cube=fnt_cube,
+                          voxel_um=voxel_um, log=log)
+    if to_movie:
+        log.info("rendering movie ...")
+        tif_series_to_movie(tif_dir, Path(to_movie), fps=movie_fps, log=log)
     return tif_dir
 
 
@@ -93,6 +185,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("Z", "Y", "X"))
     p.add_argument("--terafly", action="store_true")
     p.add_argument("--imaris", action="store_true")
+    p.add_argument("--fnt", type=Path, default=None,
+                   help="cut FNT .nrrd cubes into this directory")
+    p.add_argument("--fnt-cube", type=int, default=128)
+    p.add_argument("--movie", type=Path, default=None,
+                   help="render the series to this .mp4/.avi")
+    p.add_argument("--movie-fps", type=int, default=60)
     p.add_argument("--resume", action="store_true")
     return p
 
@@ -109,7 +207,8 @@ def main(argv=None) -> int:
             new_size=tuple(args.new_size) if args.new_size else None)
     convert(args.input, args.output, cfg, voxel_um=tuple(args.voxel),
             to_terafly=args.terafly, to_imaris=args.imaris,
-            resume=args.resume)
+            to_fnt=args.fnt, to_movie=args.movie, fnt_cube=args.fnt_cube,
+            movie_fps=args.movie_fps, resume=args.resume)
     return 0
 
 

@@ -85,3 +85,31 @@ def test_dcimg_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(f2[0, 4:], frames[2][0, 4:])
     np.testing.assert_array_equal(f2[0, :4], frames[2][1, :4])
     np.testing.assert_array_equal(d[1:3][0][1:], frames[1][1:])
+
+
+def test_fnt_cubes_and_movie_exports(tmp_path, rng):
+    """FNT .nrrd cube cutting (fnt-slice2cube role) and movie rendering
+    (ffmpeg role) — reference convert.py:168-247."""
+    from ipp_tpu.io.nrrd import read_nrrd
+    from ipp_tpu.pipeline.convert import (tif_series_to_fnt,
+                                          tif_series_to_movie)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    vol = (rng.random((5, 70, 90)) * 4000).astype(np.uint16)
+    for z in range(5):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+    out = tif_series_to_fnt(src, tmp_path / "fnt", cube=64,
+                            voxel_um=(2.0, 1.0, 1.0))
+    cubes = sorted(out.rglob("*.nrrd"))
+    assert len(cubes) == 4  # 1 z slab x 2 y x 2 x
+    blk, hdr = read_nrrd(cubes[0])
+    assert blk.shape == (5, 64, 64)
+    np.testing.assert_array_equal(blk, vol[:, :64, :64])
+    assert "spacings" in hdr
+
+    try:
+        movie = tif_series_to_movie(src, tmp_path / "mov.avi", fps=10)
+        assert movie.exists() and movie.stat().st_size > 1000
+    except RuntimeError as e:
+        pytest.skip(f"no video codec in image: {e}")

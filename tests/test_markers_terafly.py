@@ -78,3 +78,33 @@ def test_merge_displacement_candidates():
     m = merge_displacement_candidates([d1, d2])
     assert len(m[(1, 0, "north")]) == 2
     assert len(m[(0, 1, "west")]) == 1
+
+
+def test_mdata_bin_roundtrip_and_fastload(tmp_path, rng):
+    """export_terafly emits mdata.bin per level (StackedVolume binary
+    metadata, version 2); the reader round-trips it and uses it to load
+    blocks without a directory walk."""
+    from ipp_tpu.io.terafly import (TeraFlyVolume, read_mdata_bin,
+                                    tif_series_to_terafly)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    vol = (rng.random((6, 128, 160)) * 1000).astype(np.uint16)
+    for z in range(6):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+    out = tif_series_to_terafly(src, tmp_path / "tf", voxel_um=(2, 1, 1),
+                                block_yx=(64, 64), n_resolutions=2)
+    for res_dir in out.glob("RES(*)"):
+        info = read_mdata_bin(res_dir / "mdata.bin")
+        assert info["version"] == 2.0
+        assert info["axes"] == (1, 2, 3)
+        n_files = sum(len(s["filenames"])
+                      for row in info["stacks"] for s in row)
+        assert n_files == sum(1 for _ in res_dir.rglob("*.tif"))
+    tf = TeraFlyVolume(out, resolution=0, voxel_um=(2, 1, 1))
+    np.testing.assert_array_equal(tf.read_plane(3), vol[3])
+    tf1 = TeraFlyVolume(out, resolution=1, voxel_um=(2, 1, 1))
+    assert tf1.shape[0] == 64 and tf1.shape[1] == 80
+    assert len(tf1) == 3
+    p = tf1.read_plane(0)
+    assert p.shape == (64, 80)
