@@ -82,6 +82,49 @@ def main() -> None:
     print(f"destripe: compile {destripe_compile:.1f}s, steady "
           f"{destripe_s:.3f}s ({destripe_mpix:.1f} Mpix/s)", file=sys.stderr)
 
+    # --- secondary: NCC alignment maps (pairs/s) ---------------------------
+    from ipp_tpu.ops.ncc import ncc_maps_batched
+
+    B = 32
+    m1 = jnp.asarray(rng.random((B, 512, 128), dtype=np.float32))
+    m2 = jnp.asarray(rng.random((B, 512, 128), dtype=np.float32))
+
+    def run_ncc():
+        return float(jnp.sum(ncc_maps_batched(m1, m2, 30, 30)))
+
+    run_ncc()
+    t0 = time.time()
+    run_ncc()
+    ncc_s = time.time() - t0
+    print(f"ncc: {B} MIP pairs in {ncc_s:.3f}s ({B / ncc_s:.0f} pairs/s)",
+          file=sys.stderr)
+
+    # --- secondary: merge blend (Mpix/s) -----------------------------------
+    import jax as _jax
+
+    tile_a = jnp.asarray(rng.random((2048, 2048), dtype=np.float32))
+    tile_b = jnp.asarray(rng.random((2048, 2048), dtype=np.float32))
+    wa = jnp.asarray(rng.random((2048, 2048), dtype=np.float32))
+
+    REPS = 50
+
+    @_jax.jit
+    def blend_loop(a, b, w):
+        def body(i, acc):
+            m = a * w + acc * (1.0 - w)  # data-dependent: no DCE
+            return jnp.clip(m, 0, 65535.0)
+        return jax.lax.fori_loop(0, REPS, body, b)
+
+    def run_blend():
+        return float(jnp.sum(blend_loop(tile_a, tile_b, wa)))
+
+    run_blend()
+    t0 = time.time()
+    run_blend()
+    blend_s = (time.time() - t0) / REPS
+    print(f"merge blend: {tile_a.size / blend_s / 1e6:.0f} Mpix/s",
+          file=sys.stderr)
+
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({
         "metric": "rl_decon_fft_2563_10iter_throughput_per_chip",

@@ -27,7 +27,7 @@ from typing import Optional, Tuple, Union
 import numpy as np
 
 __all__ = ["imread", "imwrite", "read_tiff", "read_tiff_partial",
-           "write_tiff", "TiffError"]
+           "read_tiff_stack", "write_tiff_stack", "write_tiff", "TiffError"]
 
 NUM_RETRIES = 10
 RETRY_SLEEP = 0.2
@@ -288,6 +288,147 @@ def _read_tiled(f, page: _TiffPage, dtype) -> np.ndarray:
         nx = min(tw * s, w * s - x0)
         img[y0:y0 + ny, x0:x0 + nx] = tile[:ny, :nx]
     return img.reshape(h, w, s) if s > 1 else img
+
+
+def read_tiff_stack(path: Union[str, Path]) -> np.ndarray:
+    """Read ALL pages of a multi-page TIFF into a (Z, H, W[, S]) array —
+    the 3D-TIFF role of TeraStitcher's tiff3D iomanager plugin
+    (src/iomanager/plugins/tiff3D)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise TiffError("not a TIFF")
+        magic = struct.unpack(bo + "H", head[2:4])[0]
+        if magic == 42:
+            big = False
+        elif magic == 43:
+            big = True
+            f.read(4)
+        else:
+            raise TiffError("bad magic")
+        planes = []
+        for tags in _parse_ifds(f, bo, big):
+            page = _page_from_tags(tags)
+            dtype = page.dtype.newbyteorder(bo)
+            if page.tile_offsets:
+                planes.append(_read_tiled(f, page, dtype))
+            else:
+                planes.append(_read_striped(f, page, dtype))
+            if len(planes) > 65535:
+                raise TiffError("implausible page count (IFD cycle?)")
+    if not planes:
+        raise TiffError("no pages")
+    return np.stack(planes)
+
+
+def write_tiff_stack(path: Union[str, Path], vol: np.ndarray,
+                     compression: Optional[str] = None) -> None:
+    """Write a (Z, H, W) volume as one multi-page TIFF (tiff3D plugin
+    role).  Pages are written as independent IFDs chained in order."""
+    vol = np.ascontiguousarray(vol)
+    if vol.ndim != 3:
+        raise TiffError(f"expected (Z, H, W), got {vol.shape}")
+    # write each page to bytes via the single-page writer, then splice the
+    # IFD chains: simplest correct approach at our page counts
+    parts = []
+    for z in range(vol.shape[0]):
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as tf:
+            tmp_name = tf.name
+        write_tiff(tmp_name, vol[z], compression=compression)
+        parts.append(Path(tmp_name).read_bytes())
+        os.unlink(tmp_name)
+    # relocate: page k's offsets shift by the cumulative size of pages
+    # before it (header of later pages dropped, IFD offsets patched)
+    out = bytearray()
+    bo = "<"
+    next_ifd_patch_pos = None
+    for k, data in enumerate(parts):
+        base = len(out)
+        if k == 0:
+            out += data
+            # first IFD offset lives at byte 4 (classic) — pages we write
+            # are always classic little-endian from write_tiff unless big
+        else:
+            # shift every offset in this page's IFD by base - 0 minus the
+            # 8-byte header we drop... simpler: keep the full page bytes
+            # (header too) and point the previous IFD chain at
+            # base + first_ifd_offset; readers follow offsets absolutely,
+            # so intra-page offsets must ALSO shift — rewrite them.
+            shifted = _shift_tiff_offsets(data, base)
+            out += shifted
+        # find this page's first IFD offset and the position of its
+        # next-IFD pointer so the following page can be chained
+        magic = struct.unpack_from(bo + "H", data, 2)[0]
+        big = magic == 43
+        if big:
+            first_ifd = struct.unpack_from(bo + "Q", data, 8)[0]
+            n = struct.unpack_from(bo + "Q", data, first_ifd)[0]
+            next_ptr = first_ifd + 8 + n * 20
+            ptr_fmt = "Q"
+        else:
+            first_ifd = struct.unpack_from(bo + "I", data, 4)[0]
+            n = struct.unpack_from(bo + "H", data, first_ifd)[0]
+            next_ptr = first_ifd + 2 + n * 12
+            ptr_fmt = "I"
+        if next_ifd_patch_pos is not None:
+            struct.pack_into(bo + ptr_fmt, out, next_ifd_patch_pos,
+                             base + first_ifd)
+        next_ifd_patch_pos = base + next_ptr
+    path = Path(path)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(bytes(out))
+    os.replace(tmp, path)
+
+
+def _shift_tiff_offsets(data: bytes, delta: int) -> bytes:
+    """Shift all absolute file offsets in a single-page classic/BigTIFF
+    produced by write_tiff by `delta` (IFD offset, out-of-line tag values,
+    strip offsets)."""
+    buf = bytearray(data)
+    bo = "<"
+    magic = struct.unpack_from(bo + "H", buf, 2)[0]
+    big = magic == 43
+    if big:
+        first_ifd = struct.unpack_from(bo + "Q", buf, 8)[0]
+        struct.pack_into(bo + "Q", buf, 8, first_ifd + delta)
+        n = struct.unpack_from(bo + "Q", buf, first_ifd)[0]
+        entry0, esz, inline, off_fmt = first_ifd + 8, 20, 8, "Q"
+    else:
+        first_ifd = struct.unpack_from(bo + "I", buf, 4)[0]
+        struct.pack_into(bo + "I", buf, 4, first_ifd + delta)
+        n = struct.unpack_from(bo + "H", buf, first_ifd)[0]
+        entry0, esz, inline, off_fmt = first_ifd + 2, 12, 4, "I"
+    for i in range(n):
+        e = entry0 + i * esz
+        tag, typ = struct.unpack_from(bo + "HH", buf, e)
+        count = struct.unpack_from(
+            bo + ("Q" if big else "I"), buf, e + 4)[0]
+        size = _TYPE_SIZES.get(typ, 1) * count
+        val_pos = e + (12 if big else 8)
+        if size > inline:
+            off = struct.unpack_from(bo + off_fmt, buf, val_pos)[0]
+            struct.pack_into(bo + off_fmt, buf, val_pos, off + delta)
+            if tag in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
+                fmt = _TYPE_FMT[typ]
+                isz = struct.calcsize(fmt)
+                for kk in range(count):
+                    v = struct.unpack_from(bo + fmt, buf, off + kk * isz)[0]
+                    struct.pack_into(bo + fmt, buf, off + kk * isz,
+                                     v + delta)
+        elif tag in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
+            fmt = _TYPE_FMT[typ]
+            isz = struct.calcsize(fmt)
+            for kk in range(count):
+                v = struct.unpack_from(bo + fmt, buf, val_pos + kk * isz)[0]
+                struct.pack_into(bo + fmt, buf, val_pos + kk * isz,
+                                 v + delta)
+    return bytes(buf)
 
 
 def read_tiff_partial(path: Union[str, Path]) -> Tuple[np.ndarray, int]:

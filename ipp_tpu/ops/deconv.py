@@ -161,21 +161,22 @@ def edge_taper_3d(vol: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
     block.  Each slab conv is an FFT convolution (a direct single-channel
     3D conv cannot use the MXU; measured ~60x slower for a 9^3 PSF)."""
     psf = psf / jnp.sum(psf)
-    tws = [max(8, int(round(psf.shape[d] / 2))) for d in range(3)]
+    # the effective ramp width is capped at half the axis (make_taper);
+    # slab bookkeeping must use the same cap
+    tws = [min(max(8, int(round(psf.shape[d] / 2))), vol.shape[d] // 2)
+           for d in range(3)]
     mask = jnp.ones((), vol.dtype)
     for d in range(3):
         taper = jnp.asarray(make_taper(vol.shape[d], tws[d]), vol.dtype)
         shape = [1, 1, 1]
         shape[d] = vol.shape[d]
         mask = mask * taper.reshape(shape)
-    if all(2 * (tw + k) >= s for tw, k, s in
-           zip(tws, psf.shape, vol.shape)):
-        # slabs would cover everything: blur the full volume
+    if any(tw + k > s for tw, k, s in zip(tws, psf.shape, vol.shape)):
+        # a face slab would not fit: blur the full (small) volume
         blur = _fft_conv_same(vol, psf)
         return mask * vol + (1.0 - mask) * blur
     out = mask * vol
     inv = 1.0 - mask
-    done_lo = [0, 0, 0]  # face strips already handled by earlier axes
     for d in range(3):
         k = psf.shape[d]
         tw = tws[d]
@@ -222,7 +223,7 @@ def _fft_conv_same(vol: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
             tuple(slice(0, k) for k in kern.shape)].set(kern.astype(vol.dtype))
         vpad = jnp.zeros(shape, vol.dtype).at[
             tuple(slice(0, s) for s in vp.shape)].set(vp)
-        full = plan.convolve(vpad, plan.rfftn(kp))
+        full = plan.convolve(vpad, plan.otf_packed(kp))
     else:
         shape = tuple(next_fast_len(s + k - 1)
                       for s, k in zip(vp.shape, kern.shape))
@@ -258,7 +259,7 @@ def _make_convolver(psf: jnp.ndarray, fft_shape):
         from .mxu_fft import MatmulFFT3
 
         plan = MatmulFFT3(fft_shape)
-        otf = plan.rfftn(rolled)
+        otf = plan.otf_packed(rolled)
         return (lambda x: plan.convolve(x, otf),
                 lambda x: plan.convolve(x, otf, conj=True))
     otf = jnp.fft.rfftn(rolled)
@@ -356,17 +357,22 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
         use_reg = jnp.logical_and(is_reg, lam > 0)
         bl = jax.lax.cond(use_reg, with_reg, no_reg, (bl, buf))
         bl = jnp.abs(bl)
-        delta_cur = jnp.linalg.norm(bl.reshape(-1))
-        rel = jnp.abs(delta_prev - delta_cur) / jnp.maximum(delta_prev, eps) * 100.0
-        done = jnp.logical_and(stop_criterion > 0,
-                               jnp.logical_and(i > 1, rel <= stop_criterion))
+        if stop_criterion > 0:  # static: skip the norm passes otherwise
+            delta_cur = jnp.linalg.norm(bl.reshape(-1))
+            rel = (jnp.abs(delta_prev - delta_cur)
+                   / jnp.maximum(delta_prev, eps) * 100.0)
+            done = jnp.logical_and(i > 1, rel <= stop_criterion)
+        else:
+            delta_cur = delta_prev
+            done = jnp.bool_(False)
         return i + 1, bl, delta_cur, done
 
     def cond(carry):
         i, _, _, done = carry
         return jnp.logical_and(i <= niter, jnp.logical_not(done))
 
-    delta0 = jnp.linalg.norm(bl.reshape(-1))
+    delta0 = (jnp.linalg.norm(bl.reshape(-1)) if stop_criterion > 0
+              else jnp.float32(0))
     _, bl, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(1), bl, delta0, jnp.bool_(False)))
     return bl
@@ -407,18 +413,36 @@ def richardson_lucy(
     """
     vol = jnp.asarray(vol, jnp.float32)
     psf = jnp.asarray(psf, jnp.float32)
-    psf = psf / jnp.sum(psf)
     if fft_shape is None:
         fft_shape = fft_shape_for(vol.shape, psf.shape)
+    # the WHOLE pipeline (normalize/taper/pad/iterate/unpad) compiles as one
+    # program: eagerly dispatched taper slabs cost ~30 ms of tunnel latency
+    # PER OP on the remote TPU backend (measured 460 ms of pure dispatch)
+    out = _rl_single(
+        vol, psf, niter=int(niter),
+        fft_shape=tuple(int(s) for s in fft_shape),
+        lam=float(lam), stop_criterion=float(stop_criterion),
+        regularize_interval=int(regularize_interval),
+        edge_taper=bool(edge_taper), classic=bool(classic),
+        sharding=sharding)
+    return out
+
+
+@partial(jax.jit, static_argnames=(
+    "niter", "fft_shape", "lam", "stop_criterion", "regularize_interval",
+    "edge_taper", "classic", "sharding"))
+def _rl_single(vol, psf, *, niter, fft_shape, lam, stop_criterion,
+               regularize_interval, edge_taper, classic, sharding):
+    psf = psf / jnp.sum(psf)
     if edge_taper:
         vol = edge_taper_3d(vol, psf)
     vol, pre, post = pad_to_shape(vol, fft_shape)
     if sharding is not None:
         vol = jax.lax.with_sharding_constraint(vol, sharding)
     out = _rl_fft_iterations(
-        vol, psf, niter=int(niter), fft_shape=tuple(int(s) for s in fft_shape),
-        lam=float(lam), stop_criterion=float(stop_criterion),
-        regularize_interval=int(regularize_interval), classic=bool(classic))
+        vol, psf, niter=niter, fft_shape=fft_shape, lam=lam,
+        stop_criterion=stop_criterion,
+        regularize_interval=regularize_interval, classic=classic)
     return unpad(out, pre, post)
 
 

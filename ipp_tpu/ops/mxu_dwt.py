@@ -32,7 +32,15 @@ import numpy as np
 
 __all__ = ["dwt_last_mm", "idwt_last_mm"]
 
-_PREC = jax.lax.Precision.HIGHEST
+# HIGH (3-pass bf16) is ~3e-5 relative — invisible after the destriper's
+# u16 rounding; override with IPP_TPU_DWT_PRECISION=highest if needed
+import os as _os
+
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("IPP_TPU_DWT_PRECISION", "high").lower()]
 
 
 def _pick_chunk(n: int, L: int) -> int:

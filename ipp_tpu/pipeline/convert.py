@@ -214,3 +214,22 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def convert_deconvolved(input_dir: Path, output_dir: Path,
+                        magnification: str = "6x",
+                        log: Optional[Logger] = None) -> Path:
+    """Rescale a 15x-deconvolved 2D series to the 6x or 12x grid
+    (reference supplements/convert_deconvolved.py: batch_filter with
+    new_size = shape * 0.42 / {1, 0.5} and 8-bit output)."""
+    log = log or Logger()
+    input_dir = Path(input_dir)
+    paths = sorted(p for p in input_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {input_dir}")
+    shape = tio.imread(paths[0]).shape
+    factor = {"6x": 0.42 / 1.0, "12x": 0.42 / 0.5}[magnification]
+    new_size = (int(round(shape[0] * factor)), int(round(shape[1] * factor)))
+    cfg = ProcessConfig(convert_to_8bit=True, new_size=new_size)
+    return convert(input_dir, output_dir, cfg, log=log)

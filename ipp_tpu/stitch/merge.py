@@ -29,7 +29,7 @@ from ..ops.resample import block_reduce, plan_isotropic_downsampling, resize
 from ..utils.progress import ProgressReporter
 from .blend import PlaneBlender
 
-__all__ = ["merge_to_tif_series", "downsampled_npz"]
+__all__ = ["merge_to_tif_series", "downsampled_npz", "make_diag_stack"]
 
 
 def _z_reduce(stack: np.ndarray, n_halvings: int) -> np.ndarray:
@@ -55,6 +55,8 @@ def merge_to_tif_series(
     target_voxel_um: Optional[float] = None,
     resume: bool = False,
     io_threads: int = 8,
+    rotation: int = 0,
+    flip_ud: bool = False,
     progress: Optional[ProgressReporter] = None,
 ) -> Tuple[Path, Optional[np.ndarray]]:
     """Merge all z planes to `out_dir/img_ZZZZZZ.tif`.
@@ -63,7 +65,13 @@ def merge_to_tif_series(
     destripe/bleach/8-bit), applied to the blended float plane.
     target_voxel_um: if set, also accumulate the isotropic downsample and
     return it as a float32 (z', y', x') volume (caller writes the npz).
+    rotation: 0/90/180/270 — rotate each output plane (reference
+    convert_one_plane, tsv/convert.py:130-135); flip_ud flips the rows
+    (the reference's merge-time flip, LsDeconv stack_info.flip_upside_down
+    and flip_script.py's role applied inline).
     """
+    if rotation not in (0, 90, 180, 270):
+        raise ValueError(f"rotation must be 0/90/180/270, got {rotation}")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     stacks = grid.flattened()
@@ -144,8 +152,12 @@ def merge_to_tif_series(
         if np.issubdtype(np.dtype(dtype), np.integer):
             info = np.iinfo(dtype)
             merged_out = np.clip(np.rint(merged_out), info.min, info.max)
+        if rotation:
+            merged_out = np.rot90(merged_out, rotation // 90)
+        if flip_ud:
+            merged_out = merged_out[::-1]
         if not (resume and path.exists()):
-            write_q.put((path, merged_out.astype(dtype)))
+            write_q.put((path, np.ascontiguousarray(merged_out.astype(dtype))))
 
         if target_voxel_um is not None:
             small = merged.astype(np.float32)
@@ -208,3 +220,46 @@ def downsampled_npz(
     np.savez_compressed(npz_path, I=vol,
                         xI=np.array(axes, dtype="object"))
     return npz_path
+
+
+def make_diag_stack(
+    grid: TileGrid,
+    out_dir,
+    mipmap_level: Optional[int] = None,
+    dtype=np.uint16,
+    tif_prefix: str = "diag",
+    progress: Optional[ProgressReporter] = None,
+) -> Path:
+    """Diagnostics stack: each output plane is an RGB image where every
+    intersecting tile renders into its own channel (cycled mod 3), so tile
+    seams and misplacements are visible at a glance (reference
+    make_diag_stack/make_diag_plane, tsv/convert.py:234-282 +
+    TSVVolumeBase.make_diagnostic_img, tsv/volume.py:649-668).
+
+    mipmap_level decimates planes by 2**level (both z step and in-plane).
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stacks = grid.flattened()
+    bbox = grid.volume
+    dec = 1 if mipmap_level is None else (1 << mipmap_level)
+    info = np.iinfo(dtype) if np.issubdtype(np.dtype(dtype), np.integer) else None
+    for zi, z in enumerate(range(bbox.z0, bbox.z1, dec)):
+        ext = VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1, z, z + 1)
+        rgb = np.zeros((ext.y1 - ext.y0, ext.x1 - ext.x0, 3), np.float32)
+        for i, s in enumerate(stacks):
+            if not s.extent.intersects(ext):
+                continue
+            inter = s.extent.intersection(ext)
+            img = s.imread(inter)[0].astype(np.float32)
+            rgb[inter.y0 - ext.y0:inter.y1 - ext.y0,
+                inter.x0 - ext.x0:inter.x1 - ext.x0, i % 3] = img
+        if dec > 1:
+            rgb = rgb[::dec, ::dec]
+        if info is not None:
+            rgb = np.clip(np.rint(rgb), info.min, info.max)
+        tio.imwrite(out_dir / f"{tif_prefix}_{zi:06d}.tif",
+                    rgb.astype(dtype))
+        if progress is not None:
+            progress.step()
+    return out_dir

@@ -141,7 +141,11 @@ def place_tiles_mst(grid: TileGrid) -> None:
     WEST analog for columns.  Weight = 1/reliability clamped to
     S_UNRELIABLE_WEIGHT.
     """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import dijkstra
+
     rows, cols = grid.n_rows, grid.n_cols
+    n = rows * cols
     # source: stitchable tile nearest the origin
     src = (0, 0)
     best = math.inf
@@ -151,73 +155,52 @@ def place_tiles_mst(grid: TileGrid) -> None:
                 best = math.hypot(r, c)
                 src = (r, c)
 
+    def node(r: int, c: int) -> int:
+        return r * cols + c
+
+    # gather the grid's links once: (u, v, displ-per-axis, rel-per-axis)
+    # where v is the southern/eastern tile carrying the link
+    links = []
+    for r in range(rows):
+        for c in range(cols):
+            if r + 1 < rows:
+                d = grid.stacks[r + 1][c].north
+                links.append((node(r, c), node(r + 1, c),
+                              d.displ if d else (0, 0, 0),
+                              d.reliability if d else (0.0, 0.0, 0.0)))
+            if c + 1 < cols:
+                d = grid.stacks[r][c + 1].west
+                links.append((node(r, c), node(r, c + 1),
+                              d.displ if d else (0, 0, 0),
+                              d.reliability if d else (0.0, 0.0, 0.0)))
+    us = np.array([e[0] for e in links])
+    vs = np.array([e[1] for e in links])
+    displ = np.array([e[2] for e in links], dtype=np.int64)  # (E, 3)
+    rel = np.array([e[3] for e in links], dtype=np.float64)
+
     abs_coord = np.zeros((rows, cols, 3), dtype=np.int64)
     for k in range(3):
-        dist = np.full((rows, cols), np.inf)
-        dist[src] = 0.0
-        pred: Dict[Tuple[int, int], Optional[Tuple[int, int]]] = {}
-        for _ in range(rows * cols):
-            changed = False
-            for r in range(rows):
-                for c in range(cols):
-                    if r + 1 < rows:
-                        d = grid.stacks[r + 1][c].north
-                        rel = d.reliability[k] if d else 0.0
-                        w = 1.0 / rel if rel > 1e-9 else S_UNRELIABLE_WEIGHT
-                        w = min(w, S_UNRELIABLE_WEIGHT)
-                        if dist[r, c] + w < dist[r + 1, c]:
-                            dist[r + 1, c] = dist[r, c] + w
-                            pred[(r + 1, c)] = (r, c)
-                            changed = True
-                        if dist[r + 1, c] + w < dist[r, c]:
-                            dist[r, c] = dist[r + 1, c] + w
-                            pred[(r, c)] = (r + 1, c)
-                            changed = True
-                    if c + 1 < cols:
-                        d = grid.stacks[r][c + 1].west
-                        rel = d.reliability[k] if d else 0.0
-                        w = 1.0 / rel if rel > 1e-9 else S_UNRELIABLE_WEIGHT
-                        w = min(w, S_UNRELIABLE_WEIGHT)
-                        if dist[r, c] + w < dist[r, c + 1]:
-                            dist[r, c + 1] = dist[r, c] + w
-                            pred[(r, c + 1)] = (r, c)
-                            changed = True
-                        if dist[r, c + 1] + w < dist[r, c]:
-                            dist[r, c] = dist[r, c + 1] + w
-                            pred[(r, c)] = (r, c + 1)
-                            changed = True
-            if not changed:
-                break
-
-        def edge_displ(u: Tuple[int, int], v: Tuple[int, int]) -> int:
-            """Displacement contribution moving from predecessor u to v along
-            axis k: position[v] = position[u] - displ_k(link between)."""
-            (ur, uc), (vr, vc) = u, v
-            if vr == ur + 1:           # v is south of u: v.north points to u
-                d = grid.stacks[vr][vc].north
-                return -d.displ[k]
-            if vr == ur - 1:           # v is north of u: u.north points to v
-                d = grid.stacks[ur][uc].north
-                return d.displ[k]
-            if vc == uc + 1:
-                d = grid.stacks[vr][vc].west
-                return -d.displ[k]
-            if vc == uc - 1:
-                d = grid.stacks[ur][uc].west
-                return d.displ[k]
-            raise AssertionError("non-adjacent predecessor")
-
-        for r in range(rows):
-            for c in range(cols):
-                if (r, c) == src:
-                    continue
-                total = 0
-                v = (r, c)
-                while v != src:
-                    u = pred[v]
-                    total += edge_displ(u, v)
-                    v = u
-                abs_coord[r, c, k] = total
+        w = np.where(rel[:, k] > 1e-9, 1.0 / np.maximum(rel[:, k], 1e-9),
+                     S_UNRELIABLE_WEIGHT)
+        w = np.minimum(w, S_UNRELIABLE_WEIGHT)
+        g = coo_matrix((w, (us, vs)), shape=(n, n))
+        dist, pred = dijkstra(g, directed=False, indices=node(*src),
+                              return_predecessors=True)
+        # displacement lookup per (parent, child) pair: child = parent - displ
+        edge_d = {}
+        for (u, v, d) in zip(us, vs, displ[:, k]):
+            edge_d[(u, v)] = -int(d)   # moving u -> v
+            edge_d[(v, u)] = int(d)
+        # accumulate along predecessor chains in distance order: position of
+        # each node is defined once its predecessor's is (O(V log V))
+        order = np.argsort(dist)
+        pos = np.zeros(n, dtype=np.int64)
+        for v in order:
+            p = pred[v]
+            if p < 0:  # the source (or an unreachable node: stays 0)
+                continue
+            pos[v] = pos[p] + edge_d[(int(p), int(v))]
+        abs_coord[:, :, k] = pos.reshape(rows, cols)
 
     # rebase to non-negative (reference TPAlgoMST step 5 rebases to [0][0];
     # we rebase to the min like the TSV consumer, tsv/volume.py:775-790)

@@ -1,0 +1,86 @@
+"""Damaged-file scanner — the supplements/check_files.py equivalent.
+
+Walks a dataset for tif/tiff/raw/png/nrrd files, attempts a bounded-time
+decode of each on worker threads, reports (and optionally deletes) files
+that fail (reference supplements/check_files.py:1-60 prints and unlinks).
+The repaired-read path (io.tiff.read_tiff_partial) is deliberately NOT
+used here: this tool's job is to find files that need re-acquisition.
+"""
+
+from __future__ import annotations
+
+import re
+from concurrent.futures import ThreadPoolExecutor, TimeoutError as FTimeout
+from pathlib import Path
+from typing import List, Optional
+
+from ..io import tiff as tio
+from ..utils.log import Logger
+
+__all__ = ["check_files", "main"]
+
+_PATTERN = re.compile(r"\.(?:tiff?|raw|png|nrrd)$", re.IGNORECASE)
+
+
+def _decode(path: Path):
+    suffix = path.suffix.lower()
+    if suffix == ".nrrd":
+        from ..io.nrrd import read_nrrd
+
+        read_nrrd(path)
+    elif suffix == ".raw":
+        from ..io.raw import raw_imread
+
+        raw_imread(path)
+    else:
+        tio.read_tiff(path) if suffix in (".tif", ".tiff") else tio.imread(
+            path, retries=1)
+
+
+def check_files(source, delete: bool = False, timeout: float = 200.0,
+                workers: int = 8, log: Optional[Logger] = None) -> List[Path]:
+    """Return the list of undecodable files under `source` (recursively).
+
+    delete=True unlinks them (the reference's behavior) so a re-acquisition
+    or fill_blanks pass can replace them."""
+    log = log or Logger()
+    source = Path(source)
+    files = [p for p in source.rglob("*") if _PATTERN.search(p.name)]
+    bad: List[Path] = []
+    pool = ThreadPoolExecutor(max_workers=workers)
+    futs = {pool.submit(_decode, p): p for p in files}
+    for fut, p in futs.items():
+        try:
+            fut.result(timeout=timeout)
+        except (Exception, FTimeout) as exc:  # noqa: BLE001
+            log.info(f"damaged: {p} ({type(exc).__name__}: {exc})")
+            bad.append(p)
+            if delete:
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+    pool.shutdown(wait=False)
+    log.info(f"checked {len(files)} files, {len(bad)} damaged")
+    return bad
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="find (and optionally delete) damaged image files")
+    p.add_argument("source", type=Path)
+    p.add_argument("--delete", action="store_true")
+    p.add_argument("--timeout", type=float, default=200.0)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args(argv)
+    bad = check_files(args.source, delete=args.delete,
+                      timeout=args.timeout, workers=args.workers)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -123,3 +123,95 @@ def swc_to_seeds(df: pd.DataFrame) -> pd.DataFrame:
     """Root nodes only (soma seeds) — the 'seed' output format of the
     reference converter."""
     return df[df["parent_id"] == -1][["x", "y", "z", "radius"]].copy()
+
+
+# ---------------------------------------------------------------------------
+# Soma-in-region lookup (the supplements/find_swc_location.py role)
+# ---------------------------------------------------------------------------
+
+
+def soma_of_swc(path) -> "np.ndarray":
+    """(x, y, z) of the soma: the type-1 node, else the root (parent -1),
+    else the first node (reference get_soma_locations reads the same)."""
+    df = read_swc(path)
+    soma = df[df["type"] == 1]
+    if soma.empty:
+        soma = df[df["parent"] == -1]
+    if soma.empty:
+        soma = df.iloc[:1]
+    r = soma.iloc[0]
+    return np.array([r["x"], r["y"], r["z"]], dtype=np.float64)
+
+
+def load_obj_mesh(path):
+    """Vertices/triangles from a Wavefront .obj (the reference converts
+    region meshes wrl->obj via pyvista, find_swc_location.py:23-30; this
+    consumes the .obj directly — no VTK dependency)."""
+    verts = []
+    faces = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(t) for t in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(verts, np.float64)
+    t = np.asarray(faces, np.int64)
+    return v[t]  # (n_tris, 3, 3)
+
+
+def points_inside_mesh(tris: "np.ndarray", points: "np.ndarray") -> "np.ndarray":
+    """Ray-casting containment test: count +x ray/triangle crossings per
+    point (odd = inside).  Vectorized Möller-Trumbore over all triangles
+    (reference uses pyvista select_enclosed_points,
+    find_swc_location.py:17-21)."""
+    pts = np.atleast_2d(points).astype(np.float64)
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    # slightly irrational ray direction: an axis-aligned ray hits shared
+    # triangle edges/diagonals of axis-aligned meshes and double-counts
+    d = np.array([1.0, 7.1234567e-5, 3.9876543e-5])
+    d /= np.linalg.norm(d)
+    h = np.cross(d, e2)  # (T, 3)
+    a = np.einsum("tj,tj->t", e1, h)
+    ok = np.abs(a) > 1e-12
+    inside = np.zeros(len(pts), bool)
+    f = np.where(ok, 1.0 / np.where(ok, a, 1.0), 0.0)
+    for i, p in enumerate(pts):
+        s = p - v0
+        u = f * np.einsum("tj,tj->t", s, h)
+        q = np.cross(s, e1)
+        v = f * np.einsum("tj,j->t", q, d)
+        t = f * np.einsum("tj,tj->t", q, e2)
+        hit = (ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+               & (t > 1e-12))
+        inside[i] = (np.count_nonzero(hit) % 2) == 1
+    return inside
+
+
+def find_swc_location(recon_dir, mesh_obj, out_dir=None,
+                      scale=(1.0, 1.0, 1.0)) -> list:
+    """SWC files whose soma lies inside the region mesh; optionally copy
+    them to out_dir (reference find_swc_location.py get_soma_locations +
+    copy flow).  `scale` converts SWC coordinates to mesh units."""
+    from pathlib import Path
+    from shutil import copy as _copy
+
+    recon_dir = Path(recon_dir)
+    tris = load_obj_mesh(mesh_obj)
+    hits = []
+    files = sorted(recon_dir.rglob("*.swc"))
+    if not files:
+        return hits
+    pts = np.stack([soma_of_swc(p) * np.asarray(scale) for p in files])
+    inside = points_inside_mesh(tris, pts)
+    for p, isin in zip(files, inside):
+        if isin:
+            hits.append(p)
+            if out_dir is not None:
+                Path(out_dir).mkdir(parents=True, exist_ok=True)
+                _copy(p, Path(out_dir) / p.name)
+    return hits

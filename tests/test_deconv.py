@@ -131,7 +131,7 @@ def test_matmul_fft_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-3)
     np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-3)
     np.testing.assert_allclose(np.asarray(plan.irfftn(re, im)), x, atol=1e-5)
-    conv = np.asarray(plan.convolve(x, plan.otf(k)))
+    conv = np.asarray(plan.convolve(x, plan.otf_packed(k)))
     ref_conv = np.fft.irfftn(np.fft.rfftn(k) * np.fft.rfftn(x),
                              s=shape, axes=(0, 1, 2))
     rel = np.abs(conv - ref_conv).max() / np.abs(ref_conv).max()

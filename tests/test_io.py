@@ -154,3 +154,25 @@ def test_bigtiff_roundtrip_forced(tmp_path, rng):
     np.testing.assert_array_equal(tio.read_tiff(p), img)
     if native.available():
         np.testing.assert_array_equal(native.tiff_read(p), img)
+
+
+def test_multipage_tiff_stack_roundtrip(tmp_path, rng):
+    """3D multi-page TIFF read/write (TeraStitcher tiff3D plugin role),
+    interoperable with PIL's multi-frame reader."""
+    from PIL import Image
+
+    from ipp_tpu.io.tiff import read_tiff_stack, write_tiff_stack
+
+    vol = rng.integers(0, 65535, (7, 40, 52)).astype(np.uint16)
+    p = tmp_path / "stack.tif"
+    write_tiff_stack(p, vol)
+    np.testing.assert_array_equal(read_tiff_stack(p), vol)
+    # PIL sees all frames
+    with Image.open(p) as im:
+        assert im.n_frames == 7
+        im.seek(3)
+        np.testing.assert_array_equal(np.asarray(im), vol[3])
+    # compressed variant
+    p2 = tmp_path / "stackz.tif"
+    write_tiff_stack(p2, vol, compression="zlib")
+    np.testing.assert_array_equal(read_tiff_stack(p2), vol)

@@ -112,3 +112,27 @@ def test_max_blend_mode(stitched_setup):
                                  dtype=np.uint16)
     assert merged.shape == plane_ext.shape[1:]
     assert merged.max() > 0
+
+
+def test_merge_rotation_flip_and_diag_stack(stitched_setup, tmp_path):
+    """Merge-time rotation/flip (reference tsv/convert.py:130-135) and the
+    tile-channel diagnostics stack (tsv/convert.py:234-282)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.merge import make_diag_stack, merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+    out0, _ = merge_to_tif_series(grid, tmp_path / "m0")
+    out90, _ = merge_to_tif_series(grid, tmp_path / "m90", rotation=90)
+    outfl, _ = merge_to_tif_series(grid, tmp_path / "mfl", flip_ud=True)
+    a = tio.imread(out0 / "img_000003.tif")
+    b = tio.imread(out90 / "img_000003.tif")
+    c = tio.imread(outfl / "img_000003.tif")
+    np.testing.assert_array_equal(b, np.rot90(a, 1))
+    np.testing.assert_array_equal(c, a[::-1])
+
+    d = make_diag_stack(grid, tmp_path / "diag", mipmap_level=1)
+    planes = sorted(d.glob("diag_*.tif"))
+    assert len(planes) == (grid.volume.z1 - grid.volume.z0 + 1) // 2
+    img = tio.imread(planes[0])
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.max() > 0

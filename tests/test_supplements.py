@@ -138,3 +138,47 @@ def test_wiener_rl_refines_psf(rng):
     assert np.abs(psf_out - np.asarray(psf_guess)).sum() > 1e-3
     c = np.corrcoef(np.asarray(dec).ravel(), truth.ravel())[0, 1]
     assert c > 0.25
+
+
+def test_check_files_finds_damaged(tmp_path, rng):
+    """supplements/check_files.py role: damaged files reported/deleted."""
+    from ipp_tpu.utils.checkfiles import check_files
+
+    good = tmp_path / "good.tif"
+    tio.imwrite(good, rng.integers(0, 100, (8, 8)).astype(np.uint16))
+    bad = tmp_path / "bad.tif"
+    bad.write_bytes(b"II*\0garbage")
+    empty = tmp_path / "empty.nrrd"
+    empty.write_bytes(b"")
+    found = check_files(tmp_path, delete=True, timeout=20)
+    names = {p.name for p in found}
+    assert names == {"bad.tif", "empty.nrrd"}
+    assert good.exists() and not bad.exists()
+
+
+def test_find_swc_location_soma_in_mesh(tmp_path):
+    """supplements/find_swc_location.py role: soma-inside-region lookup
+    with a native OBJ ray-casting containment test."""
+    from ipp_tpu.utils.reconops import (find_swc_location, load_obj_mesh,
+                                        points_inside_mesh)
+
+    # unit cube OBJ
+    cube = """\
+v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 0 0 1\nv 1 0 1\nv 1 1 1\nv 0 1 1
+f 1 2 3 4\nf 5 8 7 6\nf 1 5 6 2\nf 2 6 7 3\nf 3 7 8 4\nf 5 1 4 8
+"""
+    obj = tmp_path / "cube.obj"
+    obj.write_text(cube)
+    tris = load_obj_mesh(obj)
+    assert tris.shape[1:] == (3, 3)
+    inside = points_inside_mesh(
+        tris, np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [0.9, 0.1, 0.2]]))
+    assert inside.tolist() == [True, False, True]
+
+    rec = tmp_path / "recons"
+    rec.mkdir()
+    (rec / "in.swc").write_text("1 1 0.4 0.5 0.6 1.0 -1\n")
+    (rec / "out.swc").write_text("1 1 5.0 5.0 5.0 1.0 -1\n")
+    hits = find_swc_location(rec, obj, out_dir=tmp_path / "sel")
+    assert [h.name for h in hits] == ["in.swc"]
+    assert (tmp_path / "sel" / "in.swc").exists()
