@@ -254,6 +254,7 @@ def deconvolve_volume(
     if use_mesh and todo:
         # ---- data-parallel batches over the mesh --------------------------
         from ..ops.deconv import gauss3d_batched, richardson_lucy_batched
+        from ..parallel.distributed import device_put_global
         from ..parallel.mesh import block_sharding, data_sharding
 
         uni = _uniform_shape(plans, halo)
@@ -298,7 +299,7 @@ def deconvolve_volume(
             blocks = next_fut.result()
             if gi + 1 < len(groups):
                 next_fut = read_pool.submit(read_group, groups[gi + 1])
-            dec = np.asarray(step(jax.device_put(blocks, sharding)))
+            dec = np.asarray(step(device_put_global(blocks, sharding)))
             for plan, d in zip(group, dec):
                 core_sz = [hi - lo for lo, hi in plan.core]
                 core = d[halo[0]:halo[0] + core_sz[0],

@@ -248,6 +248,52 @@ def process_channel(
     return out_dir
 
 
+def mip_calibrate(input_dir: Path, channels: List[str], out_dir: Path,
+                  log: Logger) -> int:
+    """MIP-first calibration (the reference's interactive workflow,
+    README.md:146-160 + its MIP folders): max-project every tile stack
+    into a 1-plane dataset with the same hierarchy — stitching it runs in
+    seconds, so alignment/threshold/bit-shift parameters can be dialled in
+    before committing to the full volume.  Prints the multi-Otsu parameter
+    estimates (dark, bit shift) per channel."""
+    from ..ops.stats import estimate_image_params
+
+    out_dir = Path(out_dir)
+    for ch in channels:
+        ch_in = input_dir / ch
+        ch_out = out_dir / ch
+        sample_mips = []
+        n = 0
+        for x_folder in sorted(p for p in ch_in.iterdir() if p.is_dir()):
+            for y_folder in sorted(p for p in x_folder.iterdir()
+                                   if p.is_dir()):
+                files = sorted(f for f in y_folder.iterdir()
+                               if f.suffix.lower() in SUPPORTED_EXTENSIONS)
+                if not files:
+                    continue
+                mip = None
+                for f in files:
+                    img = tio.imread(f)
+                    mip = img if mip is None else np.maximum(mip, img)
+                dst = (ch_out / x_folder.name / y_folder.name / files[0].name)
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                tio.imwrite(dst, mip)
+                if len(sample_mips) < 3:
+                    sample_mips.append(mip)
+                n += 1
+        if not n:
+            log.warn(f"{ch}: no stacks found")
+            continue
+        params = estimate_image_params(sample_mips)
+        log.info(f"{ch}: {n} MIP tiles -> {ch_out}")
+        log.info(f"{ch}: suggested params from MIP samples: {params}")
+    log.info(
+        "calibrate on the MIP dataset (e.g. process_images -i "
+        f"{out_dir} --auto-params), then re-run on the full data "
+        "with the dialled-in flags")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native whole-brain stitching pipeline "
@@ -264,7 +310,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma2", type=float, default=250.0)
     p.add_argument("--wavelet", default="db9")
     p.add_argument("--dark", type=float, default=0.0)
+    p.add_argument("--flat", type=Path, default=None,
+                   help="flat-field image to divide tiles by "
+                        "(reference process_images --flat)")
+    p.add_argument("--lightsheet", action="store_true",
+                   help="ClearMap-style lightsheet artifact correction "
+                        "(reference --lightsheet)")
+    p.add_argument("--lightsheet-vs-background", type=float, default=2.0)
+    p.add_argument("--artifact-length", type=int, default=150)
+    p.add_argument("--gaussian", action="store_true",
+                   help="2D gaussian denoise before destriping")
     p.add_argument("--no-preprocess", action="store_true")
+    p.add_argument("--mip-calibrate", type=Path, default=None, metavar="DIR",
+                   help="build a MIP dataset (1 max-projected plane per "
+                        "stack) into DIR and print estimated parameters, "
+                        "then exit — the reference's MIP-first calibration "
+                        "workflow (README.md:146-160)")
     p.add_argument("--no-cosine-blending", action="store_true")
     p.add_argument("--search-radius", type=int, default=25)
     p.add_argument("--subvol-dim", type=int, default=100)
@@ -317,14 +378,27 @@ def main(argv=None) -> int:
     preproc_root = args.preprocessed or args.input.parent / (
         args.input.name + "_preprocessed")
     log.info(f"channels: {channels}")
+    if args.mip_calibrate is not None:
+        return mip_calibrate(args.input, channels, args.mip_calibrate, log)
+    flat = None
+    if args.flat is not None:
+        from ..io import tiff as _tio
+
+        flat = _tio.imread(args.flat).astype(np.float32)
+        flat = flat / max(float(flat.mean()), 1e-6)
     for ch in channels:
         ch_path = args.input / ch
         vx, vy, vz, tile_size = get_voxel_sizes(args.objective, ch_path)
         log.info(f"channel {ch}: voxel ({vx}, {vy}, {vz}) um")
         cfg = None
         if not args.no_preprocess:
-            cfg = ProcessConfig(sigma=(args.sigma1, args.sigma2),
-                                wavelet=args.wavelet, dark=args.dark)
+            cfg = ProcessConfig(
+                sigma=(args.sigma1, args.sigma2), wavelet=args.wavelet,
+                dark=args.dark, flat=flat,
+                gaussian_filter_2d=args.gaussian,
+                lightsheet=args.lightsheet,
+                artifact_length=args.artifact_length,
+                lightsheet_vs_background=args.lightsheet_vs_background)
         out_dir = process_channel(
             ch_path, preproc_root / ch, stitched_root / ch,
             (vx, vy, vz), tile_size, cfg,

@@ -206,3 +206,24 @@ def test_run_tile_pipeline_dummy_shape_per_dir(tmp_path):
                                  reader_threads=1, writer_threads=1)
     assert counters["done"] == 2 and counters["failed"] == 1
     assert tio.imread(out_dir / "b1.tif").shape == (12, 12)
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host helpers degrade gracefully on one process (the real
+    multi-host path cannot run here; structure + slicing logic tested)."""
+    import jax
+
+    from ipp_tpu.parallel.distributed import (device_put_global, initialize,
+                                              global_mesh, is_multihost,
+                                              process_slice)
+
+    assert initialize() is False  # no coordinator env: single process
+    assert not is_multihost()
+    mesh = global_mesh(z_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "z": 2}
+    assert process_slice(10) == (0, 10)
+    from ipp_tpu.parallel.mesh import data_sharding
+
+    arr = np.arange(32, dtype=np.float32).reshape(8, 4)
+    out = device_put_global(arr, data_sharding(global_mesh(), 2))
+    np.testing.assert_array_equal(np.asarray(out), arr)

@@ -233,3 +233,25 @@ def test_streamed_channel_alignment_matches_in_ram(tmp_path, rng):
     inner = (slice(4, -4),) * 3
     c = np.corrcoef(realigned[inner].ravel(), vol[inner].ravel())[0, 1]
     assert c > 0.95, c
+
+
+def test_mip_calibrate_mode(tmp_path, rng):
+    """--mip-calibrate builds a 1-plane MIP dataset with the same
+    hierarchy (reference MIP-first calibration workflow)."""
+    from ipp_tpu.pipeline.process_images import main as pi_main
+
+    ch = tmp_path / "raw" / "Ex_488_Em_525"
+    for x in (0, 1000):
+        for y in (0, 1000):
+            d = ch / f"{x:06d}" / f"{x:06d}_{y:06d}"
+            d.mkdir(parents=True)
+            for z in range(3):
+                tio.imwrite(d / f"{z:06d}.tif",
+                            (rng.random((32, 32)) * 1000).astype(np.uint16))
+    rc = pi_main(["--input", str(tmp_path / "raw"),
+                  "--mip-calibrate", str(tmp_path / "mip")])
+    assert rc == 0
+    mips = sorted((tmp_path / "mip").rglob("*.tif"))
+    assert len(mips) == 4
+    img = tio.imread(mips[0])
+    assert img.shape == (32, 32)
