@@ -125,6 +125,53 @@ def main() -> None:
     print(f"merge blend: {tile_a.size / blend_s / 1e6:.0f} Mpix/s",
           file=sys.stderr)
 
+    # --- secondary: end-to-end synthetic channel (tiles -> stitched) ------
+    import tempfile
+    from pathlib import Path
+
+    from scipy.ndimage import gaussian_filter
+
+    from ipp_tpu.geometry.stacks import TileGrid
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.align import compute_displacements
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+    from ipp_tpu.stitch.place import (place_tiles_mst, project_displacements,
+                                      threshold_displacements)
+
+    overlap = 64
+    nz, tile_hw, n_rc = 24, 512, 3
+    full = tile_hw * n_rc - overlap * (n_rc - 1)
+    vol = gaussian_filter(
+        (rng.random((nz, full + 16, full + 16)) > 0.999)
+        .astype(np.float32) * 5000, 1.5)
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td) / "ch"
+        rng2 = np.random.default_rng(1)
+        for r in range(n_rc):
+            for c in range(n_rc):
+                y0 = r * (tile_hw - overlap) + int(rng2.integers(0, 7))
+                x0 = c * (tile_hw - overlap) + int(rng2.integers(0, 7))
+                d = (root / f"{x0 * 10:06d}" /
+                     f"{x0 * 10:06d}_{y0 * 10:06d}")
+                d.mkdir(parents=True)
+                for z in range(nz):
+                    tio.imwrite(d / f"{z:06d}.tif",
+                                vol[z, y0:y0 + tile_hw, x0:x0 + tile_hw]
+                                .astype(np.uint16))
+        t0 = time.time()
+        grid = TileGrid.from_directory(root)
+        cands = compute_displacements(
+            grid, overlap_v=overlap, overlap_h=overlap,
+            displ_max_v=12, displ_max_h=12, displ_max_d=3, subvol_dim=nz)
+        project_displacements(grid, cands, overlap, overlap)
+        threshold_displacements(grid, reliability_threshold=0.6)
+        place_tiles_mst(grid)
+        out_dir, _ = merge_to_tif_series(grid, Path(td) / "stitched")
+        e2e_s = time.time() - t0
+        n_vox = nz * full * full
+        print(f"e2e stitch (3x3 x {nz}z, align+place+merge): {e2e_s:.1f}s "
+              f"({n_vox / e2e_s / 1e6:.1f} Mvox/s incl. IO)", file=sys.stderr)
+
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({
         "metric": "rl_decon_fft_2563_10iter_throughput_per_chip",

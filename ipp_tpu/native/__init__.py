@@ -112,6 +112,8 @@ def tiff_read(path) -> Optional[np.ndarray]:
                             ctypes.byref(sfmt)) != 0:
         return None
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt.value, "u")
+    if bits.value not in (8, 16, 32, 64):  # corrupt header
+        return None
     dt = np.dtype(f"{kind}{bits.value // 8}")
     out = np.empty((h.value, w.value), dt)
     rc = lib.fastio_tiff_read(str(path).encode(),

@@ -71,6 +71,7 @@ uint64_t read_tag_value(FILE* f, const uint8_t* entry, bool le, bool big,
                         uint16_t typ, uint64_t count, uint64_t index) {
   int sz = type_size(typ);
   uint64_t total = sz * count;
+  if (total > (1ull << 27)) return 0;  // corrupt count: cap allocations
   int inline_cap = big ? 8 : 4;
   const uint8_t* valptr = entry + (big ? 12 : 8);
   std::vector<uint8_t> heap;
@@ -94,6 +95,44 @@ uint64_t read_tag_value(FILE* f, const uint8_t* entry, bool le, bool big,
     case 16: return rd<uint64_t>(p, le);
     default: return 0;
   }
+}
+
+// Read an entire array-valued tag in ONE pass (read_tag_value re-reads the
+// out-of-line heap per element — O(count^2) on large/corrupt strip tables).
+bool read_tag_array(FILE* f, const uint8_t* entry, bool le, bool big,
+                    uint16_t typ, uint64_t count,
+                    std::vector<uint64_t>* out) {
+  int sz = type_size(typ);
+  uint64_t total = sz * count;
+  if (count > (1u << 22) || total > (1ull << 27)) return false;
+  int inline_cap = big ? 8 : 4;
+  const uint8_t* valptr = entry + (big ? 12 : 8);
+  std::vector<uint8_t> heap;
+  const uint8_t* data;
+  if ((int64_t)total <= inline_cap) {
+    data = valptr;
+  } else {
+    uint64_t off = big ? rd<uint64_t>(valptr, le) : rd<uint32_t>(valptr, le);
+    heap.resize(total);
+    long save = ftell(f);
+    fseek(f, (long)off, SEEK_SET);
+    size_t got = fread(heap.data(), 1, total, f);
+    fseek(f, save, SEEK_SET);
+    if (got != total) return false;
+    data = heap.data();
+  }
+  out->resize(count);
+  for (uint64_t k = 0; k < count; ++k) {
+    const uint8_t* p = data + k * sz;
+    switch (typ) {
+      case 1: (*out)[k] = p[0]; break;
+      case 3: (*out)[k] = rd<uint16_t>(p, le); break;
+      case 4: (*out)[k] = rd<uint32_t>(p, le); break;
+      case 16: (*out)[k] = rd<uint64_t>(p, le); break;
+      default: return false;
+    }
+  }
+  return true;
 }
 
 bool parse_tiff_page(FILE* f, TiffPage* page) {
@@ -128,6 +167,7 @@ bool parse_tiff_page(FILE* f, TiffPage* page) {
     if (fread(cnt, 1, 2, f) != 2) return false;
     n_entries = rd<uint16_t>(cnt, le);
   }
+  if (n_entries > 65535) return false;  // corrupt IFD count
   size_t entry_sz = big ? 20 : 12;
   std::vector<uint8_t> entries(n_entries * entry_sz);
   if (fread(entries.data(), 1, entries.size(), f) != entries.size()) return false;
@@ -146,19 +186,27 @@ bool parse_tiff_page(FILE* f, TiffPage* page) {
       case 317: page->predictor = (uint16_t)read_tag_value(f, e, le, big, typ, count, 0); break;
       case 339: page->sample_format = (uint16_t)read_tag_value(f, e, le, big, typ, count, 0); break;
       case 273:
-        page->strip_offsets.resize(count);
-        for (uint64_t k = 0; k < count; ++k)
-          page->strip_offsets[k] = read_tag_value(f, e, le, big, typ, count, k);
+        if (!read_tag_array(f, e, le, big, typ, count, &page->strip_offsets))
+          return false;
         break;
       case 279:
-        page->strip_counts.resize(count);
-        for (uint64_t k = 0; k < count; ++k)
-          page->strip_counts[k] = read_tag_value(f, e, le, big, typ, count, k);
+        if (!read_tag_array(f, e, le, big, typ, count, &page->strip_counts))
+          return false;
         break;
       default: break;
     }
   }
   if (page->rows_per_strip == 0) page->rows_per_strip = page->height;
+  // sanity: reject corrupt headers (implausible dims/bits) so callers
+  // fall back to the robust Python codec instead of mis-decoding
+  if (page->bits != 8 && page->bits != 16 && page->bits != 32 &&
+      page->bits != 64)
+    return false;
+  if (page->samples == 0 || page->samples > 16) return false;
+  if (page->width > (1u << 22) || page->height > (1u << 22)) return false;
+  if ((uint64_t)page->width * page->height * page->samples *
+          (page->bits / 8) > (1ull << 36))
+    return false;
   return page->width && page->height && !page->strip_offsets.empty();
 }
 

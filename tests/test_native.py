@@ -193,3 +193,34 @@ def test_read_block_robust_fallback_for_undecodable_planes(tmp_path, rng):
     block = native.read_block([p0, p1], 2, 20, 3, 25, dtype=np.uint16)
     np.testing.assert_array_equal(block[0], good[2:20, 3:25])
     np.testing.assert_array_equal(block[1], exotic[2:20, 3:25].astype(np.uint16))
+
+
+def test_native_parser_fuzz_never_crashes(tmp_path, rng):
+    """Malformed files against the C++ parser: every mutation must either
+    decode, return the fallback (None / zero plane), or fail the plane —
+    never crash the process (reference load_bl_tif_test.m fuzz suite)."""
+    img = rng.integers(0, 65535, (24, 28)).astype(np.uint16)
+    base = tmp_path / "base.tif"
+    tio.write_tiff(base, img, compression="zlib", rows_per_strip=4)
+    data = base.read_bytes()
+    paths = []
+    for i in range(40):
+        buf = bytearray(data)
+        kind = i % 3
+        if kind == 0:
+            buf = buf[:int(rng.integers(4, len(buf)))]
+        elif kind == 1:
+            for _ in range(6):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(256))
+        else:
+            off = int(rng.integers(4, min(160, len(buf) - 4)))
+            buf[off:off + 4] = rng.integers(0, 256, 4,
+                                            dtype=np.uint8).tobytes()
+        p = tmp_path / f"fz_{i}.tif"
+        p.write_bytes(bytes(buf))
+        paths.append(p)
+        out = native.tiff_read(p)  # None or an array — never a crash
+        assert out is None or out.size >= 0
+    # the threaded block loader over the whole corpus (+ robust re-read)
+    block = native.read_block(paths, 0, 24, 0, 28, dtype=np.uint16)
+    assert block.shape == (40, 24, 28)
