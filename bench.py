@@ -149,10 +149,14 @@ def main() -> None:
         rng2 = np.random.default_rng(1)
         for r in range(n_rc):
             for c in range(n_rc):
-                y0 = r * (tile_hw - overlap) + int(rng2.integers(0, 7))
-                x0 = c * (tile_hw - overlap) + int(rng2.integers(0, 7))
-                d = (root / f"{x0 * 10:06d}" /
-                     f"{x0 * 10:06d}_{y0 * 10:06d}")
+                # dir names carry the NOMINAL stage grid; the cut position
+                # is jittered — alignment has to recover it
+                yn = r * (tile_hw - overlap)
+                xn = c * (tile_hw - overlap)
+                y0 = yn + int(rng2.integers(0, 7))
+                x0 = xn + int(rng2.integers(0, 7))
+                d = (root / f"{xn * 10:06d}" /
+                     f"{xn * 10:06d}_{yn * 10:06d}")
                 d.mkdir(parents=True)
                 for z in range(nz):
                     tio.imwrite(d / f"{z:06d}.tif",

@@ -1,0 +1,175 @@
+"""BigDataViewer (BDV/XML+HDF5) export and read-back.
+
+The TeraStitcher imagemanager supports BigDataViewer HDF5 volumes
+(src/imagemanager/BDVVolume.*, HDF5Mngr); the round-1 build had no BDV
+leg.  This writes the standard BDV layout consumed by BigDataViewer /
+BigStitcher / Fiji:
+
+    file.h5:
+      s{SS}/resolutions   (R, 3) float64  — x, y, z subsampling per level
+      s{SS}/subdivisions  (R, 3) int32    — chunk sizes per level
+      t{TTTTT}/s{SS}/{R}/cells  (z, y, x) int16 chunks
+    file.xml: SpimData document pointing at the h5.
+
+Multi-resolution levels halve x/y (and z once past level 0, matching the
+TeraFly halving scheme); data are written plane-streamed per level with
+mean pooling.  BDV requires int16: u16 data are bit-shifted copies kept
+lossless when the dynamic range allows, else scaled.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import tiff as tio
+
+__all__ = ["write_bdv", "tif_series_to_bdv", "BDVReader"]
+
+
+def _bdv_xml(xml_path: Path, h5_name: str, shape_zyx, voxel_um,
+             n_setups: int = 1, n_timepoints: int = 1) -> None:
+    nz, ny, nx = shape_zyx
+    vz, vy, vx = voxel_um
+    setups = "\n".join(f"""      <ViewSetup>
+        <id>{s}</id>
+        <name>channel {s}</name>
+        <size>{nx} {ny} {nz}</size>
+        <voxelSize>
+          <unit>micrometer</unit>
+          <size>{vx} {vy} {vz}</size>
+        </voxelSize>
+      </ViewSetup>""" for s in range(n_setups))
+    regs = "\n".join(f"""    <ViewRegistration timepoint="{t}" setup="{s}">
+      <ViewTransform type="affine">
+        <affine>{vx} 0 0 0 0 {vy} 0 0 0 0 {vz} 0</affine>
+      </ViewTransform>
+    </ViewRegistration>""" for t in range(n_timepoints)
+        for s in range(n_setups))
+    xml_path.write_text(f"""<?xml version="1.0" encoding="UTF-8"?>
+<SpimData version="0.2">
+  <BasePath type="relative">.</BasePath>
+  <SequenceDescription>
+    <ImageLoader format="bdv.hdf5">
+      <hdf5 type="relative">{h5_name}</hdf5>
+    </ImageLoader>
+    <ViewSetups>
+{setups}
+    </ViewSetups>
+    <Timepoints type="range">
+      <first>0</first>
+      <last>{n_timepoints - 1}</last>
+    </Timepoints>
+  </SequenceDescription>
+  <ViewRegistrations>
+{regs}
+  </ViewRegistrations>
+</SpimData>
+""")
+
+
+def write_bdv(
+    plane_reader: Callable[[int], np.ndarray],
+    shape_zyx: Tuple[int, int, int],
+    out_xml: Path,
+    voxel_um: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    n_resolutions: Optional[int] = None,
+    chunk: Tuple[int, int, int] = (16, 128, 128),
+) -> Path:
+    """Stream z planes into a BDV XML+HDF5 pair (setup 0, timepoint 0)."""
+    import h5py
+
+    out_xml = Path(out_xml)
+    h5_path = out_xml.with_suffix(".h5")
+    nz, ny, nx = shape_zyx
+    if n_resolutions is None:
+        n_resolutions = 1
+        h, w = ny, nx
+        while min(h, w) // 2 >= 128:
+            h //= 2
+            w //= 2
+            n_resolutions += 1
+    # level i: x/y by 2^i; z by 2^(i-1) capped (z halving starts a level
+    # later — light-sheet z is usually already coarser)
+    res = []
+    for i in range(n_resolutions):
+        zdiv = max(1, 1 << max(0, i - 1))
+        res.append((1 << i, 1 << i, zdiv))
+    with h5py.File(h5_path, "w") as f:
+        f.create_dataset("s00/resolutions", data=np.array(
+            [[float(r[0]), float(r[1]), float(r[2])] for r in res]))
+        f.create_dataset("s00/subdivisions", data=np.array(
+            [[chunk[2], chunk[1], chunk[0]]] * len(res), np.int32))
+        dsets = []
+        for li, (fx, fy, fz) in enumerate(res):
+            lz = max(1, nz // fz)
+            lyx = (max(1, ny // fy), max(1, nx // fx))
+            d = f.create_dataset(
+                f"t00000/s00/{li}/cells", shape=(lz,) + lyx,
+                dtype=np.int16,
+                chunks=(min(chunk[0], lz), min(chunk[1], lyx[0]),
+                        min(chunk[2], lyx[1])), compression="gzip",
+                compression_opts=1)
+            dsets.append((d, fx, fy, fz, lz, lyx, []))
+        for z in range(nz):
+            plane = np.asarray(plane_reader(z)).astype(np.float32)
+            for (d, fx, fy, fz, lz, lyx, acc) in dsets:
+                small = plane
+                if fx > 1:
+                    th, tw = lyx
+                    small = small[: th * fy, : tw * fx]
+                    small = small.reshape(th, fy, tw, fx).mean(axis=(1, 3))
+                acc.append(small)
+                if len(acc) == fz:
+                    zi = z // fz
+                    if zi < lz:
+                        merged = np.mean(acc, axis=0)
+                        # BDV is int16: clamp (u16 ranges beyond 32767 are
+                        # halved — documented lossy step, as BigStitcher's
+                        # own importer does)
+                        if merged.max() > 32767:
+                            merged = merged / 2.0
+                        d[zi] = np.clip(np.rint(merged),
+                                        -32768, 32767).astype(np.int16)
+                    acc.clear()
+    _bdv_xml(out_xml, h5_path.name, shape_zyx, voxel_um)
+    return out_xml
+
+
+def tif_series_to_bdv(tif_dir, out_xml, voxel_um=(1.0, 1.0, 1.0),
+                      **kwargs) -> Path:
+    tif_dir = Path(tif_dir)
+    paths = sorted(p for p in tif_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {tif_dir}")
+    first = tio.imread(paths[0])
+    return write_bdv(lambda z: tio.imread(paths[z]),
+                     (len(paths),) + tuple(first.shape), Path(out_xml),
+                     voxel_um=voxel_um, **kwargs)
+
+
+class BDVReader:
+    """z-plane access into a BDV HDF5 (one setup/timepoint/level)."""
+
+    def __init__(self, xml_or_h5, setup: int = 0, timepoint: int = 0,
+                 level: int = 0):
+        import h5py
+
+        p = Path(xml_or_h5)
+        if p.suffix.lower() == ".xml":
+            p = p.with_suffix(".h5")
+        self._f = h5py.File(p, "r")
+        self._d = self._f[f"t{timepoint:05d}/s{setup:02d}/{level}/cells"]
+        self.shape = self._d.shape
+
+    def __getitem__(self, z):
+        return np.asarray(self._d[z])
+
+    def __len__(self):
+        return self.shape[0]
+
+    def close(self):
+        self._f.close()

@@ -151,7 +151,8 @@ def _conv3d_same_replicate(vol: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
     return out[0, 0]
 
 
-def edge_taper_3d(vol: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
+def edge_taper_3d(vol: jnp.ndarray, psf: jnp.ndarray,
+                  face_slabs: bool = True) -> jnp.ndarray:
     """bll = mask*bl + (1-mask)*blur(bl) with separable ramps of width
     max(8, psf_dim/2) per axis (reference edgetaper_3d.m:1-46).
 
@@ -171,8 +172,10 @@ def edge_taper_3d(vol: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
         shape = [1, 1, 1]
         shape[d] = vol.shape[d]
         mask = mask * taper.reshape(shape)
-    if any(tw + k > s for tw, k, s in zip(tws, psf.shape, vol.shape)):
-        # a face slab would not fit: blur the full (small) volume
+    if (not face_slabs
+            or any(tw + k > s for tw, k, s in zip(tws, psf.shape, vol.shape))):
+        # face_slabs=False (sharded callers: slab slicing would fight the
+        # z sharding) or a slab would not fit: blur the full volume
         blur = _fft_conv_same(vol, psf)
         return mask * vol + (1.0 - mask) * blur
     out = mask * vol
@@ -471,7 +474,8 @@ def richardson_lucy_batched(
     if fft_shape is None:
         fft_shape = fft_shape_for(vols.shape[1:], psf.shape)
     if edge_taper:
-        vols = jax.vmap(lambda v: edge_taper_3d(v, psf))(vols)
+        vols = jax.vmap(
+            lambda v: edge_taper_3d(v, psf, face_slabs=False))(vols)
     missing = [t - s for t, s in zip(fft_shape, vols.shape[1:])]
     pre = [m // 2 for m in missing]
     post = [m - p for m, p in zip(missing, pre)]

@@ -8,10 +8,11 @@ Re-design of LsDeconv.m's orchestration (LsDeconvolveMultiGPU/LsDeconv.m):
 - per-block pipeline: load -> optional 3D gaussian prefilter -> dark
   subtract -> RL decon -> optional z destripe -> stats (LsDeconv.m:906-947),
 - on a multi-device mesh, blocks are symmetric-padded to one uniform shape
-  and run as data-parallel batches through `richardson_lucy_batched`
-  sharded over the 'data' axis (optionally z over 'z') — the TPU
-  replacement for per-GPU semaphore work-stealing (LsDeconv.m:644-706);
-  single-device runs keep the faster unbatched 3D executable,
+  and shard_map'ed over the 'data' axis so EVERY device runs the fast
+  unbatched 3D RL executable on its local blocks — the TPU replacement
+  for per-GPU semaphore work-stealing (LsDeconv.m:644-706).  Blocks are
+  autosplit to fit one device; intra-block z sharding stays available via
+  ops.deconv.richardson_lucy_sharded_z for unsplittable volumes,
 - global rescale stats are per-block percentiles [100-clipval, clipval]
   reduced to deconvmin/deconvmax in-process (replaces min_max.mat + named
   semaphores, LsDeconv.m:770-797, deconvolved_stats :1300-1304), final
@@ -253,15 +254,23 @@ def deconvolve_volume(
 
     if use_mesh and todo:
         # ---- data-parallel batches over the mesh --------------------------
-        from ..ops.deconv import gauss3d_batched, richardson_lucy_batched
         from ..parallel.distributed import device_put_global
-        from ..parallel.mesh import block_sharding, data_sharding
+        from ..parallel.mesh import data_sharding
 
         uni = _uniform_shape(plans, halo)
         fft_shape = fft_shape_for(uni, psf.shape)
+        # blocks are autosplit to fit ONE device, so the pipeline always
+        # runs pure data parallelism: a mesh with a 'z' axis folds it into
+        # 'data' (intra-block z sharding remains available through the
+        # richardson_lucy_sharded_z op for volumes that cannot be split)
         z_par = int(mesh.shape.get("z", 1))
-        sharding = (block_sharding(mesh, 4) if z_par > 1
-                    else data_sharding(mesh, 4))
+        if z_par > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(int(np.prod(list(mesh.shape.values()))),
+                             z_parallel=1)
+            n_data = int(mesh.shape["data"])
+        sharding = data_sharding(mesh, 4)
         batch = batch_blocks or n_data
         batch = max(n_data, (batch // n_data) * n_data)
         groups = [todo[i:i + batch] for i in range(0, len(todo), batch)]
@@ -270,18 +279,40 @@ def deconvolve_volume(
         # RL — all collectives live in a single XLA module (eager per-op
         # dispatch on sharded arrays can deadlock the CPU in-process
         # communicator, and one fused executable is the right TPU shape anyway)
-        def step(blocks_raw):
-            x = blocks_raw.astype(jnp.float32)
+        # shard_map: each device runs the FAST unbatched 3D RL on its
+        # local blocks (the batched 4D layout measured ~2.8x slower per
+        # block than the 3D executable)
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.deconv import (_rl_fft_iterations, edge_taper_3d,
+                                  gauss3d, pad_to_shape, unpad)
+
+        def one_block(b):
+            x = b.astype(jnp.float32)
             if gaussian_sigma is not None:
-                x = gauss3d_batched(x, gaussian_sigma)
+                x = gauss3d(x, gaussian_sigma)
             if dark > 0:
                 x = jnp.maximum(x - dark, 0.0)
-            return richardson_lucy_batched(
-                x, psf_j, niter=niter, lam=lam,
-                regularize_interval=regularize_interval,
-                fft_shape=fft_shape, sharding=sharding, classic=classic_rl)
+            psf_n = psf_j / jnp.sum(psf_j)
+            x = edge_taper_3d(x, psf_n)
+            x, pre, post = pad_to_shape(x, fft_shape)
+            out = _rl_fft_iterations(
+                x, psf_n, niter=int(niter), fft_shape=fft_shape,
+                lam=float(lam), stop_criterion=0.0,
+                regularize_interval=int(regularize_interval),
+                classic=bool(classic_rl))
+            return unpad(out, pre, post)
 
-        step = jax.jit(step, in_shardings=sharding, out_shardings=sharding)
+        def local(blocks_raw):  # (B/n_data, D, H, W) on each device
+            return jax.lax.map(one_block, blocks_raw)
+
+        spec = P("data", None, None, None)
+        step = jax.jit(shard_map(local, mesh=mesh, in_specs=spec,
+                                 out_specs=spec))
 
         def read_group(group):
             blocks = [read_block_uniform(vol, p_, uni) for p_ in group]

@@ -113,3 +113,27 @@ def test_fnt_cubes_and_movie_exports(tmp_path, rng):
         assert movie.exists() and movie.stat().st_size > 1000
     except RuntimeError as e:
         pytest.skip(f"no video codec in image: {e}")
+
+
+def test_bdv_export_roundtrip(tmp_path, rng):
+    """BigDataViewer XML+HDF5 export (imagemanager BDVVolume role):
+    multi-level datasets, XML header, plane read-back."""
+    from ipp_tpu.io.bdv import BDVReader, tif_series_to_bdv
+
+    src = tmp_path / "src"
+    src.mkdir()
+    vol = (rng.random((6, 300, 280)) * 20000).astype(np.uint16)
+    for z in range(6):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+    xml = tif_series_to_bdv(src, tmp_path / "bdv.xml",
+                            voxel_um=(2.0, 0.4, 0.4), n_resolutions=2)
+    assert xml.exists() and xml.with_suffix(".h5").exists()
+    txt = xml.read_text()
+    assert "bdv.hdf5" in txt and "<size>280 300 6</size>" in txt
+    r0 = BDVReader(xml, level=0)
+    assert r0.shape == (6, 300, 280)
+    np.testing.assert_array_equal(r0[2], vol[2].astype(np.int16))
+    r1 = BDVReader(xml, level=1)
+    assert r1.shape == (6, 150, 140)
+    r0.close()
+    r1.close()
