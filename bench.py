@@ -55,11 +55,24 @@ def main() -> None:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
+    # pipelined throughput: queue REPS dispatches, keep partial sums ON
+    # device, fetch once — the ~30 ms tunnel round-trip per fetch would
+    # otherwise dominate (production overlaps dispatch with IO the same way)
+    REPS = 5
+    def run_many():
+        acc = jnp.float32(0)
+        for _ in range(REPS):
+            acc = acc + jnp.sum(richardson_lucy(
+                vol, psf, niter=niter, stop_criterion=0.0,
+                fft_shape=fft_shape))
+        return float(acc)
+
+    run_many()
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
-        run()
-        times.append(time.time() - t0)
+        run_many()
+        times.append((time.time() - t0) / REPS)
     best = min(times)
     mvox_s = n ** 3 / best / 1e6
     print(f"decon: compile {compile_s:.1f}s, best {best:.3f}s "
@@ -75,9 +88,17 @@ def main() -> None:
     t0 = time.time()
     run_destripe()
     destripe_compile = time.time() - t0
+    def run_destripe_many(reps=5):
+        acc = jnp.uint32(0)
+        for _ in range(reps):
+            acc = acc + jnp.sum(filter_streaks(
+                tiles, sigma=(128, 128), wavelet="db9").astype(jnp.uint32))
+        return int(acc)
+
+    run_destripe_many()
     t0 = time.time()
-    run_destripe()
-    destripe_s = time.time() - t0
+    run_destripe_many()
+    destripe_s = (time.time() - t0) / 5
     destripe_mpix = tiles.size / destripe_s / 1e6
     print(f"destripe: compile {destripe_compile:.1f}s, steady "
           f"{destripe_s:.3f}s ({destripe_mpix:.1f} Mpix/s)", file=sys.stderr)
@@ -174,7 +195,8 @@ def main() -> None:
         e2e_s = time.time() - t0
         n_vox = nz * full * full
         print(f"e2e stitch (3x3 x {nz}z, align+place+merge): {e2e_s:.1f}s "
-              f"({n_vox / e2e_s / 1e6:.1f} Mvox/s incl. IO)", file=sys.stderr)
+              f"({n_vox / e2e_s / 1e6:.1f} Mvox/s incl. IO + cold compiles)",
+              file=sys.stderr)
 
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({

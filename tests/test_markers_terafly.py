@@ -108,3 +108,27 @@ def test_mdata_bin_roundtrip_and_fastload(tmp_path, rng):
     assert len(tf1) == 3
     p = tf1.read_plane(0)
     assert p.shape == (64, 80)
+
+
+def test_regenerate_mdata_matches_export(tmp_path, rng):
+    """mdatagenerator role: deleting mdata.bin and regenerating it from
+    the directory scan reproduces the exported stack table."""
+    from ipp_tpu.io.terafly import (read_mdata_bin, regenerate_mdata,
+                                    tif_series_to_terafly)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for z in range(4):
+        tio.imwrite(src / f"img_{z:06d}.tif",
+                    (rng.random((96, 128)) * 100).astype(np.uint16))
+    out = tif_series_to_terafly(src, tmp_path / "tf", block_yx=(64, 64),
+                                n_resolutions=1)
+    res = next(out.glob("RES(*)"))
+    orig = read_mdata_bin(res / "mdata.bin")
+    (res / "mdata.bin").unlink()
+    regenerate_mdata(res)
+    regen = read_mdata_bin(res / "mdata.bin")
+    assert regen["dim"] == orig["dim"]
+    for r0, r1 in zip(orig["stacks"], regen["stacks"]):
+        for s0, s1 in zip(r0, r1):
+            assert s0 == s1
