@@ -97,7 +97,9 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
         cfg = ProcessConfig(**kwargs)
     in_dtype = img.dtype
 
-    if is_uniform_2d(np.asarray(img)):
+    # host-only short-circuit: skipped when tracing (shard_map/jit callers
+    # handle uniform tiles themselves)
+    if isinstance(img, np.ndarray) and is_uniform_2d(img):
         tile, dt = _out_meta(img.shape, cfg, in_dtype)
         return np.zeros(tile, dt)
 
@@ -123,6 +125,13 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
         clip_max = cfg.bleach_correction_clip_max
         if (cfg.bleach_correction_frequency is not None
                 and (clip_min is None or clip_med is None or clip_max is None)):
+            import jax as _jax
+
+            if isinstance(x, _jax.core.Tracer):
+                raise ValueError(
+                    "bleach clips must be resolved host-side before traced "
+                    "(sharded/jitted) process_img calls — run "
+                    "ops.stats.threshold_multiotsu on sample planes first")
             from .stats import threshold_multiotsu
 
             lb, mb, ub = threshold_multiotsu(
@@ -171,4 +180,10 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
     if cfg.rotate in (90, 180, 270):
         x = jnp.rot90(x, cfg.rotate // 90, axes=(-2, -1))
 
+    # fetch to host for eager callers; keep tracers symbolic so the whole
+    # function composes under jit/shard_map
+    import jax as _jax
+
+    if isinstance(x, _jax.core.Tracer):
+        return x
     return np.asarray(x)

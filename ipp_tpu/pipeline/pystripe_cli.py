@@ -48,13 +48,38 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                  compression: Optional[str] = None,
                  workers: int = 8) -> dict:
     """Destripe a whole directory tree (reference batch_filter,
-    pystripe/core.py:1806-2050)."""
+    pystripe/core.py:1806-2050).
+
+    With more than one device the tile batch shard_maps over the mesh's
+    'data' axis — each device destripes its local tiles with the same
+    compiled program (the reference's per-GPU queue, pystripe/core.py:
+    2021-2037, without token passing)."""
     enable_persistent_cache()
     tasks = collect_tasks(Path(input_dir), Path(output_dir))
     if not tasks:
         raise FileNotFoundError(f"no images under {input_dir}")
 
+    import jax
+
     from ..ops.process import _out_meta, is_uniform_2d
+
+    n_dev = len(jax.devices())
+    sharded_fn = None
+    if n_dev > 1:
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev, z_parallel=1)
+        spec = P("data", None, None)
+        batch_size = max(batch_size, n_dev) // n_dev * n_dev
+        sharded_fn = jax.jit(shard_map(
+            lambda b: process_img(b, cfg), mesh=mesh,
+            in_specs=spec, out_specs=spec))
 
     def proc_batch(batch: np.ndarray) -> np.ndarray:
         # the device path handles whole batches; uniform tiles short-circuit
@@ -63,7 +88,16 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
         work = [i for i in range(len(batch)) if i not in uniform]
         results = {}
         if work:
-            processed = process_img(np.stack([batch[i] for i in work]), cfg)
+            stacked = np.stack([batch[i] for i in work])
+            if sharded_fn is not None:
+                n = stacked.shape[0]
+                n_pad = (-n) % n_dev  # shard_map needs even division
+                if n_pad:
+                    stacked = np.concatenate(
+                        [stacked, np.repeat(stacked[-1:], n_pad, 0)])
+                processed = np.asarray(sharded_fn(stacked))[:n]
+            else:
+                processed = process_img(stacked, cfg)
             for i, o in zip(work, processed):
                 results[i] = o
         for i in uniform:

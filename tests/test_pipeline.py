@@ -255,3 +255,25 @@ def test_mip_calibrate_mode(tmp_path, rng):
     assert len(mips) == 4
     img = tio.imread(mips[0])
     assert img.shape == (32, 32)
+
+
+def test_batch_filter_sharded_matches_unsharded(tmp_path, rng):
+    """Multi-device batch_filter (shard_map over 'data') produces the same
+    tiles as a plain single-device process_img pass."""
+    from ipp_tpu.ops.process import ProcessConfig, process_img
+    from ipp_tpu.pipeline.pystripe_cli import batch_filter
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    cfg = ProcessConfig(sigma=(16, 16), wavelet="db3", dark=5.0)
+    tiles = []
+    for i in range(10):  # not a multiple of 8: exercises the pad path
+        t = (rng.random((64, 64)) * 3000).astype(np.uint16)
+        tio.imwrite(in_dir / f"t{i:02d}.tif", t)
+        tiles.append(t)
+    counters = batch_filter(in_dir, tmp_path / "out", cfg, batch_size=8)
+    assert counters["done"] == 10
+    for i, t in enumerate(tiles):
+        got = tio.imread(tmp_path / "out" / f"t{i:02d}.tif")
+        ref = np.asarray(process_img(t[None], cfg))[0]
+        np.testing.assert_array_equal(got, ref)
