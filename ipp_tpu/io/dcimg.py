@@ -33,6 +33,16 @@ class DCIMGFile:
             if head[:5] != b"DCIMG":
                 raise ValueError(f"not a DCIMG file: {self.path}")
             self.format_version = struct.unpack_from("<I", head, 8)[0]
+            if self.format_version >= 0x1000000:
+                # DCAM-API 4+ session layouts differ; misparsing them
+                # would return garbage pixels silently — fail loudly
+                # (the reference's own plugin reads only this older
+                # layout too, dcimg.cpp:100-290)
+                raise ValueError(
+                    f"unsupported DCIMG format version "
+                    f"0x{self.format_version:x} in {self.path}; only the "
+                    "contiguous-session layout (version < 0x1000000) is "
+                    "implemented")
             self.nsess = struct.unpack_from("<I", head, 32)[0]
             self.nfrms = struct.unpack_from("<I", head, 36)[0]
             header_size = struct.unpack_from("<I", head, 40)[0]

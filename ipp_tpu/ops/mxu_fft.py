@@ -141,7 +141,17 @@ class MatmulFFT3:
         """(re + i*im) @ (mr + i*mi) along the last axis — Karatsuba with
         3 real matmuls (t1 = re@mr, t2 = im@mi, t3 = (re+im)@(mr+mi);
         rr = t1 - t2, ii = t3 - t1 - t2): 25% fewer MXU flops than the
-        4-matmul form, ~1 ulp extra cancellation."""
+        4-matmul form, ~1 ulp extra cancellation.
+
+        IPP_TPU_FFT_FUSED=1 routes through the Pallas fused kernel
+        (ops/pallas_fft.py): one VMEM-resident pass instead of three
+        matmul IO round-trips."""
+        import os
+
+        if os.environ.get("IPP_TPU_FFT_FUSED", "0") == "1":
+            from .pallas_fft import fused_cplx_matmul
+
+            return fused_cplx_matmul(re, im, mats)
         mr, mi, mri = mats
         p = self.precision
         t1 = jnp.matmul(re, mr, precision=p)

@@ -189,3 +189,25 @@ def test_edge_taper_face_slabs_match_full_blur(rng):
         mask = mask * t.reshape(shape)
     ref = mask * np.asarray(vol) + (1.0 - mask) * blur
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=0.05)
+
+
+def test_pallas_fused_cplx_matmul_interpret(rng):
+    """Pallas fused Karatsuba complex product == the XLA decomposition
+    (interpret mode so it runs on CPU)."""
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.mxu_fft import _dft_mats
+    from ipp_tpu.ops.pallas_fft import fused_cplx_matmul
+
+    n = 40
+    re = jnp.asarray(rng.random((6, 8, n)).astype(np.float32))
+    im = jnp.asarray(rng.random((6, 8, n)).astype(np.float32))
+    mr, mi = (jnp.asarray(m) for m in _dft_mats(n))
+    mats = (mr, mi, mr + mi)
+    rr, ii = fused_cplx_matmul(re, im, mats, interpret=True)
+    t1 = np.asarray(re) @ np.asarray(mr)
+    t2 = np.asarray(im) @ np.asarray(mi)
+    t3 = (np.asarray(re) + np.asarray(im)) @ np.asarray(mr + mi)
+    np.testing.assert_allclose(np.asarray(rr), t1 - t2, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ii), t3 - t1 - t2,
+                               rtol=1e-4, atol=1e-4)
