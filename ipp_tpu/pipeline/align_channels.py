@@ -240,18 +240,31 @@ def write_composite_series(
     depth = min(len(f) for f in files.values())
     color_idx = {"r": 0, "g": 1, "b": 2}
     info = np.iinfo(dtype)
+    # channels can stitch to slightly different plane sizes: center-pad
+    # everything to the common max (reference pad_to_max,
+    # align_images.py:366-374)
+    shapes = [tio.imread(flist[0]).shape for flist in files.values()]
+    max_h = max(s[0] for s in shapes)
+    max_w = max(s[1] for s in shapes)
+
+    def pad_to_max(img):
+        ph = max_h - img.shape[0]
+        pw = max_w - img.shape[1]
+        if ph or pw:
+            img = np.pad(img, ((ph // 2, ph - ph // 2),
+                               (pw // 2, pw - pw // 2)))
+        return img
+
     for z in range(depth):
-        composite = None
+        composite = np.zeros((max_h, max_w, 3), np.float32)
         for ch, flist in files.items():
             dz, dy, dx = offsets.get(ch, (0, 0, 0))
             zz = z - dz
             if not 0 <= zz < len(flist):
                 continue
-            img = tio.imread(flist[zz]).astype(np.float32)
+            img = pad_to_max(tio.imread(flist[zz]).astype(np.float32))
             if dy or dx:
                 img = roll_pad(img[None], (0, dy, dx))[0]
-            if composite is None:
-                composite = np.zeros(img.shape + (3,), np.float32)
             composite[..., color_idx[colors.get(ch, "g")]] += img
         out = np.clip(composite, info.min, info.max).astype(dtype)
         tio.imwrite(out_dir / f"composite_{z:06d}.tif", out)

@@ -164,11 +164,26 @@ def process_channel(
     th, tw = grid.flattened()[0].plane_shape
     overlap_v = max(1, int(round(th * overlap_fraction)))
     overlap_h = max(1, int(round(tw * overlap_fraction)))
-    # nominal grid uses stage positions; overlap from stage step
+    # nominal grid uses stage positions; overlap from stage step.  A step
+    # that implies a non-positive (or full-tile) overlap means the voxel
+    # size / objective flag doesn't match the directory names — warn and
+    # fall back to the nominal fraction instead of slicing empty overlaps
     if grid.n_cols > 1:
-        overlap_h = tw - (grid.stacks[0][1].abs_h - grid.stacks[0][0].abs_h)
+        oh = tw - (grid.stacks[0][1].abs_h - grid.stacks[0][0].abs_h)
+        if 0 < oh < tw:
+            overlap_h = oh
+        else:
+            log.warn(f"stage-step x overlap {oh} px implausible (check "
+                     "--objective / voxel size); using "
+                     f"{overlap_fraction:.0%} of tile width")
     if grid.n_rows > 1:
-        overlap_v = th - (grid.stacks[1][0].abs_v - grid.stacks[0][0].abs_v)
+        ov = th - (grid.stacks[1][0].abs_v - grid.stacks[0][0].abs_v)
+        if 0 < ov < th:
+            overlap_v = ov
+        else:
+            log.warn(f"stage-step y overlap {ov} px implausible (check "
+                     "--objective / voxel size); using "
+                     f"{overlap_fraction:.0%} of tile height")
     log.info(f"grid {grid.n_rows}x{grid.n_cols}, tile {th}x{tw}, "
              f"overlap v={overlap_v} h={overlap_h}")
 

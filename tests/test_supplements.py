@@ -182,3 +182,45 @@ f 1 2 3 4\nf 5 8 7 6\nf 1 5 6 2\nf 2 6 7 3\nf 3 7 8 4\nf 5 1 4 8
     hits = find_swc_location(rec, obj, out_dir=tmp_path / "sel")
     assert [h.name for h in hits] == ["in.swc"]
     assert (tmp_path / "sel" / "in.swc").exists()
+
+
+def test_command_generator_round_robin(tmp_path):
+    from ipp_tpu.pipeline.command_generator import generate_commands
+
+    cases = [tmp_path / f"case{i}" for i in range(5)]
+    cmds = generate_commands(cases, "process {input} --name {name}",
+                             n_nodes=2)
+    assert len(cmds) == 2  # one bucket per node
+    assert sum(len(b) for b in cmds) == 5
+    flat = [c for b in cmds for c in b]
+    assert any("case0" in c for c in flat)
+
+
+def test_next_fast_len_smoothness():
+    from ipp_tpu.ops.fftutil import next_fast_len
+
+    for n in (1, 7, 100, 257, 263, 1025):
+        m = next_fast_len(n)
+        assert m >= n
+        x = m
+        for p in (2, 3, 5, 7):
+            while x % p == 0:
+                x //= p
+        assert x == 1, (n, m)
+    assert next_fast_len(256) == 256
+    assert next_fast_len(264) == 270
+
+
+def test_stage_timer_and_trace(tmp_path):
+    from ipp_tpu.utils.progress import StageTimer
+    from ipp_tpu.utils.tracing import annotate, trace_to
+
+    t = StageTimer()
+    t.start("a")
+    t.start("b")
+    rep = t.report()
+    assert "a" in rep and "b" in rep
+    with annotate("x"):
+        pass
+    with trace_to(tmp_path / "trace", enabled=False):
+        pass
