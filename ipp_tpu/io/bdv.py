@@ -20,7 +20,7 @@ lossless when the dynamic range allows, else scaled.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 

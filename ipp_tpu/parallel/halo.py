@@ -11,11 +11,10 @@ collective replacing the reference's shared-filesystem overlap reads
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["exchange_halos_z", "sharded_map_blocks_z"]
 

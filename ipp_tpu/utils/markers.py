@@ -10,7 +10,7 @@ between pixel spaces (recut/terafly voxels <-> physical um <-> flipped axes).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import pandas as pd
