@@ -462,6 +462,14 @@ def build_parser():
     p.add_argument("--max-block-mvox", type=float, default=96.0)
     p.add_argument("--reference-scheme", action="store_true",
                    help="use the reference's bl-as-y RL variant")
+    p.add_argument("--fft-precision", default=None,
+                   choices=["highest", "high", "default"],
+                   help="MXU matmul-FFT precision ladder: high (default; "
+                        "full-RL NRMSE 2e-6 vs exact), default (~25%% "
+                        "faster, NRMSE 4.5e-4 — inside the 1e-3 spec), "
+                        "highest (bit-conservative)")
+    p.add_argument("--batch-blocks", type=int, default=None,
+                   help="blocks per device batch on a multi-device mesh")
     p.add_argument("--resume", action="store_true")
     return p
 
@@ -472,6 +480,10 @@ def main(argv=None) -> int:
     from ..ops.psf import make_psf
 
     args = build_parser().parse_args(argv)
+    if args.fft_precision:
+        import os as _os
+
+        _os.environ["IPP_TPU_FFT_PRECISION"] = args.fft_precision
     log = Logger()
     psf_xyz, fwhm_xy, fwhm_z = make_psf(
         dxy=args.dxy, dz=args.dz, NA=args.na, n=args.rf,
@@ -490,6 +502,7 @@ def main(argv=None) -> int:
         amplification=args.amplification,
         clip_percentile=args.clip_percentile,
         max_block_elems=int(args.max_block_mvox * 2 ** 20),
+        batch_blocks=args.batch_blocks,
         resume=args.resume,
         classic_rl=not args.reference_scheme,
         log=log)
