@@ -1,10 +1,12 @@
 """Benchmark — prints ONE JSON line with the headline metric.
 
-Headline: Richardson-Lucy FFT deconvolution throughput per chip
-(BASELINE config 3: 256^3 block, synthetic gaussian PSF, 10 iterations).
+Headline: Richardson-Lucy FFT deconvolution CORE throughput per chip —
+the production block config (lane-aligned 256^3 overlap-save block,
+16-voxel discarded halo, synthetic gaussian PSF, 10 iterations), counting
+only the 224^3 core voxels each block contributes to the output.
 Reference baseline: 27.6 Mvox/s/GPU — the 8x A100 FFT-domain run of
 LsDeconvolveMultiGPU (221 Mvox/s / 8, LsDeconvolveMultiGPU/README.md:61;
-see BASELINE.md).
+see BASELINE.md), which likewise counts output voxels per wall-clock.
 
 Also reports secondary stage throughputs (destripe, NCC) on stderr.
 """
@@ -30,7 +32,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from ipp_tpu.ops.deconv import fft_shape_for, richardson_lucy
+    from ipp_tpu.ops.deconv import richardson_lucy
     from ipp_tpu.ops.destripe import filter_streaks
     from ipp_tpu.ops.psf import gaussian_psf
 
@@ -38,12 +40,19 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    # --- headline: RL decon 256^3, 10 iters -------------------------------
+    # --- headline: RL decon, production block config -----------------------
+    # The pipeline deconvolves lane-aligned 256^3 overlap-save blocks (FFT
+    # work shape == block shape, wraparound absorbed by a 16-voxel halo of
+    # real neighbor data; see pipeline.deconvolve.autosplit).  Headline =
+    # CORE voxels per second, the same accounting as the reference's
+    # whole-volume wall-clock numbers (LsDeconvolveMultiGPU/README.md:61).
     n = 256
+    halo = 16  # 4x the 9^3 PSF half-extent; core NRMSE 9e-5 (docs/STATUS.md)
+    core = n - 2 * halo
     niter = 10
     vol = jnp.asarray(rng.random((n, n, n), dtype=np.float32) * 1000.0)
     psf = jnp.asarray(gaussian_psf((9, 9, 9), (2.0, 2.0, 2.0)))
-    fft_shape = fft_shape_for((n, n, n), (9, 9, 9))
+    fft_shape = (n, n, n)
 
     def run():
         out = richardson_lucy(vol, psf, niter=niter, stop_criterion=0.0,
@@ -74,9 +83,10 @@ def main() -> None:
         run_many()
         times.append((time.time() - t0) / REPS)
     best = min(times)
-    mvox_s = n ** 3 / best / 1e6
-    print(f"decon: compile {compile_s:.1f}s, best {best:.3f}s "
-          f"({mvox_s:.1f} Mvox/s)", file=sys.stderr)
+    mvox_s = core ** 3 / best / 1e6
+    print(f"decon: compile {compile_s:.1f}s, best {best:.3f}s/block "
+          f"({core}^3 core: {mvox_s:.1f} Mvox/s, "
+          f"{n ** 3 / best / 1e6:.1f} Mvox/s fft-volume)", file=sys.stderr)
 
     # --- secondary: destripe throughput -----------------------------------
     tiles = jnp.asarray(rng.integers(0, 40000, (16, 1024, 1024))
@@ -200,7 +210,7 @@ def main() -> None:
 
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({
-        "metric": "rl_decon_fft_2563_10iter_throughput_per_chip",
+        "metric": "rl_decon_fft_256blk_halo16_10iter_core_throughput_per_chip",
         "value": round(mvox_s, 2),
         "unit": "Mvox/s",
         "vs_baseline": round(mvox_s / baseline_mvox_s, 3),

@@ -90,6 +90,114 @@ def _idft_mats(n: int):
     return (np.ascontiguousarray(cr.T / n), np.ascontiguousarray(-ci.T / n))
 
 
+# -- Cooley-Tukey radix split (convolve path only) ---------------------------
+#
+# A dense n-point DFT matmul pads its contraction AND output lane dims to
+# multiples of 128: at n=264 that is 384 — 2.1x wasted MXU work.  One
+# decimation-in-frequency split n = r*m turns the stage into r m-point
+# matmuls with the twiddles FOLDED INTO the matrices
+#   X[r*k+s] = sum_t (sum_j x[t+m*j] w_r^{js}) * [w_n^{ts} w_m^{tk}]
+#              \____ r-point DFT over j ____/   \___ M_s[t,k] ___/
+# so the only extra work is an elementwise r-point butterfly (VPU, fuses).
+# The spectrum comes out PERMUTED (s-major, [s,k] = X[r*k+s]); convolve
+# keeps it permuted end-to-end (the OTF is computed with the same permuted
+# transform and the inverse stage consumes it), so no reorder is ever
+# materialized.  For n=264, r=3: contraction 88 -> pads 128, a 3.0x MXU
+# flop cut at identical accuracy.  Used only by the packed convolve path —
+# the canonical rfftn/irfftn keep natural frequency order.
+#
+# MEASURED (v5e, 10-iter RL): the relayout XLA inserts for the lane-dim
+# split (n -> (r, m)) plus the stack before the batched einsum costs MORE
+# than the saved MXU flops — 264^3 HIGH 105 -> 144 ms, 256^3 HIGH 54 ->
+# 68 ms.  OFF by default (IPP_TPU_FFT_RADIX=1 opts in); the winning move
+# was lane-ALIGNED work shapes instead: a 256^3 dense transform is 1.95x
+# faster than 264^3 because every lane-dim byte and MXU pass at 264 pays
+# padding to 384 (see pipeline.deconvolve.autosplit).  A Pallas kernel
+# that fuses split+butterfly+matmul in VMEM could revisit this.
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def pick_radix(n: int) -> int:
+    """Radix minimizing padded MXU cost pad128(n/r)^2 / (n/r); 1 = dense."""
+    import os
+
+    if os.environ.get("IPP_TPU_FFT_RADIX", "0") != "1":
+        return 1
+    best_r, best_c = 1, _pad128(n) ** 2 / n
+    for r in (2, 3, 4):
+        if n % r:
+            continue
+        m = n // r
+        c = _pad128(m) ** 2 / m
+        if c < best_c - 1e-9:
+            best_r, best_c = r, c
+    return best_r
+
+
+@lru_cache(maxsize=64)
+def _radix_fwd_mats(n: int, r: int):
+    """Twiddle-folded forward matrices, stacked (r, m, m):
+    M_s[t, k] = exp(-2i*pi*t*s/n) * exp(-2i*pi*t*k/m)."""
+    m = n // r
+    t = np.arange(m)[:, None]
+    k = np.arange(m)[None, :]
+    mats = [np.exp(-2j * np.pi * (t * s / n + (t * k % m) / m))
+            for s in range(r)]
+    M = np.stack(mats)
+    return (np.ascontiguousarray(M.real.astype(np.float32)),
+            np.ascontiguousarray(M.imag.astype(np.float32)))
+
+
+@lru_cache(maxsize=64)
+def _radix_inv_mats(n: int, r: int):
+    """Twiddle-folded inverse matrices, stacked (r, m, m):
+    Minv_s[k, t] = (1/m) exp(+2i*pi*k*t/m) * exp(+2i*pi*s*t/n)
+    (the 1/r of the full inverse lives in the s-combine constants)."""
+    m = n // r
+    t = np.arange(m)[None, :]
+    k = np.arange(m)[:, None]
+    mats = [np.exp(2j * np.pi * ((k * t % m) / m + s * t / n)) / m
+            for s in range(r)]
+    M = np.stack(mats)
+    return (np.ascontiguousarray(M.real.astype(np.float32)),
+            np.ascontiguousarray(M.imag.astype(np.float32)))
+
+
+def _rpoint_combine(re_parts, im_parts, consts):
+    """outs[s] = sum_j (re_j + i*im_j) * consts[j, s], elementwise complex
+    with python-float constants (exact zeros/ones skipped — XLA folds the
+    rest into fused VPU ops)."""
+    n_in, n_out = consts.shape
+    outs = []
+    for s in range(n_out):
+        rr, ii = None, None
+        for j in range(n_in):
+            cr = float(consts[j, s].real)
+            ci = float(consts[j, s].imag)
+            if abs(cr) < 1e-15:
+                cr = 0.0
+            if abs(ci) < 1e-15:
+                ci = 0.0
+            term_r = None
+            term_i = None
+            if cr != 0.0:
+                term_r = re_parts[j] if cr == 1.0 else re_parts[j] * cr
+                term_i = im_parts[j] if cr == 1.0 else im_parts[j] * cr
+            if ci != 0.0:
+                tr = -(im_parts[j] * ci) if ci != 1.0 else -im_parts[j]
+                ti = re_parts[j] * ci if ci != 1.0 else re_parts[j]
+                term_r = tr if term_r is None else term_r + tr
+                term_i = ti if term_i is None else term_i + ti
+            if term_r is not None:
+                rr = term_r if rr is None else rr + term_r
+                ii = term_i if ii is None else ii + term_i
+        outs.append((rr, ii))
+    return outs
+
+
 class MatmulFFT3:
     """Plans an rfftn/irfftn pair over the trailing 3 axes of an array
     (leading batch dims pass through), all compute as MXU matmuls.
@@ -98,12 +206,12 @@ class MatmulFFT3:
     half-spectrum.  Complex data flows as (re, im) float32 pairs.
     """
 
-    def __init__(self, shape: Sequence[int], precision=None):
+    def __init__(self, shape: Sequence[int], precision=None, storage=None):
         self.shape = tuple(int(s) for s in shape)
         assert len(self.shape) == 3
-        if precision is None:
-            import os
+        import os
 
+        if precision is None:
             # HIGH (3-pass bf16) measured 2e-6 NRMSE over a full 10-iter
             # RL vs HIGHEST at 1.27x the speed; DEFAULT (1-pass) is 4.5e-4
             # — inside the pipeline's 1e-3 budget, opt-in for more speed
@@ -113,29 +221,71 @@ class MatmulFFT3:
                 "default": jax.lax.Precision.DEFAULT,
             }[os.environ.get("IPP_TPU_FFT_PRECISION", "high").lower()]
         self.precision = precision
+        if storage is None:
+            # bf16 intermediate storage halves the HBM traffic of the
+            # spectra/transpose chain — the measured bound of the RL loop
+            # (docs/STATUS.md: ~80 ms memory floor vs ~14.5 ms/pass MXU at
+            # 264^3).  Matmul accumulation stays f32; only the values
+            # carried BETWEEN stages round to bf16.
+            storage = {
+                "f32": jnp.float32,
+                "float32": jnp.float32,
+                "bf16": jnp.bfloat16,
+                "bfloat16": jnp.bfloat16,
+            }[os.environ.get("IPP_TPU_FFT_STORAGE", "f32").lower()]
+        self.storage = storage
         nz, ny, nx = self.shape
         self.kx = nx // 2 + 1
 
         def triple(mats):  # (mr, mi, mr+mi) for the Karatsuba product
+            # the sum matrix is formed in f32 BEFORE any bf16 cast so
+            # Karatsuba's mri = mr + mi holds exactly in the rounded world
             mr, mi = (jnp.asarray(m) for m in mats)
-            return mr, mi, mr + mi
+            return (mr.astype(storage), mi.astype(storage),
+                    (mr + mi).astype(storage))
 
         # forward x: ONE matmul producing [re | im] (concatenated columns
         # pad the 128-lane boundary once instead of twice)
         fx = _rdft_mats(nx)
-        self._fx = jnp.asarray(np.concatenate(fx, axis=1))
+        self._fx = jnp.asarray(np.concatenate(fx, axis=1)).astype(storage)
         self._fy = triple(_dft_mats(ny))
         self._fz = triple(_dft_mats(nz))
         # inverse x: ONE matmul of the stacked [re; -im] spectrum
         ix = _irdft_mats(nx)
-        self._ix = jnp.asarray(np.concatenate([ix[0], -ix[1]], axis=0))
+        self._ix = jnp.asarray(
+            np.concatenate([ix[0], -ix[1]], axis=0)).astype(storage)
         self._iy = triple(_idft_mats(ny))
         self._iz = triple(_idft_mats(nz))
+        # radix-split stage plans for the packed convolve path (y/z axes)
+        self._fy_rad = self._prep_radix(ny, forward=True)
+        self._fz_rad = self._prep_radix(nz, forward=True)
+        self._iy_rad = self._prep_radix(ny, forward=False)
+        self._iz_rad = self._prep_radix(nz, forward=False)
+
+    def _prep_radix(self, n: int, forward: bool):
+        r = pick_radix(n)
+        if r == 1:
+            return None
+        if forward:
+            Mr, Mi = _radix_fwd_mats(n, r)
+            consts = np.exp(-2j * np.pi
+                            * np.outer(np.arange(r), np.arange(r)) / r)
+        else:
+            Mr, Mi = _radix_inv_mats(n, r)
+            consts = np.exp(2j * np.pi
+                            * np.outer(np.arange(r), np.arange(r)) / r) / r
+        st = self.storage
+        mats = (jnp.asarray(Mr).astype(st), jnp.asarray(Mi).astype(st),
+                jnp.asarray(Mr + Mi).astype(st))
+        return (r, mats, consts)
 
     # -- primitive stages ---------------------------------------------------
 
-    def _mm_last(self, x, m):
-        return jnp.matmul(x, m, precision=self.precision)
+    def _mm_last(self, x, m, out_dtype=None):
+        out = jnp.matmul(x.astype(self.storage), m,
+                         precision=self.precision,
+                         preferred_element_type=jnp.float32)
+        return out if out_dtype == jnp.float32 else out.astype(self.storage)
 
     def _cplx_last(self, re, im, mats):
         """(re + i*im) @ (mr + i*mi) along the last axis — Karatsuba with
@@ -154,10 +304,66 @@ class MatmulFFT3:
             return fused_cplx_matmul(re, im, mats)
         mr, mi, mri = mats
         p = self.precision
-        t1 = jnp.matmul(re, mr, precision=p)
-        t2 = jnp.matmul(im, mi, precision=p)
-        t3 = jnp.matmul(re + im, mri, precision=p)
-        return t1 - t2, t3 - t1 - t2
+        st = self.storage
+        re = re.astype(st)
+        im = im.astype(st)
+        f32 = jnp.float32
+        t1 = jnp.matmul(re, mr, precision=p, preferred_element_type=f32)
+        t2 = jnp.matmul(im, mi, precision=p, preferred_element_type=f32)
+        t3 = jnp.matmul((re.astype(f32) + im.astype(f32)).astype(st), mri,
+                        precision=p, preferred_element_type=f32)
+        return (t1 - t2).astype(st), (t3 - t1 - t2).astype(st)
+
+    def _cplx_batched(self, re, im, mats):
+        """Karatsuba complex product batched over the radix dim:
+        (..., r, m) x (r, m, m) -> (..., r, m)."""
+        mr, mi, mri = mats
+        st = self.storage
+        f32 = jnp.float32
+        re = re.astype(st)
+        im = im.astype(st)
+        kw = dict(precision=self.precision, preferred_element_type=f32)
+        t1 = jnp.einsum("...sm,smk->...sk", re, mr, **kw)
+        t2 = jnp.einsum("...sm,smk->...sk", im, mi, **kw)
+        t3 = jnp.einsum("...sm,smk->...sk",
+                        (re.astype(f32) + im.astype(f32)).astype(st),
+                        mri, **kw)
+        return (t1 - t2).astype(st), (t3 - t1 - t2).astype(st)
+
+    def _cplx_radix_fwd(self, re, im, rad):
+        """Radix-split forward stage along the last axis; output is the
+        PERMUTED spectrum ([s*m + k] = X[r*k + s]) flattened back to n."""
+        r, mats, consts = rad
+        m = re.shape[-1] // r
+        shp = re.shape[:-1] + (r, m)
+        re_p = re.reshape(shp)
+        im_p = im.reshape(shp)
+        outs = _rpoint_combine([re_p[..., j, :] for j in range(r)],
+                               [im_p[..., j, :] for j in range(r)], consts)
+        ur = jnp.stack([o[0] for o in outs], axis=-2)
+        ui = jnp.stack([o[1] for o in outs], axis=-2)
+        rr, ii = self._cplx_batched(ur, ui, mats)
+        return rr.reshape(re.shape), ii.reshape(im.shape)
+
+    def _cplx_radix_inv(self, re, im, rad):
+        """Inverse of :meth:`_cplx_radix_fwd`: consumes the permuted
+        spectrum, emits natural order."""
+        r, mats, consts = rad
+        m = re.shape[-1] // r
+        shp = re.shape[:-1] + (r, m)
+        rr, ii = self._cplx_batched(re.reshape(shp), im.reshape(shp), mats)
+        outs = _rpoint_combine([rr[..., s, :] for s in range(r)],
+                               [ii[..., s, :] for s in range(r)], consts)
+        xr = jnp.stack([o[0] for o in outs], axis=-2)
+        xi = jnp.stack([o[1] for o in outs], axis=-2)
+        return xr.reshape(re.shape), xi.reshape(im.shape)
+
+    def _stage(self, re, im, dense_mats, rad, forward):
+        if rad is None:
+            return self._cplx_last(re, im, dense_mats)
+        if forward:
+            return self._cplx_radix_fwd(re, im, rad)
+        return self._cplx_radix_inv(re, im, rad)
 
     @staticmethod
     def _to_last(a, axis):
@@ -191,7 +397,8 @@ class MatmulFFT3:
         re, im = (self._to_last(re, -2), self._to_last(im, -2))
         # x axis: half spectrum -> real, one fused matmul of [re | im]
         # against the stacked [Ar; -Ai] (Hermitian fold in A)
-        return self._mm_last(jnp.concatenate([re, im], axis=-1), self._ix)
+        return self._mm_last(jnp.concatenate([re, im], axis=-1), self._ix,
+                             out_dtype=jnp.float32)
 
     # -- fused convolution path ----------------------------------------------
     #
@@ -203,36 +410,48 @@ class MatmulFFT3:
     # (Z,k,Y) -> [mm y^-1] -> (y,k,Z)... -> (z,y,k) [mm x^-1]: 8 transposes.
 
     def _fwd_packed(self, x: jnp.ndarray):
-        """rfftn with the spectrum left in the internal (Z, kx, Y) layout."""
+        """rfftn with the spectrum left in the internal (Z, kx, Y) layout
+        (Z/Y in radix-permuted frequency order when a radix split applies —
+        consistent between :meth:`otf_packed` and :meth:`convolve`)."""
         both = self._mm_last(x, self._fx)          # (..., z, y, 2k)
         re, im = both[..., :self.kx], both[..., self.kx:]
         re = jnp.moveaxis(re, -3, -1)               # (..., y, k, z)
         im = jnp.moveaxis(im, -3, -1)
-        re, im = self._cplx_last(re, im, self._fz)  # (..., y, k, Z)
+        re, im = self._stage(re, im, self._fz, self._fz_rad, True)
         re = jnp.swapaxes(re, -3, -1)               # (..., Z, k, y)
         im = jnp.swapaxes(im, -3, -1)
-        return self._cplx_last(re, im, self._fy)    # (..., Z, k, Y)
+        return self._stage(re, im, self._fy, self._fy_rad, True)
 
     def otf_packed(self, psf_rolled: jnp.ndarray):
-        """OTF in the internal layout for :meth:`convolve`."""
-        return self._fwd_packed(psf_rolled)
+        """OTF in the internal layout for :meth:`convolve` — always f32:
+        an OTF rounding error is systematic across RL iterations (it does
+        not average out like the per-volume storage rounding)."""
+        re, im = self._fwd_packed(psf_rolled)
+        return re.astype(jnp.float32), im.astype(jnp.float32)
 
     def convolve(self, x: jnp.ndarray, otf, conj: bool = False) -> jnp.ndarray:
         """Circular convolution irfftn(rfftn(x) * OTF); `otf` comes from
         :meth:`otf_packed`."""
         re, im = self._fwd_packed(x)
-        otf_re, otf_im = otf
+        f32 = jnp.float32
+        otf_re, otf_im = (o.astype(f32) for o in otf)
         if conj:
             otf_im = -otf_im
+        re = re.astype(f32)
+        im = im.astype(f32)
+        # the spectral product runs in f32 on the VPU (it fuses into the
+        # surrounding stages — no extra HBM traffic) and rounds once back
+        # to the storage dtype inside _cplx_last
         rr = re * otf_re - im * otf_im
         ii = re * otf_im + im * otf_re
-        rr, ii = self._cplx_last(rr, ii, self._iy)   # (..., Z, k, y)
+        rr, ii = self._stage(rr, ii, self._iy, self._iy_rad, False)
         rr = jnp.swapaxes(rr, -3, -1)                # (..., y, k, Z)
         ii = jnp.swapaxes(ii, -3, -1)
-        rr, ii = self._cplx_last(rr, ii, self._iz)   # (..., y, k, z)
+        rr, ii = self._stage(rr, ii, self._iz, self._iz_rad, False)
         rr = jnp.moveaxis(rr, -1, -3)                # (..., z, y, k)
         ii = jnp.moveaxis(ii, -1, -3)
-        return self._mm_last(jnp.concatenate([rr, ii], axis=-1), self._ix)
+        return self._mm_last(jnp.concatenate([rr, ii], axis=-1), self._ix,
+                             out_dtype=jnp.float32)
 
     def otf(self, psf_rolled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Forward transform of an origin-centered padded PSF (canonical

@@ -4,7 +4,12 @@ Re-design of LsDeconv.m's orchestration (LsDeconvolveMultiGPU/LsDeconv.m):
 
 - `autosplit` block planning with halo padding: halos come from neighboring
   data when available, symmetric padding at volume edges (the reference
-  interpolation-pads x/y and real-data-pads z, LsDeconv.m:173-174, 817-898),
+  interpolation-pads x/y and real-data-pads z, LsDeconv.m:173-174, 817-898).
+  TPU redesign: blocks are OVERLAP-SAVE — the FFT work shape equals the
+  padded block shape (no zero pad), circular wraparound lands in the
+  discarded halo (4x the PSF half-extent), and shapes land on multiples
+  of 128 so no lane padding is moved or multiplied (measured 1.95x at
+  256^3 vs the minimal 264^3; docs/STATUS.md),
 - per-block pipeline: load -> optional 3D gaussian prefilter -> dark
   subtract -> RL decon -> optional z destripe -> stats (LsDeconv.m:906-947),
 - on a multi-device mesh, blocks are symmetric-padded to one uniform shape
@@ -35,9 +40,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..io import tiff as tio
-from ..ops.deconv import fft_shape_for, richardson_lucy
+from ..ops.deconv import richardson_lucy
 from ..ops.destripe import filter_streaks
-from ..ops.fftutil import next_fast_len
 from ..utils.jaxconfig import enable_persistent_cache
 from ..utils.log import Logger
 from ..utils.progress import ProgressReporter
@@ -63,39 +67,121 @@ class BlockPlan:
         return out
 
 
+def _lane(n: int) -> int:
+    """TPU lane-padded extent: f32 arrays tile as (8, 128), so the minor
+    dim physically occupies the next multiple of 128 in HBM."""
+    return -(-n // 128) * 128
+
+
+def _block_cost(padded: Tuple[int, ...]) -> float:
+    """Relative per-block RL cost model, calibrated on v5e measurements
+    (docs/STATUS.md): each axis spends 1/3 of the transform stages in the
+    lane position (where it pays `_lane` padding in every byte moved AND
+    every MXU pass), and the dense-DFT matmul flops add a term linear in
+    the summed lane extents.  Predicts the measured 1.95x for 264^3 vs
+    256^3 and ~4x for 384^3 vs 256^3."""
+    eff = 1.0
+    for p in padded:
+        eff *= (2 * p + _lane(p)) / 3.0
+    matmul = 1.0 + sum(_lane(p) for p in padded) / 1500.0
+    dispatch = 0.11 * (256 ** 3) * 1.5  # per-block fixed overhead
+    return eff * matmul + dispatch
+
+
+def _axis_candidates(n: int, h: int, max_dim: int) -> List[int]:
+    """Padded-size candidates for one axis: multiples of 128 (zero lane
+    waste) up to the axis' whole extent, the minimal whole-axis size, and
+    a coarse sub-128 grid for small volumes/budgets."""
+    whole = -(-(n + 2 * h) // 8) * 8
+    top = min(max(whole + 127, 128), max_dim)
+    cands = {min(whole, max_dim)}
+    for p in range(128, top + 1, 128):
+        if p - 2 * h >= 8:
+            cands.add(p)
+    for p in range(16, min(whole, 128), 16):
+        if p - 2 * h >= 4:
+            cands.add(p)
+    return sorted(cands)
+
+
 def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
               max_block_elems: int = 96 * 2 ** 20,
               ) -> Tuple[List[BlockPlan], Tuple[int, int, int]]:
-    """Split a volume into FFT-friendly blocks with PSF-half halos
-    (reference autosplit + split_stack, LsDeconv.m:308-385)."""
-    halo = tuple(p // 2 for p in psf_shape)
+    """Split a volume into lane-aligned overlap-save blocks.
+
+    Reference role: autosplit + split_stack (LsDeconv.m:308-385).  TPU
+    redesign: the FFT work shape IS the padded block shape (no extra
+    zero pad) — circular wraparound lands in the discarded halo, the
+    overlap-save formulation of block convolution.  The halo is therefore
+    4x the PSF half-extent (measured: wrap contamination decays below
+    1e-4 NRMSE at 4 half-widths for a 10-iteration RL; docs/STATUS.md),
+    and block shapes are chosen by `_block_cost` to land on multiples of
+    128 — a 264^3 work shape measures 1.95x slower than 256^3 because
+    every lane-dim byte and MXU pass pays padding to 384.
+    """
     max_block_elems = min(max_block_elems, MAX_BLOCK_ELEMS)
-    # choose per-axis splits greedily until padded block fits the budget
-    splits = [1, 1, 1]
-    while True:
-        cores = [math.ceil(t / s) for t, s in zip(vol_shape, splits)]
-        padded = [min(c + 2 * h, t) for c, h, t in zip(cores, halo, vol_shape)]
-        if (np.prod([next_fast_len(p) for p in padded]) <= max_block_elems
-                and all(p <= MAX_BLOCK_DIM for p in padded)):
+
+    def search(halo):
+        cands = [_axis_candidates(n, h, MAX_BLOCK_DIM)
+                 for n, h in zip(vol_shape, halo)]
+        best, best_cost = None, float("inf")
+        for pz in cands[0]:
+            for py in cands[1]:
+                for px in cands[2]:
+                    if pz * py * px > max_block_elems:
+                        continue
+                    padded = (pz, py, px)
+                    cores = [max(1, p - 2 * h)
+                             for p, h in zip(padded, halo)]
+                    nblocks = int(np.prod(
+                        [math.ceil(n / c) for n, c in zip(vol_shape, cores)]))
+                    cost = nblocks * _block_cost(padded)
+                    if cost < best_cost:
+                        best, best_cost = padded, cost
+        return best
+
+    # halo ladder: prefer 4x the PSF half-extent (wrap error < 1e-4); under
+    # tight block budgets step down toward the reference's psf/2 minimum
+    # rather than starving the cores (LsDeconv pads by the PSF half extents)
+    best = halo = fallback = None
+    for m in (4, 3, 2, 1):
+        halo_m = tuple(max((p // 2) * m, 8 if m >= 4 else 1, 1)
+                       for p in psf_shape)
+        cand = search(halo_m)
+        if cand is None:
+            continue
+        cores_ok = all(max(1, p - 2 * h) >= 2 * h
+                       for p, h in zip(cand, halo_m))
+        if cores_ok or m == 1:
+            best, halo = cand, halo_m
             break
-        # split the largest padded axis further
-        ax = int(np.argmax(padded))
-        splits[ax] += 1
+        if fallback is None:
+            fallback = (cand, halo_m)  # feasible but core-starved
+    if best is None and fallback is not None:
+        best, halo = fallback
+    if best is None:  # budget smaller than any candidate: minimal split
+        halo = tuple(max(p // 2, 1) for p in psf_shape)
+        best = tuple(min(16, -(-n // 8) * 8) for n in vol_shape)
+    cores = [max(1, p - 2 * h) for p, h in zip(best, halo)]
     plans = []
     idx = 0
-    for iz in range(splits[0]):
-        for iy in range(splits[1]):
-            for ix in range(splits[2]):
+    for iz in range(math.ceil(vol_shape[0] / cores[0])):
+        for iy in range(math.ceil(vol_shape[1] / cores[1])):
+            for ix in range(math.ceil(vol_shape[2] / cores[2])):
                 core = []
                 for ax, i in zip(range(3), (iz, iy, ix)):
-                    c = math.ceil(vol_shape[ax] / splits[ax])
-                    lo = i * c
-                    hi = min((i + 1) * c, vol_shape[ax])
+                    lo = i * cores[ax]
+                    hi = min((i + 1) * cores[ax], vol_shape[ax])
                     core.append((lo, hi))
                 if all(hi > lo for lo, hi in core):
                     plans.append(BlockPlan(idx, tuple(core), halo))
                     idx += 1
     return plans, halo
+
+
+def fft_work_shape(plans: List[BlockPlan], halo) -> Tuple[int, int, int]:
+    """The overlap-save FFT shape = the uniform padded block shape."""
+    return _uniform_shape(plans, halo)
 
 
 class TiffDirVolume:
@@ -137,11 +223,28 @@ class TiffDirVolume:
 
 
 def _uniform_shape(plans: List[BlockPlan], halo) -> Tuple[int, int, int]:
-    """One padded shape all blocks share (core max + 2*halo per axis), so a
-    multi-device batch compiles to a single executable."""
+    """One padded shape all blocks share (core max + 2*halo per axis,
+    rounded to full f32 sublane tiles), so a multi-device batch compiles
+    to a single executable.  This IS the overlap-save FFT work shape."""
     return tuple(
-        max(hi - lo for p in plans for (lo, hi) in [p.core[a]]) + 2 * halo[a]
+        -(-(max(hi - lo for p in plans for (lo, hi) in [p.core[a]])
+            + 2 * halo[a]) // 8) * 8
         for a in range(3))
+
+
+def _pad_symmetric_safe(a: np.ndarray, pads) -> np.ndarray:
+    """np.pad(mode='symmetric') in rounds: numpy caps each round's pad at
+    the current size, so halos wider than a thin edge block mirror-tile."""
+    pads = [list(p) for p in pads]
+    while True:
+        cur = [(min(p[0], a.shape[i]), min(p[1], a.shape[i]))
+               for i, p in enumerate(pads)]
+        if all(c == (0, 0) for c in cur):
+            return a
+        a = np.pad(a, cur, mode="symmetric")
+        for p, c in zip(pads, cur):
+            p[0] -= c[0]
+            p[1] -= c[1]
 
 
 def read_block_uniform(vol, plan: BlockPlan, uni_shape) -> np.ndarray:
@@ -157,7 +260,7 @@ def read_block_uniform(vol, plan: BlockPlan, uni_shape) -> np.ndarray:
         pre = h - (lo - b0)
         pads.append((pre, u - pre - (b1 - b0)))
     if any(p != (0, 0) for p in pads):
-        block = np.pad(block, pads, mode="symmetric")
+        block = _pad_symmetric_safe(block, pads)
     return block
 
 
@@ -258,7 +361,7 @@ def deconvolve_volume(
         from ..parallel.mesh import data_sharding
 
         uni = _uniform_shape(plans, halo)
-        fft_shape = fft_shape_for(uni, psf.shape)
+        fft_shape = uni  # overlap-save: wraparound lands in the halo
         # blocks are autosplit to fit ONE device, so the pipeline always
         # runs pure data parallelism: a mesh with a 'z' axis folds it into
         # 'data' (intra-block z sharding remains available through the
@@ -344,7 +447,7 @@ def deconvolve_volume(
         # the reference behavior (LsDeconv.m:877-898) and one shape means
         # one compiled executable for the whole run
         uni = _uniform_shape(plans, halo)
-        fft_shape = fft_shape_for(uni, psf.shape)
+        fft_shape = uni  # overlap-save: wraparound lands in the halo
         read_pool = ThreadPoolExecutor(max_workers=1)
         next_fut = read_pool.submit(read_block_uniform, vol, todo[0], uni)
         for i, plan in enumerate(todo):
@@ -465,8 +568,9 @@ def build_parser():
     p.add_argument("--fft-precision", default=None,
                    choices=["highest", "high", "default"],
                    help="MXU matmul-FFT precision ladder: high (default; "
-                        "full-RL NRMSE 2e-6 vs exact), default (~25%% "
-                        "faster, NRMSE 4.5e-4 — inside the 1e-3 spec), "
+                        "full-RL NRMSE 4e-5 vs exact), default (~40%% "
+                        "faster but NRMSE up to ~1e-2 on noise-dominated "
+                        "data — outside the 1e-3 spec, opt-in only), "
                         "highest (bit-conservative)")
     p.add_argument("--batch-blocks", type=int, default=None,
                    help="blocks per device batch on a multi-device mesh")

@@ -211,3 +211,46 @@ def test_pallas_fused_cplx_matmul_interpret(rng):
     np.testing.assert_allclose(np.asarray(rr), t1 - t2, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ii), t3 - t1 - t2,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rl_overlap_save_core_matches_padded(rng):
+    """Overlap-save RL (fft shape == block shape, wraparound absorbed by
+    the halo) matches zero-padded RL on the core — the production block
+    semantics of pipeline.deconvolve.autosplit."""
+    from ipp_tpu.ops import deconv as dc
+    from ipp_tpu.ops.psf import gaussian_psf
+
+    vol = (rng.random((64, 64, 64)) * 1000).astype(np.float32)
+    psf = np.asarray(gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0)))
+    h = 8  # 4x the PSF half-extent
+    a = np.asarray(dc.richardson_lucy(vol, psf, niter=6,
+                                      fft_shape=(64, 64, 64)))
+    b = np.asarray(dc.richardson_lucy(
+        vol, psf, niter=6, fft_shape=dc.fft_shape_for(vol.shape, psf.shape)))
+    sl = (slice(h, -h),) * 3
+    nrmse = (np.linalg.norm(a[sl] - b[sl]) / np.linalg.norm(b[sl]))
+    assert nrmse < 1e-3, nrmse
+
+
+def test_radix_convolve_matches_dense(rng, monkeypatch):
+    """The Cooley-Tukey radix-split convolve path (IPP_TPU_FFT_RADIX=1,
+    twiddle-folded matrices, permuted spectra) is numerically identical to
+    the dense path."""
+    import jax
+
+    from ipp_tpu.ops.mxu_fft import MatmulFFT3, pick_radix
+
+    monkeypatch.setenv("IPP_TPU_FFT_RADIX", "1")
+    assert pick_radix(256) == 2
+    assert pick_radix(264) == 3
+    assert pick_radix(40) == 1
+    shape = (12, 132, 40)  # y=132 -> radix 2; z/x dense
+    assert pick_radix(132) == 2
+    x = rng.random(shape).astype(np.float32)
+    k = rng.random(shape).astype(np.float32)
+    plan = MatmulFFT3(shape, precision=jax.lax.Precision.HIGHEST)
+    conv = np.asarray(plan.convolve(x, plan.otf_packed(k)))
+    ref = np.fft.irfftn(np.fft.rfftn(k) * np.fft.rfftn(x), s=shape,
+                        axes=(0, 1, 2))
+    rel = np.abs(conv - ref).max() / np.abs(ref).max()
+    assert rel < 1e-5, rel
