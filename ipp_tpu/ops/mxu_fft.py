@@ -221,6 +221,20 @@ class MatmulFFT3:
                 "default": jax.lax.Precision.DEFAULT,
             }[os.environ.get("IPP_TPU_FFT_PRECISION", "high").lower()]
         self.precision = precision
+        # Pallas fused stage kernel (radix-2 DIF + 3-pass Karatsuba in
+        # VMEM): applies to 256-multiple axes in the packed convolve path.
+        # Default: on for TPU (measured 52.0 -> 43.8 ms on the 256^3
+        # 10-iter RL, NRMSE 2.3e-5 vs the XLA HIGH path), off elsewhere
+        # (interpret mode is for tests); IPP_TPU_FFT_KERNEL=0/1 overrides.
+        kflag = os.environ.get("IPP_TPU_FFT_KERNEL", "auto")
+        if kflag in ("0", "1"):
+            self.use_kernel = kflag == "1"
+        else:
+            try:
+                plat = jax.devices()[0].platform.lower()
+            except Exception:  # pragma: no cover
+                plat = "cpu"
+            self.use_kernel = "tpu" in plat or "axon" in plat
         if storage is None:
             # bf16 intermediate storage halves the HBM traffic of the
             # spectra/transpose chain — the measured bound of the RL loop
@@ -256,11 +270,45 @@ class MatmulFFT3:
             np.concatenate([ix[0], -ix[1]], axis=0)).astype(storage)
         self._iy = triple(_idft_mats(ny))
         self._iz = triple(_idft_mats(nz))
+        # packed-path x matrices with the half-spectrum dim padded to a
+        # full f32 sublane tile (kxp = round8(kx), zero columns/rows): the
+        # spectrum then reshapes (A, kxp, n) <-> (A*kxp, n) as a pure view
+        # (the physical layout already pads sublanes to 8), which the
+        # fused stage kernel needs
+        self.kxp = -(-self.kx // 8) * 8
+        fxp = np.zeros((nx, 2 * self.kxp), np.float32)
+        fxp[:, :self.kx] = fx[0]
+        fxp[:, self.kxp:self.kxp + self.kx] = fx[1]
+        self._fx_p = jnp.asarray(fxp).astype(storage)
+        ixp = np.zeros((2 * self.kxp, nx), np.float32)
+        ixp[:self.kx] = ix[0]
+        ixp[self.kxp:self.kxp + self.kx] = -ix[1]
+        self._ix_p = jnp.asarray(ixp).astype(storage)
         # radix-split stage plans for the packed convolve path (y/z axes)
         self._fy_rad = self._prep_radix(ny, forward=True)
         self._fz_rad = self._prep_radix(nz, forward=True)
         self._iy_rad = self._prep_radix(ny, forward=False)
         self._iz_rad = self._prep_radix(nz, forward=False)
+        # fused-kernel stage matrices (bf16 hi/lo splits), per axis.  The
+        # decision is made HERE (statically per plan) so the OTF and the
+        # data always use the same spectral permutation: the kernel needs
+        # the transform axis to be a 256-multiple (m = n/2 lane-aligned)
+        # and the flattened row count (other_axis * kxp, times any batch)
+        # to divide the kernel row tile
+        self._kern = {}
+        self._kern_interpret = False
+        if self.use_kernel and storage == jnp.float32:
+            from .pallas_fft import STAGE_TM, prep_stage_mats
+
+            for axis_n, other_n in ((nz, ny), (ny, nz)):
+                if axis_n % 256 == 0 and (other_n * self.kxp) % STAGE_TM == 0:
+                    self._kern[axis_n] = prep_stage_mats(axis_n)
+            if self._kern:
+                try:
+                    plat = jax.devices()[0].platform.lower()
+                except Exception:  # pragma: no cover
+                    plat = "cpu"
+                self._kern_interpret = not ("tpu" in plat or "axon" in plat)
 
     def _prep_radix(self, n: int, forward: bool):
         r = pick_radix(n)
@@ -330,10 +378,41 @@ class MatmulFFT3:
                         mri, **kw)
         return (t1 - t2).astype(st), (t3 - t1 - t2).astype(st)
 
+    def _cplx2_last(self, re, im, mats, s):
+        """Karatsuba against one radix s-slice of stacked (r, m, m) mats."""
+        return self._cplx_last(re, im, tuple(mm[s] for mm in mats))
+
+    def _cplx_radix2_fwd(self, re, im, rad):
+        """Radix-2 DIF forward: u0/u1 are CONTIGUOUS lane halves
+        (x[:m] +/- x[m:]) — no relayout, unlike the general reshape/stack
+        path — then two m-contraction Karatsubas and a concat (permuted
+        spectrum, same convention as :meth:`_cplx_radix_fwd`)."""
+        _, mats, _ = rad
+        m = re.shape[-1] // 2
+        a_re, b_re = re[..., :m], re[..., m:]
+        a_im, b_im = im[..., :m], im[..., m:]
+        r0, i0 = self._cplx2_last(a_re + b_re, a_im + b_im, mats, 0)
+        r1, i1 = self._cplx2_last(a_re - b_re, a_im - b_im, mats, 1)
+        return (jnp.concatenate([r0, r1], axis=-1),
+                jnp.concatenate([i0, i1], axis=-1))
+
+    def _cplx_radix2_inv(self, re, im, rad):
+        """Radix-2 inverse of :meth:`_cplx_radix2_fwd`: two Karatsubas on
+        the contiguous s-halves, then the butterfly (v0 +/- v1)/2 (the 1/2
+        is folded into the inverse matrices' companion consts)."""
+        _, mats, _ = rad
+        m = re.shape[-1] // 2
+        r0, i0 = self._cplx2_last(re[..., :m], im[..., :m], mats, 0)
+        r1, i1 = self._cplx2_last(re[..., m:], im[..., m:], mats, 1)
+        return (jnp.concatenate([(r0 + r1) * 0.5, (r0 - r1) * 0.5], axis=-1),
+                jnp.concatenate([(i0 + i1) * 0.5, (i0 - i1) * 0.5], axis=-1))
+
     def _cplx_radix_fwd(self, re, im, rad):
         """Radix-split forward stage along the last axis; output is the
         PERMUTED spectrum ([s*m + k] = X[r*k + s]) flattened back to n."""
         r, mats, consts = rad
+        if r == 2:
+            return self._cplx_radix2_fwd(re, im, rad)
         m = re.shape[-1] // r
         shp = re.shape[:-1] + (r, m)
         re_p = re.reshape(shp)
@@ -349,6 +428,8 @@ class MatmulFFT3:
         """Inverse of :meth:`_cplx_radix_fwd`: consumes the permuted
         spectrum, emits natural order."""
         r, mats, consts = rad
+        if r == 2:
+            return self._cplx_radix2_inv(re, im, rad)
         m = re.shape[-1] // r
         shp = re.shape[:-1] + (r, m)
         rr, ii = self._cplx_batched(re.reshape(shp), im.reshape(shp), mats)
@@ -359,6 +440,12 @@ class MatmulFFT3:
         return xr.reshape(re.shape), xi.reshape(im.shape)
 
     def _stage(self, re, im, dense_mats, rad, forward):
+        kern = self._kern.get(re.shape[-1])
+        if kern is not None:
+            from .pallas_fft import fused_stage
+
+            return fused_stage(re, im, kern, forward,
+                               interpret=self._kern_interpret)
         if rad is None:
             return self._cplx_last(re, im, dense_mats)
         if forward:
@@ -410,11 +497,13 @@ class MatmulFFT3:
     # (Z,k,Y) -> [mm y^-1] -> (y,k,Z)... -> (z,y,k) [mm x^-1]: 8 transposes.
 
     def _fwd_packed(self, x: jnp.ndarray):
-        """rfftn with the spectrum left in the internal (Z, kx, Y) layout
-        (Z/Y in radix-permuted frequency order when a radix split applies —
-        consistent between :meth:`otf_packed` and :meth:`convolve`)."""
-        both = self._mm_last(x, self._fx)          # (..., z, y, 2k)
-        re, im = both[..., :self.kx], both[..., self.kx:]
+        """rfftn with the spectrum left in the internal (Z, kxp, Y) layout
+        (Z/Y in radix-permuted frequency order when a radix split or the
+        fused kernel applies — consistent between :meth:`otf_packed` and
+        :meth:`convolve`; kxp = sublane-padded half spectrum, the padded
+        frequencies are exactly zero)."""
+        both = self._mm_last(x, self._fx_p)        # (..., z, y, 2*kxp)
+        re, im = both[..., :self.kxp], both[..., self.kxp:]
         re = jnp.moveaxis(re, -3, -1)               # (..., y, k, z)
         im = jnp.moveaxis(im, -3, -1)
         re, im = self._stage(re, im, self._fz, self._fz_rad, True)
@@ -434,23 +523,33 @@ class MatmulFFT3:
         :meth:`otf_packed`."""
         re, im = self._fwd_packed(x)
         f32 = jnp.float32
-        otf_re, otf_im = (o.astype(f32) for o in otf)
-        if conj:
-            otf_im = -otf_im
-        re = re.astype(f32)
-        im = im.astype(f32)
-        # the spectral product runs in f32 on the VPU (it fuses into the
-        # surrounding stages — no extra HBM traffic) and rounds once back
-        # to the storage dtype inside _cplx_last
-        rr = re * otf_re - im * otf_im
-        ii = re * otf_im + im * otf_re
-        rr, ii = self._stage(rr, ii, self._iy, self._iy_rad, False)
+        kern_y = self._kern.get(re.shape[-1])
+        if kern_y is not None:
+            # OTF product + inverse-y stage in one VMEM pass: the spectral
+            # product never touches HBM
+            from .pallas_fft import fused_stage_inv_otf
+
+            rr, ii = fused_stage_inv_otf(re, im, otf[0], otf[1], kern_y,
+                                         conj,
+                                         interpret=self._kern_interpret)
+        else:
+            otf_re, otf_im = (o.astype(f32) for o in otf)
+            if conj:
+                otf_im = -otf_im
+            re = re.astype(f32)
+            im = im.astype(f32)
+            # the spectral product runs in f32 on the VPU (it fuses into
+            # the surrounding stages — no extra HBM traffic) and rounds
+            # once back to the storage dtype inside _cplx_last
+            rr = re * otf_re - im * otf_im
+            ii = re * otf_im + im * otf_re
+            rr, ii = self._stage(rr, ii, self._iy, self._iy_rad, False)
         rr = jnp.swapaxes(rr, -3, -1)                # (..., y, k, Z)
         ii = jnp.swapaxes(ii, -3, -1)
         rr, ii = self._stage(rr, ii, self._iz, self._iz_rad, False)
-        rr = jnp.moveaxis(rr, -1, -3)                # (..., z, y, k)
+        rr = jnp.moveaxis(rr, -1, -3)                # (..., z, y, kxp)
         ii = jnp.moveaxis(ii, -1, -3)
-        return self._mm_last(jnp.concatenate([rr, ii], axis=-1), self._ix,
+        return self._mm_last(jnp.concatenate([rr, ii], axis=-1), self._ix_p,
                              out_dtype=jnp.float32)
 
     def otf(self, psf_rolled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -254,3 +254,28 @@ def test_radix_convolve_matches_dense(rng, monkeypatch):
                         axes=(0, 1, 2))
     rel = np.abs(conv - ref).max() / np.abs(ref).max()
     assert rel < 1e-5, rel
+
+
+def test_fused_stage_kernel_convolve(rng, monkeypatch):
+    """The Pallas fused radix-2 stage kernel path (interpret mode on CPU)
+    equals numpy FFT convolution, including conjugate and batched calls."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("IPP_TPU_FFT_KERNEL", "1")
+    from ipp_tpu.ops.mxu_fft import MatmulFFT3
+
+    shape = (256, 256, 16)
+    x = rng.random(shape).astype(np.float32)
+    k = rng.random(shape).astype(np.float32)
+    plan = MatmulFFT3(shape, precision=jax.lax.Precision.HIGHEST)
+    assert sorted(plan._kern.keys()) == [256]
+    otf = plan.otf_packed(jnp.asarray(k))
+    conv = np.asarray(plan.convolve(jnp.asarray(x), otf))
+    ref = np.fft.irfftn(np.fft.rfftn(k) * np.fft.rfftn(x), s=shape,
+                        axes=(0, 1, 2))
+    assert np.abs(conv - ref).max() / np.abs(ref).max() < 1e-4
+    convc = np.asarray(plan.convolve(jnp.asarray(x), otf, conj=True))
+    refc = np.fft.irfftn(np.conj(np.fft.rfftn(k)) * np.fft.rfftn(x),
+                         s=shape, axes=(0, 1, 2))
+    assert np.abs(convc - refc).max() / np.abs(refc).max() < 1e-4
