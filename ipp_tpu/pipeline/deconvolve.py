@@ -77,13 +77,16 @@ def _block_cost(padded: Tuple[int, ...]) -> float:
     """Relative per-block RL cost model, calibrated on v5e measurements
     (docs/STATUS.md): each axis spends 1/3 of the transform stages in the
     lane position (where it pays `_lane` padding in every byte moved AND
-    every MXU pass), and the dense-DFT matmul flops add a term linear in
-    the summed lane extents.  Predicts the measured 1.95x for 264^3 vs
-    256^3 and ~4x for 384^3 vs 256^3."""
+    every MXU pass), and the DFT matmul flops add a term linear in the
+    summed lane extents — halved for 256-multiple axes, which run on the
+    Pallas fused radix-2 stage kernel.  Calibration points: 264^3 = 1.95x
+    256^3; (256,512,512) measures 1.44x the per-voxel cost of 256^3, so
+    tiling a big-PSF volume with 256^3 blocks beats fewer larger blocks."""
     eff = 1.0
     for p in padded:
         eff *= (2 * p + _lane(p)) / 3.0
-    matmul = 1.0 + sum(_lane(p) for p in padded) / 1500.0
+    weight = sum(_lane(p) * (0.5 if p % 256 == 0 else 1.0) for p in padded)
+    matmul = 1.0 + weight / 500.0
     dispatch = 0.11 * (256 ** 3) * 1.5  # per-block fixed overhead
     return eff * matmul + dispatch
 
@@ -106,8 +109,9 @@ def _axis_candidates(n: int, h: int, max_dim: int) -> List[int]:
 
 def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
               max_block_elems: int = 96 * 2 ** 20,
-              ) -> Tuple[List[BlockPlan], Tuple[int, int, int]]:
-    """Split a volume into lane-aligned overlap-save blocks.
+              ):
+    """Split a volume into lane-aligned overlap-save blocks; returns
+    (plans, halo, planned_padded_shape).
 
     Reference role: autosplit + split_stack (LsDeconv.m:308-385).  TPU
     redesign: the FFT work shape IS the padded block shape (no extra
@@ -176,12 +180,21 @@ def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
                 if all(hi > lo for lo, hi in core):
                     plans.append(BlockPlan(idx, tuple(core), halo))
                     idx += 1
-    return plans, halo
+    return plans, halo, tuple(best)
 
 
-def fft_work_shape(plans: List[BlockPlan], halo) -> Tuple[int, int, int]:
-    """The overlap-save FFT shape = the uniform padded block shape."""
-    return _uniform_shape(plans, halo)
+def fft_work_shape(plans: List[BlockPlan], halo,
+                   planned=None) -> Tuple[int, int, int]:
+    """Overlap-save FFT shape: the tight uniform padded block shape —
+    except that a planned 256-multiple axis is kept even when the volume
+    is smaller (e.g. a 700-voxel axis in a 768 block): the extra
+    symmetric pad costs a few % of rows but keeps the axis on the Pallas
+    fused stage kernel and lane-exact matmuls."""
+    tight = _uniform_shape(plans, halo)
+    if planned is None:
+        return tight
+    return tuple(p if (p % 256 == 0 and p > t) else t
+                 for p, t in zip(planned, tight))
 
 
 class TiffDirVolume:
@@ -312,7 +325,7 @@ def deconvolve_volume(
     output_dir = Path(output_dir)
     brick_dir = output_dir / "bricks"
     brick_dir.mkdir(parents=True, exist_ok=True)
-    plans, halo = autosplit(vol.shape, psf.shape, max_block_elems)
+    plans, halo, planned = autosplit(vol.shape, psf.shape, max_block_elems)
 
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel.mesh import make_mesh
@@ -360,7 +373,7 @@ def deconvolve_volume(
         from ..parallel.distributed import device_put_global
         from ..parallel.mesh import data_sharding
 
-        uni = _uniform_shape(plans, halo)
+        uni = fft_work_shape(plans, halo, planned)
         fft_shape = uni  # overlap-save: wraparound lands in the halo
         # blocks are autosplit to fit ONE device, so the pipeline always
         # runs pure data parallelism: a mesh with a 'z' axis folds it into
@@ -446,7 +459,7 @@ def deconvolve_volume(
         # blocks still read at the uniform shape: symmetric edge padding is
         # the reference behavior (LsDeconv.m:877-898) and one shape means
         # one compiled executable for the whole run
-        uni = _uniform_shape(plans, halo)
+        uni = fft_work_shape(plans, halo, planned)
         fft_shape = uni  # overlap-save: wraparound lands in the halo
         read_pool = ThreadPoolExecutor(max_workers=1)
         next_fut = read_pool.submit(read_block_uniform, vol, todo[0], uni)

@@ -53,7 +53,7 @@ def test_process_images_cli_end_to_end(tmp_path, rng):
 
 
 def test_deconvolve_pipeline(tmp_path, rng):
-    from ipp_tpu.pipeline.deconvolve import autosplit, deconvolve_volume
+    from ipp_tpu.pipeline.deconvolve import autosplit, deconvolve_volume  # noqa: F401
 
     truth = np.zeros((12, 64, 64), np.float32)
     pts = rng.integers(4, 60, (20, 2))
@@ -82,7 +82,7 @@ def test_deconvolve_pipeline(tmp_path, rng):
 def test_autosplit_halo_and_coverage():
     from ipp_tpu.pipeline.deconvolve import autosplit
 
-    plans, halo = autosplit((50, 300, 200), (9, 9, 9),
+    plans, halo, planned = autosplit((50, 300, 200), (9, 9, 9),
                             max_block_elems=120 * 120 * 60)
     # overlap-save halo: 4x the PSF half-extent, floor 8 (wraparound decays
     # below 1e-4 NRMSE at 4 half-widths; docs/STATUS.md)
