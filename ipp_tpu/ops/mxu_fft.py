@@ -42,11 +42,17 @@ __all__ = ["MatmulFFT3", "plan_shape"]
 def plan_shape(shape: Sequence[int], psf_shape: Sequence[int]) -> Tuple[int, ...]:
     """FFT work shape for the matmul backend: block + PSF half-extents,
     rounded up to a multiple of 8 (f32 sublane tile).  No smoothness
-    constraint — a dense DFT matmul handles any n."""
+    constraint — a dense DFT matmul handles any n.  When the next
+    multiple of 128 is within 5%, snap to it: the lane padding is
+    physically moved either way, so the snap is nearly free and makes
+    the axis eligible for lane-exact matmuls (and the fused stage kernel
+    at 256-multiples)."""
     out = []
     for s, p in zip(shape, psf_shape):
         n = int(s) + int(p) // 2 * 2
-        out.append(-(-n // 8) * 8)
+        n8 = -(-n // 8) * 8
+        n128 = -(-n // 128) * 128
+        out.append(n128 if n128 <= n8 * 1.05 else n8)
     return tuple(out)
 
 

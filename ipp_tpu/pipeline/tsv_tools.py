@@ -158,6 +158,29 @@ def generate_downsampled_npz(input_dir, npz_path,
                            target_voxel_um)
 
 
+def series_to_precomputed(input_dir, output_dir,
+                          voxel_nm=(1000.0, 1000.0, 1000.0),
+                          n_levels: int = 3,
+                          chunk=(64, 64, 64)) -> Path:
+    """TIFF z series -> neuroglancer precomputed volume, streamed one
+    plane at a time (reference: the precomputed/blockfs output leg of
+    tsv/convert.py:41-115)."""
+    from ..io.precomputed import PrecomputedWriter
+
+    input_dir = Path(input_dir)
+    paths = sorted(p for p in input_dir.iterdir()
+                   if p.suffix.lower() in (".tif", ".tiff"))
+    if not paths:
+        raise FileNotFoundError(f"no TIFFs in {input_dir}")
+    first = tio.imread(paths[0])
+    w = PrecomputedWriter(output_dir, (len(paths),) + first.shape,
+                          first.dtype, voxel_nm, chunk, n_levels)
+    w.add_plane(first)
+    for p in paths[1:]:
+        w.add_plane(tio.imread(p))
+    return w.dir
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="tsv mini tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +199,13 @@ def main(argv=None) -> int:
     n.add_argument("--voxel", type=float, nargs=3, required=True,
                    metavar=("Z", "Y", "X"))
     n.add_argument("--target-voxel", type=float, required=True)
+    pc = sub.add_parser("precomputed",
+                        help="TIFF series -> neuroglancer precomputed")
+    pc.add_argument("--input", required=True, type=Path)
+    pc.add_argument("--output", required=True, type=Path)
+    pc.add_argument("--voxel-nm", type=float, nargs=3,
+                    default=(1000.0, 1000.0, 1000.0), metavar=("Z", "Y", "X"))
+    pc.add_argument("--levels", type=int, default=3)
     args = p.parse_args(argv)
     log = Logger()
     if args.cmd == "downsample":
@@ -189,6 +219,9 @@ def main(argv=None) -> int:
     elif args.cmd == "npz":
         log.info(str(generate_downsampled_npz(
             args.input, args.output, tuple(args.voxel), args.target_voxel)))
+    elif args.cmd == "precomputed":
+        log.info(str(series_to_precomputed(
+            args.input, args.output, tuple(args.voxel_nm), args.levels)))
     return 0
 
 

@@ -137,3 +137,42 @@ def test_bdv_export_roundtrip(tmp_path, rng):
     assert r1.shape == (6, 150, 140)
     r0.close()
     r1.close()
+
+
+def test_precomputed_roundtrip(tmp_path, rng):
+    """Neuroglancer precomputed writer: info JSON is spec-shaped, raw
+    chunks decode back to the exact volume, mip levels downsample."""
+    import json
+
+    from ipp_tpu.io.precomputed import read_precomputed, write_precomputed
+
+    vol = (rng.random((20, 70, 50)) * 60000).astype(np.uint16)
+    out = write_precomputed(tmp_path / "pc", iter(vol), vol.shape,
+                            np.uint16, voxel_nm=(2000., 1000., 1000.),
+                            chunk=(16, 32, 32), n_levels=2)
+    info = json.loads((out / "info").read_text())
+    assert info["type"] == "image" and info["data_type"] == "uint16"
+    assert info["scales"][0]["size"] == [50, 70, 20]  # x, y, z
+    assert info["scales"][0]["encoding"] == "raw"
+    got = read_precomputed(out, 0)
+    np.testing.assert_array_equal(got, vol)
+    lv1 = read_precomputed(out, 1)
+    assert lv1.shape == (10, 35, 25)
+    # level-1 voxels are means of 2x2 in-plane blocks of subsampled planes
+    expect = vol[0, :70, :50].reshape(35, 2, 25, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(lv1[0], expect.astype(np.uint16))
+
+
+def test_precomputed_cli(tmp_path, rng):
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.pipeline.tsv_tools import main
+
+    d = tmp_path / "series"
+    d.mkdir()
+    for z in range(5):
+        tio.imwrite(d / f"img_{z:06d}.tif",
+                    (rng.random((40, 40)) * 1000).astype(np.uint16))
+    rc = main(["precomputed", "--input", str(d),
+               "--output", str(tmp_path / "pc"), "--levels", "2"])
+    assert rc == 0
+    assert (tmp_path / "pc" / "info").exists()
