@@ -109,15 +109,45 @@ def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
 
 
 def _open_source(src: Path):
-    """Return (reader(z)->plane, nz).  Source: .ims file or TIFF dir."""
-    if src.suffix.lower() == ".ims":
+    """Return (reader(z)->plane, nz) for any supported volume source —
+    the generic-source half of the reference teraconverter
+    (TeraStitcher utils/volumeconverter: 2D TIFF series, 3D TIFF,
+    TeraFly hierarchies, raw series, plus our .ims/.h5 formats):
+
+    - ``.ims`` Imaris HDF5
+    - ``.xml``/``.h5`` BigDataViewer
+    - single multi-page ``.tif`` (tiff3D)
+    - TeraFly root (contains RES(...) level dirs)
+    - directory of 2D ``.tif`` planes
+    - directory of ``.raw`` planes (pystripe raw format)
+    """
+    suffix = src.suffix.lower()
+    if suffix == ".ims":
         r = ImarisReader(src)
         return (lambda z: r[z]), r.shape[0]
+    if suffix in (".xml", ".h5"):
+        from ..io.bdv import BDVReader
+
+        r = BDVReader(src)
+        return (lambda z: r[z]), len(r)
+    if suffix in (".tif", ".tiff") and src.is_file():
+        vol = tio.read_tiff_stack(src)
+        return (lambda z: vol[z]), vol.shape[0]
+    if src.is_dir() and list(src.glob("RES(*)")):
+        from ..io.terafly import TeraFlyVolume
+
+        r = TeraFlyVolume(src)
+        return (lambda z: r[z]), len(r)
     paths = sorted(p for p in src.iterdir()
                    if p.suffix.lower() in (".tif", ".tiff"))
-    if not paths:
-        raise FileNotFoundError(f"no TIFFs in {src}")
-    return (lambda z: tio.imread(paths[z])), len(paths)
+    if paths:
+        return (lambda z: tio.imread(paths[z])), len(paths)
+    raws = sorted(p for p in src.iterdir() if p.suffix.lower() == ".raw")
+    if raws:
+        from ..io.raw import raw_imread
+
+        return (lambda z: raw_imread(raws[z])), len(raws)
+    raise FileNotFoundError(f"no TIFF/raw planes in {src}")
 
 
 def convert(
@@ -127,10 +157,13 @@ def convert(
     voxel_um=(1.0, 1.0, 1.0),
     to_terafly: bool = False,
     to_imaris: bool = False,
+    to_bdv: bool = False,
+    to_precomputed: bool = False,
     to_fnt: Optional[Path] = None,
     to_movie: Optional[Path] = None,
     fnt_cube: int = 128,
     movie_fps: int = 60,
+    halve: str = "mean",
     resume: bool = False,
     log: Optional[Logger] = None,
 ) -> Path:
@@ -154,11 +187,24 @@ def convert(
     if to_terafly:
         log.info("building TeraFly pyramid ...")
         tif_series_to_terafly(tif_dir, tif_dir.parent / (tif_dir.name + "_terafly"),
-                              voxel_um=voxel_um)
+                              voxel_um=voxel_um, halve=halve)
     if to_imaris:
         log.info("writing Imaris file ...")
         tif_series_to_imaris(tif_dir, tif_dir.parent / (tif_dir.name + ".ims"),
                              voxel_um=voxel_um)
+    if to_bdv:
+        from ..io.bdv import tif_series_to_bdv
+
+        log.info("writing BigDataViewer file ...")
+        tif_series_to_bdv(tif_dir, tif_dir.parent / (tif_dir.name + "_bdv.xml"),
+                          voxel_um=voxel_um)
+    if to_precomputed:
+        from .tsv_tools import series_to_precomputed
+
+        log.info("writing neuroglancer precomputed ...")
+        series_to_precomputed(
+            tif_dir, tif_dir.parent / (tif_dir.name + "_precomputed"),
+            voxel_nm=tuple(v * 1000.0 for v in voxel_um))
     if to_fnt:
         log.info("cutting FNT cubes ...")
         tif_series_to_fnt(tif_dir, Path(to_fnt), cube=fnt_cube,
@@ -185,6 +231,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("Z", "Y", "X"))
     p.add_argument("--terafly", action="store_true")
     p.add_argument("--imaris", action="store_true")
+    p.add_argument("--bdv", action="store_true",
+                   help="also write a BigDataViewer XML+HDF5 pair")
+    p.add_argument("--precomputed", action="store_true",
+                   help="also write a neuroglancer precomputed volume")
+    p.add_argument("--halve", choices=["mean", "max"], default="mean",
+                   help="pyramid pooling (reference teraconverter --halve)")
     p.add_argument("--fnt", type=Path, default=None,
                    help="cut FNT .nrrd cubes into this directory")
     p.add_argument("--fnt-cube", type=int, default=128)
@@ -207,8 +259,9 @@ def main(argv=None) -> int:
             new_size=tuple(args.new_size) if args.new_size else None)
     convert(args.input, args.output, cfg, voxel_um=tuple(args.voxel),
             to_terafly=args.terafly, to_imaris=args.imaris,
+            to_bdv=args.bdv, to_precomputed=args.precomputed,
             to_fnt=args.fnt, to_movie=args.movie, fnt_cube=args.fnt_cube,
-            movie_fps=args.movie_fps, resume=args.resume)
+            movie_fps=args.movie_fps, halve=args.halve, resume=args.resume)
     return 0
 
 

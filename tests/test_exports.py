@@ -176,3 +176,54 @@ def test_precomputed_cli(tmp_path, rng):
                "--output", str(tmp_path / "pc"), "--levels", "2"])
     assert rc == 0
     assert (tmp_path / "pc" / "info").exists()
+
+
+def test_convert_generic_sources_and_targets(tmp_path, rng):
+    """The teraconverter role: any supported source -> TIFF series ->
+    pyramid targets, with --halve mean/max (reference
+    TeraStitcher/utils/volumeconverter)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.io.raw import raw_imsave
+    from ipp_tpu.io.terafly import TeraFlyVolume, tif_series_to_terafly
+    from ipp_tpu.pipeline.convert import convert
+
+    vol = (rng.random((4, 64, 64)) * 60000).astype(np.uint16)
+    src = tmp_path / "series"
+    src.mkdir()
+    for z in range(4):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+
+    # max-halve pyramid: level-1 pixels are maxima of 2x2x2 blocks
+    tf_max = tif_series_to_terafly(src, tmp_path / "tf_max", halve="max",
+                                   n_resolutions=2)
+    lv1 = TeraFlyVolume(tf_max, resolution=1)
+    got = lv1[0]
+    expect = vol[:2, :64, :64].reshape(2, 32, 2, 32, 2).max(axis=(0, 2, 4))
+    np.testing.assert_array_equal(got, expect.astype(np.uint16))
+
+    # TeraFly root as a SOURCE
+    out = convert(tf_max, tmp_path / "from_tf")
+    outs = sorted(out.glob("img_*.tif"))
+    assert len(outs) == 4
+    np.testing.assert_array_equal(tio.imread(outs[1]), vol[1])
+
+    # multi-page 3D TIFF as a source
+    stack_path = tmp_path / "stack.tif"
+    tio.write_tiff_stack(stack_path, vol)
+    out = convert(stack_path, tmp_path / "from_stack")
+    np.testing.assert_array_equal(
+        tio.imread(sorted(out.glob("img_*.tif"))[2]), vol[2])
+
+    # raw series as a source
+    raw_dir = tmp_path / "raws"
+    raw_dir.mkdir()
+    for z in range(4):
+        raw_imsave(raw_dir / f"img_{z:06d}.raw", vol[z])
+    out = convert(raw_dir, tmp_path / "from_raw")
+    np.testing.assert_array_equal(
+        tio.imread(sorted(out.glob("img_*.tif"))[3]), vol[3])
+
+    # BDV + precomputed targets from the CLI surface
+    out = convert(src, tmp_path / "multi", to_bdv=True, to_precomputed=True)
+    assert (tmp_path / "multi_bdv.xml").exists()
+    assert (tmp_path / "multi_precomputed" / "info").exists()
