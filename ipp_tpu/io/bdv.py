@@ -77,8 +77,16 @@ def write_bdv(
     voxel_um: Tuple[float, float, float] = (1.0, 1.0, 1.0),
     n_resolutions: Optional[int] = None,
     chunk: Tuple[int, int, int] = (16, 128, 128),
+    halve: str = "mean",
 ) -> Path:
-    """Stream z planes into a BDV XML+HDF5 pair (setup 0, timepoint 0)."""
+    """Stream z planes into a BDV XML+HDF5 pair (setup 0, timepoint 0).
+    `halve` picks the pyramid pooling (mean is the BigDataViewer
+    convention; max preserves sparse bright structures)."""
+    if halve not in ("mean", "max"):
+        raise ValueError(f"halve must be mean|max, got {halve}")
+    pool2d = (lambda a: a.max(axis=(1, 3))) if halve == "max" \
+        else (lambda a: a.mean(axis=(1, 3)))
+    poolz = np.max if halve == "max" else np.mean
     import h5py
 
     out_xml = Path(out_xml)
@@ -120,12 +128,12 @@ def write_bdv(
                 if fx > 1:
                     th, tw = lyx
                     small = small[: th * fy, : tw * fx]
-                    small = small.reshape(th, fy, tw, fx).mean(axis=(1, 3))
+                    small = pool2d(small.reshape(th, fy, tw, fx))
                 acc.append(small)
                 if len(acc) == fz:
                     zi = z // fz
                     if zi < lz:
-                        merged = np.mean(acc, axis=0)
+                        merged = poolz(acc, axis=0)
                         # BDV is int16: clamp (u16 ranges beyond 32767 are
                         # halved — documented lossy step, as BigStitcher's
                         # own importer does)

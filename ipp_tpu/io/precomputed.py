@@ -10,7 +10,10 @@ time and chunks flush whenever a chunk-depth slab completes, so memory
 stays at chunk_z * plane_size regardless of volume depth.
 
 Format: https://github.com/google/neuroglancer/tree/master/src/datasource/precomputed
-(raw unsharded encoding, one scale per mip level).
+(raw unsharded encoding, one scale per mip level).  Chunks are written
+uncompressed by default — the precomputed format signals gzip via HTTP
+Content-Encoding, which a plain file store cannot; `gzipped=True` is for
+servers that set the header.
 """
 
 from __future__ import annotations
@@ -34,21 +37,25 @@ class PrecomputedWriter:
     def __init__(self, out_dir, shape_zyx: Tuple[int, int, int], dtype,
                  voxel_nm: Tuple[float, float, float] = (1000., 1000., 1000.),
                  chunk: Tuple[int, int, int] = (64, 64, 64),
-                 n_levels: int = 1, gzipped: bool = True):
+                 n_levels: int = 1, gzipped: bool = False,
+                 halve: str = "mean"):
         self.dir = Path(out_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.shape = tuple(int(s) for s in shape_zyx)
         self.dtype = np.dtype(dtype)
         self.chunk = tuple(int(c) for c in chunk)
         self.gz = gzipped
+        if halve not in ("mean", "max"):
+            raise ValueError(f"halve must be mean|max, got {halve}")
+        self.halve = halve
         self.n_levels = max(1, int(n_levels))
         nz, ny, nx = self.shape
         self.scales = []
         for lv in range(self.n_levels):
             f = 2 ** lv
+            if lv and (nx // f < 1 or ny // f < 1):
+                break  # a deeper level would have no full pooling block
             size = [max(1, nx // f), max(1, ny // f), max(1, nz // f)]
-            if lv and (size[0] < 1 or size[1] < 1 or size[2] < 1):
-                break
             key = f"{int(voxel_nm[2] * f)}_{int(voxel_nm[1] * f)}_" \
                   f"{int(voxel_nm[0] * f)}"
             self.scales.append({
@@ -84,17 +91,19 @@ class PrecomputedWriter:
         plane = np.ascontiguousarray(plane, self.dtype)
         for lv, sc in enumerate(self.scales):
             f = 2 ** lv
+            if self._z % f:  # this z is subsampled away at this level
+                continue
+            zl = self._z // f
+            if zl >= sc["size"][2]:
+                continue
             if lv:
                 sy, sx = sc["size"][1], sc["size"][0]
                 p = plane[:sy * f, :sx * f].reshape(sy, f, sx, f)
-                p = p.mean(axis=(1, 3)).astype(self.dtype)
+                pool = p.max(axis=(1, 3)) if self.halve == "max" \
+                    else p.mean(axis=(1, 3))
+                p = pool.astype(self.dtype)
             else:
                 p = plane
-            zl = self._z // f
-            if self._z % f:
-                continue
-            if zl >= sc["size"][2]:
-                continue
             slab = self._slabs[lv]
             rel = zl - self._slab_z0[lv]
             if rel >= slab.shape[0]:
@@ -136,10 +145,10 @@ def write_precomputed(out_dir, planes: Iterable[np.ndarray],
                       shape_zyx, dtype,
                       voxel_nm=(1000., 1000., 1000.),
                       chunk=(64, 64, 64), n_levels: int = 1,
-                      gzipped: bool = True) -> Path:
+                      gzipped: bool = False, halve: str = "mean") -> Path:
     """Write a z-plane iterable as a precomputed volume; returns the dir."""
     w = PrecomputedWriter(out_dir, shape_zyx, dtype, voxel_nm, chunk,
-                          n_levels, gzipped)
+                          n_levels, gzipped, halve)
     for p in planes:
         w.add_plane(p)
     return w.dir
@@ -158,8 +167,15 @@ def read_precomputed_chunk(root, level: int, x0, x1, y0, y1, z0, z1
     dt = np.dtype(info["data_type"])
     p = root / sc["key"] / f"{x0}-{x1}_{y0}-{y1}_{z0}-{z1}"
     raw = p.read_bytes()
-    if raw[:2] == b"\x1f\x8b":
+    expected = (z1 - z0) * (y1 - y0) * (x1 - x0) * dt.itemsize
+    # size check FIRST: raw u16 data can start with the gzip magic bytes
+    # (a first voxel of 0x8b1f); a gzipped chunk essentially never equals
+    # the exact raw byte count
+    if len(raw) != expected and raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
+    if len(raw) != expected:
+        raise ValueError(f"chunk {p.name}: {len(raw)} bytes, "
+                         f"expected {expected}")
     return np.frombuffer(raw, dt).reshape(z1 - z0, y1 - y0, x1 - x0)
 
 

@@ -126,6 +126,15 @@ def _pad128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _on_tpu() -> bool:
+    """True when the active backend is a real TPU (incl. the axon tunnel)."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:  # pragma: no cover
+        plat = "cpu"
+    return "tpu" in plat or "axon" in plat
+
+
 def pick_radix(n: int) -> int:
     """Radix minimizing padded MXU cost pad128(n/r)^2 / (n/r); 1 = dense."""
     import os
@@ -233,14 +242,8 @@ class MatmulFFT3:
         # 10-iter RL, NRMSE 2.3e-5 vs the XLA HIGH path), off elsewhere
         # (interpret mode is for tests); IPP_TPU_FFT_KERNEL=0/1 overrides.
         kflag = os.environ.get("IPP_TPU_FFT_KERNEL", "auto")
-        if kflag in ("0", "1"):
-            self.use_kernel = kflag == "1"
-        else:
-            try:
-                plat = jax.devices()[0].platform.lower()
-            except Exception:  # pragma: no cover
-                plat = "cpu"
-            self.use_kernel = "tpu" in plat or "axon" in plat
+        self.use_kernel = (kflag == "1" if kflag in ("0", "1")
+                           else _on_tpu())
         if storage is None:
             # bf16 intermediate storage halves the HBM traffic of the
             # spectra/transpose chain — the measured bound of the RL loop
@@ -310,11 +313,7 @@ class MatmulFFT3:
                 if axis_n % 256 == 0 and (other_n * self.kxp) % STAGE_TM == 0:
                     self._kern[axis_n] = prep_stage_mats(axis_n)
             if self._kern:
-                try:
-                    plat = jax.devices()[0].platform.lower()
-                except Exception:  # pragma: no cover
-                    plat = "cpu"
-                self._kern_interpret = not ("tpu" in plat or "axon" in plat)
+                self._kern_interpret = not _on_tpu()
 
     def _prep_radix(self, n: int, forward: bool):
         r = pick_radix(n)

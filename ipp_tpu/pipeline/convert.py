@@ -133,7 +133,11 @@ def _open_source(src: Path):
     if suffix in (".tif", ".tiff") and src.is_file():
         vol = tio.read_tiff_stack(src)
         return (lambda z: vol[z]), vol.shape[0]
-    if src.is_dir() and list(src.glob("RES(*)")):
+    if not src.is_dir():
+        raise ValueError(
+            f"unsupported source {src}: expected .ims/.xml/.h5/.tif file, "
+            f"a TeraFly root, or a directory of .tif/.raw planes")
+    if list(src.glob("RES(*)")):
         from ..io.terafly import TeraFlyVolume
 
         r = TeraFlyVolume(src)
@@ -197,14 +201,14 @@ def convert(
 
         log.info("writing BigDataViewer file ...")
         tif_series_to_bdv(tif_dir, tif_dir.parent / (tif_dir.name + "_bdv.xml"),
-                          voxel_um=voxel_um)
+                          voxel_um=voxel_um, halve=halve)
     if to_precomputed:
         from .tsv_tools import series_to_precomputed
 
         log.info("writing neuroglancer precomputed ...")
         series_to_precomputed(
             tif_dir, tif_dir.parent / (tif_dir.name + "_precomputed"),
-            voxel_nm=tuple(v * 1000.0 for v in voxel_um))
+            voxel_nm=tuple(v * 1000.0 for v in voxel_um), halve=halve)
     if to_fnt:
         log.info("cutting FNT cubes ...")
         tif_series_to_fnt(tif_dir, Path(to_fnt), cube=fnt_cube,

@@ -148,6 +148,7 @@ def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
     # tight block budgets step down toward the reference's psf/2 minimum
     # rather than starving the cores (LsDeconv pads by the PSF half extents)
     best = halo = fallback = None
+    chosen_m = 4
     for m in (4, 3, 2, 1):
         halo_m = tuple(max((p // 2) * m, 8 if m >= 4 else 1, 1)
                        for p in psf_shape)
@@ -157,15 +158,26 @@ def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
         cores_ok = all(max(1, p - 2 * h) >= 2 * h
                        for p, h in zip(cand, halo_m))
         if cores_ok or m == 1:
-            best, halo = cand, halo_m
+            best, halo, chosen_m = cand, halo_m, m
             break
         if fallback is None:
-            fallback = (cand, halo_m)  # feasible but core-starved
+            fallback = (cand, halo_m, m)  # feasible but core-starved
     if best is None and fallback is not None:
-        best, halo = fallback
+        best, halo, chosen_m = fallback
     if best is None:  # budget smaller than any candidate: minimal split
         halo = tuple(max(p // 2, 1) for p in psf_shape)
         best = tuple(min(16, -(-n // 8) * 8) for n in vol_shape)
+        chosen_m = 1
+    if chosen_m < 4:
+        import warnings
+
+        warnings.warn(
+            f"decon block budget forced the overlap-save halo down to "
+            f"{chosen_m}x the PSF half-extent ({halo}); wraparound error "
+            f"in core voxels grows beyond the <1e-4 NRMSE of the 4x halo "
+            f"(measured ladder: 3x ~4e-4, 2x ~2e-3; docs/STATUS.md). "
+            f"Raise --max-block-mvox to restore the full halo.",
+            stacklevel=2)
     cores = [max(1, p - 2 * h) for p, h in zip(best, halo)]
     plans = []
     idx = 0
@@ -243,6 +255,19 @@ def _uniform_shape(plans: List[BlockPlan], halo) -> Tuple[int, int, int]:
         -(-(max(hi - lo for p in plans for (lo, hi) in [p.core[a]])
             + 2 * halo[a]) // 8) * 8
         for a in range(3))
+
+
+def _fft_shape_for_backend(uni):
+    """Overlap-save FFT shape: the uniform block shape on the MXU matmul
+    backend (any size works; wraparound lands in the halo); on the XLA
+    FFT backend round up to 2,3,5,7-smooth sizes (CLAUDE.md rule — the
+    few extra zero-pad voxels keep overlap-save semantics intact)."""
+    from ..ops.deconv import _fft_backend
+    from ..ops.fftutil import next_fast_len
+
+    if _fft_backend() == "mxu":
+        return tuple(uni)
+    return tuple(next_fast_len(int(u)) for u in uni)
 
 
 def _pad_symmetric_safe(a: np.ndarray, pads) -> np.ndarray:
@@ -374,7 +399,7 @@ def deconvolve_volume(
         from ..parallel.mesh import data_sharding
 
         uni = fft_work_shape(plans, halo, planned)
-        fft_shape = uni  # overlap-save: wraparound lands in the halo
+        fft_shape = _fft_shape_for_backend(uni)
         # blocks are autosplit to fit ONE device, so the pipeline always
         # runs pure data parallelism: a mesh with a 'z' axis folds it into
         # 'data' (intra-block z sharding remains available through the
@@ -460,7 +485,7 @@ def deconvolve_volume(
         # the reference behavior (LsDeconv.m:877-898) and one shape means
         # one compiled executable for the whole run
         uni = fft_work_shape(plans, halo, planned)
-        fft_shape = uni  # overlap-save: wraparound lands in the halo
+        fft_shape = _fft_shape_for_backend(uni)
         read_pool = ThreadPoolExecutor(max_workers=1)
         next_fut = read_pool.submit(read_block_uniform, vol, todo[0], uni)
         for i, plan in enumerate(todo):

@@ -161,7 +161,7 @@ def generate_downsampled_npz(input_dir, npz_path,
 def series_to_precomputed(input_dir, output_dir,
                           voxel_nm=(1000.0, 1000.0, 1000.0),
                           n_levels: int = 3,
-                          chunk=(64, 64, 64)) -> Path:
+                          chunk=(64, 64, 64), halve: str = "mean") -> Path:
     """TIFF z series -> neuroglancer precomputed volume, streamed one
     plane at a time (reference: the precomputed/blockfs output leg of
     tsv/convert.py:41-115)."""
@@ -174,7 +174,8 @@ def series_to_precomputed(input_dir, output_dir,
         raise FileNotFoundError(f"no TIFFs in {input_dir}")
     first = tio.imread(paths[0])
     w = PrecomputedWriter(output_dir, (len(paths),) + first.shape,
-                          first.dtype, voxel_nm, chunk, n_levels)
+                          first.dtype, voxel_nm, chunk, n_levels,
+                          halve=halve)
     w.add_plane(first)
     for p in paths[1:]:
         w.add_plane(tio.imread(p))
