@@ -13,8 +13,9 @@ BigStitcher / Fiji:
 
 Multi-resolution levels halve x/y (and z once past level 0, matching the
 TeraFly halving scheme); data are written plane-streamed per level with
-mean pooling.  BDV requires int16: u16 data are bit-shifted copies kept
-lossless when the dynamic range allows, else scaled.
+mean or max pooling.  BDV datasets are int16 holding the UNSIGNED 16-bit
+pattern (the BigDataViewer convention) — lossless for the full u16 range;
+BDVReader views the bits back as u16.
 """
 
 from __future__ import annotations
@@ -134,13 +135,14 @@ def write_bdv(
                     zi = z // fz
                     if zi < lz:
                         merged = poolz(acc, axis=0)
-                        # BDV is int16: clamp (u16 ranges beyond 32767 are
-                        # halved — documented lossy step, as BigStitcher's
-                        # own importer does)
-                        if merged.max() > 32767:
-                            merged = merged / 2.0
-                        d[zi] = np.clip(np.rint(merged),
-                                        -32768, 32767).astype(np.int16)
+                        # BDV HDF5 convention (BigDataViewer/BigStitcher):
+                        # the int16 dataset holds the UNSIGNED 16-bit
+                        # pattern — clip to u16 and reinterpret the bits,
+                        # lossless for the full u16 range (the previous
+                        # per-chunk /2 fallback produced inconsistent
+                        # scales between chunks)
+                        d[zi] = np.clip(np.rint(merged), 0, 65535) \
+                            .astype(np.uint16).view(np.int16)
                     acc.clear()
     _bdv_xml(out_xml, h5_path.name, shape_zyx, voxel_um)
     return out_xml
@@ -174,7 +176,11 @@ class BDVReader:
         self.shape = self._d.shape
 
     def __getitem__(self, z):
-        return np.asarray(self._d[z])
+        # int16 datasets hold the unsigned bit pattern (BDV convention)
+        plane = np.asarray(self._d[z])
+        if plane.dtype == np.int16:
+            plane = plane.view(np.uint16)
+        return plane
 
     def __len__(self):
         return self.shape[0]

@@ -207,24 +207,29 @@ def _undo_predictor(arr: np.ndarray, predictor: int,
     return arr
 
 
+def _read_tiff_header(f):
+    """Parse the II/MM + 42/43 prologue; returns (byteorder, is_bigtiff)
+    with the stream positioned at the first-IFD offset field."""
+    head = f.read(4)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise TiffError("not a TIFF")
+    magic = struct.unpack(bo + "H", head[2:4])[0]
+    if magic == 42:
+        return bo, False
+    if magic == 43:
+        f.read(4)  # offset size + pad
+        return bo, True
+    raise TiffError("bad magic")
+
+
 def read_tiff(path: Union[str, Path], page_index: int = 0) -> np.ndarray:
     """Read one page of a TIFF into a numpy array (native codec path)."""
     with open(path, "rb") as f:
-        head = f.read(4)
-        if head[:2] == b"II":
-            bo = "<"
-        elif head[:2] == b"MM":
-            bo = ">"
-        else:
-            raise TiffError("not a TIFF")
-        magic = struct.unpack(bo + "H", head[2:4])[0]
-        if magic == 42:
-            big = False
-        elif magic == 43:
-            big = True
-            f.read(4)  # offset size + pad
-        else:
-            raise TiffError("bad magic")
+        bo, big = _read_tiff_header(f)
         for idx, tags in enumerate(_parse_ifds(f, bo, big)):
             if idx != page_index:
                 continue
@@ -295,21 +300,7 @@ def read_tiff_stack(path: Union[str, Path]) -> np.ndarray:
     the 3D-TIFF role of TeraStitcher's tiff3D iomanager plugin
     (src/iomanager/plugins/tiff3D)."""
     with open(path, "rb") as f:
-        head = f.read(4)
-        if head[:2] == b"II":
-            bo = "<"
-        elif head[:2] == b"MM":
-            bo = ">"
-        else:
-            raise TiffError("not a TIFF")
-        magic = struct.unpack(bo + "H", head[2:4])[0]
-        if magic == 42:
-            big = False
-        elif magic == 43:
-            big = True
-            f.read(4)
-        else:
-            raise TiffError("bad magic")
+        bo, big = _read_tiff_header(f)
         planes = []
         for tags in _parse_ifds(f, bo, big):
             page = _page_from_tags(tags)
@@ -440,21 +431,7 @@ def read_tiff_partial(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     files and single corrupt strips yield a mostly-intact plane instead of
     a hard failure."""
     with open(path, "rb") as f:
-        head = f.read(4)
-        if head[:2] == b"II":
-            bo = "<"
-        elif head[:2] == b"MM":
-            bo = ">"
-        else:
-            raise TiffError("not a TIFF")
-        magic = struct.unpack(bo + "H", head[2:4])[0]
-        if magic == 42:
-            big = False
-        elif magic == 43:
-            big = True
-            f.read(4)
-        else:
-            raise TiffError("bad magic")
+        bo, big = _read_tiff_header(f)
         tags = next(iter(_parse_ifds(f, bo, big)))
         page = _page_from_tags(tags)
         dtype = page.dtype.newbyteorder(bo)

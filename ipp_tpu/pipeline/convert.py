@@ -70,8 +70,9 @@ def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
                         end: Optional[int] = None,
                         log: Optional[Logger] = None) -> Path:
     """Render a TIFF series to a video file (the ffmpeg leg of the
-    reference, convert.py:231-247) via cv2.VideoWriter.  16-bit planes are
-    contrast-scaled to 8-bit by the series' 0.1/99.9 percentiles."""
+    reference, convert.py:231-247) via cv2.VideoWriter.  Non-8-bit planes
+    are contrast-scaled by 0.1/99.9 percentiles sampled from a few planes
+    spread across the series."""
     import cv2
 
     log = log or Logger()
@@ -83,10 +84,15 @@ def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
         raise FileNotFoundError(f"no TIFFs in {tif_dir}")
     first = tio.imread(paths[0])
     h, w = first.shape[:2]
-    if first.dtype != np.uint8:
-        sample = first.astype(np.float32)
-        lo, hi = np.percentile(sample, [0.1, 99.9])
-        hi = max(hi, lo + 1)
+    # contrast window computed unconditionally (a mixed-dtype series
+    # would otherwise hit an unbound lo/hi below), from planes spread
+    # across the series rather than the first frame only
+    sample_idx = sorted({0, len(paths) // 2, len(paths) - 1})
+    sample = np.concatenate([
+        tio.imread(paths[i]).astype(np.float32).ravel()
+        for i in sample_idx])
+    lo, hi = np.percentile(sample, [0.1, 99.9])
+    hi = max(hi, lo + 1)
     fourcc = cv2.VideoWriter_fourcc(
         *("mp4v" if movie_path.suffix.lower() == ".mp4" else "MJPG"))
     movie_path.parent.mkdir(parents=True, exist_ok=True)

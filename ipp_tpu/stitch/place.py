@@ -173,6 +173,10 @@ def place_tiles_mst(grid: TileGrid) -> None:
                 links.append((node(r, c), node(r, c + 1),
                               d.displ if d else (0, 0, 0),
                               d.reliability if d else (0.0, 0.0, 0.0)))
+    if not links:  # single-tile grid: nothing to place
+        s = grid.stacks[0][0]
+        s.abs_v = s.abs_h = s.abs_d = 0
+        return
     us = np.array([e[0] for e in links])
     vs = np.array([e[1] for e in links])
     displ = np.array([e[2] for e in links], dtype=np.int64)  # (E, 3)

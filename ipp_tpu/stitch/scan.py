@@ -33,6 +33,7 @@ as a separable min-ramp).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -174,6 +175,25 @@ class Scanner:
         self.alignments: Dict[Tuple, Tuple[int, int, int]] = {}
         self.scores: Dict[Tuple, float] = {}
         self.drift = AverageDrift()
+        # per-round LRU of decoded (drift-rolled, dark-subtracted) volumes:
+        # each stack is read by up to 6 neighbor pairs per round — without
+        # the cache the TIFF decode dominates wall-clock on real grids
+        self._vol_cache: "OrderedDict[Tuple, np.ndarray]" = OrderedDict()
+        self.cache_volumes = 8
+
+    def _read_cached(self, s: ScanStack) -> np.ndarray:
+        # drift in the key: read_volume rolls planes by the per-stack
+        # creep, so a drift re-estimate must invalidate the cached volume
+        key = (id(s), s.drift_x, s.drift_y)
+        vol = self._vol_cache.get(key)
+        if vol is None:
+            vol = s.read_volume(self.dark)
+            self._vol_cache[key] = vol
+            while len(self._vol_cache) > self.cache_volumes:
+                self._vol_cache.popitem(last=False)
+        else:
+            self._vol_cache.move_to_end(key)
+        return vol
 
     def _overlap(self, a: ScanStack, b: ScanStack, side: str) -> int:
         ea, eb = a.extent, b.extent
@@ -206,8 +226,8 @@ class Scanner:
         """One pair through the all-shifts NCC engine, window recentered by
         the current drift estimate."""
         overlap = self._overlap(s0, s1, side)
-        va = s0.read_volume(self.dark)
-        vb = s1.read_volume(self.dark)
+        va = self._read_cached(s0)
+        vb = self._read_cached(s1)
         d = min(va.shape[0], vb.shape[0])
         va, vb = va[:d], vb[:d]
         if not self._dark_support_ok(va, vb, side, overlap):
@@ -296,18 +316,33 @@ class Scanner:
             w = max(self.scores.get((k0, k1), 0.1), 1e-3)
             edges.append((idx[k0], idx[k1], (ch, cv, cd), w))
         for axis in range(3):
-            A = lil_matrix((len(edges) + 1, n))
-            b = np.zeros(len(edges) + 1)
+            # edge rows + a weak per-stack prior toward the nominal stage
+            # position: a stack with NO surviving links (dark-overlap
+            # pairs are skipped) must stay at its stage coordinate rather
+            # than collapse to lsqr's minimum-norm 0, and the prior also
+            # fixes the solution's gauge
+            A = lil_matrix((len(edges) + n, n))
+            b = np.zeros(len(edges) + n)
             for i, (u, v, d, w) in enumerate(edges):
                 sw = np.sqrt(w)
                 A[i, v] = sw
                 A[i, u] = -sw
                 b[i] = sw * d[axis]
-            A[len(edges), 0] = 1000.0
-            b[len(edges)] = 1000.0 * (self.stacks[nodes[0]].x0,
-                                      self.stacks[nodes[0]].y0,
-                                      self.stacks[nodes[0]].z0)[axis]
-            pos[:, axis] = lsqr(A.tocsr(), b)[0]
+            # anchor node 0 firmly (weight 10: strong vs edge weights ~1
+            # but small enough that lsqr's normal equations stay well
+            # conditioned — the old 1000 anchor next to 1e-3 priors left
+            # the weak rows unconverged) and give every other node a weak
+            # prior so corrections flow away from the anchor instead of
+            # splitting symmetrically (integer rounding would cancel a
+            # +-0.5 split)
+            for i, k in enumerate(nodes):
+                nominal = (self.stacks[k].x0, self.stacks[k].y0,
+                           self.stacks[k].z0)[axis]
+                w_i = 10.0 if i == 0 else 0.01
+                A[len(edges) + i, i] = w_i
+                b[len(edges) + i] = w_i * nominal
+            pos[:, axis] = lsqr(A.tocsr(), b, atol=1e-10, btol=1e-10,
+                                iter_lim=10 * (n + len(edges)))[0]
         pos = np.rint(pos).astype(np.int64)
         for k, i in idx.items():
             s = self.stacks[k]

@@ -10,6 +10,7 @@ used here: this tool's job is to find files that need re-acquisition.
 from __future__ import annotations
 
 import re
+import time
 from concurrent.futures import ThreadPoolExecutor, TimeoutError as FTimeout
 from pathlib import Path
 from typing import List, Optional
@@ -48,18 +49,44 @@ def check_files(source, delete: bool = False, timeout: float = 200.0,
     files = [p for p in source.rglob("*") if _PATTERN.search(p.name)]
     bad: List[Path] = []
     pool = ThreadPoolExecutor(max_workers=workers)
-    futs = {pool.submit(_decode, p): p for p in files}
+    # the timeout must measure DECODE time, not queue wait: a clogged
+    # pool would otherwise mark (and with delete=True destroy) perfectly
+    # healthy files that never got a worker.  Each task records its own
+    # start time; a file only times out `timeout` seconds after its
+    # decode actually began.
+    started = {}
+
+    def timed_decode(p: Path):
+        started[p] = time.monotonic()
+        _decode(p)
+
+    futs = {pool.submit(timed_decode, p): p for p in files}
     for fut, p in futs.items():
-        try:
-            fut.result(timeout=timeout)
-        except (Exception, FTimeout) as exc:  # noqa: BLE001
-            log.info(f"damaged: {p} ({type(exc).__name__}: {exc})")
-            bad.append(p)
-            if delete:
-                try:
-                    p.unlink()
-                except OSError:
-                    pass
+        while True:
+            try:
+                fut.result(timeout=min(timeout, 5.0))
+                break
+            except FTimeout:
+                t0 = started.get(p)
+                if t0 is not None and time.monotonic() - t0 > timeout:
+                    log.info(f"damaged: {p} (decode timeout)")
+                    bad.append(p)
+                    if delete:
+                        try:
+                            p.unlink()
+                        except OSError:
+                            pass
+                    break
+                # not started yet (pool busy) or still within budget
+            except Exception as exc:  # noqa: BLE001
+                log.info(f"damaged: {p} ({type(exc).__name__}: {exc})")
+                bad.append(p)
+                if delete:
+                    try:
+                        p.unlink()
+                    except OSError:
+                        pass
+                break
     pool.shutdown(wait=False)
     log.info(f"checked {len(files)} files, {len(bad)} damaged")
     return bad

@@ -227,3 +227,22 @@ def test_convert_generic_sources_and_targets(tmp_path, rng):
     out = convert(src, tmp_path / "multi", to_bdv=True, to_precomputed=True)
     assert (tmp_path / "multi_bdv.xml").exists()
     assert (tmp_path / "multi_precomputed" / "info").exists()
+
+
+def test_bdv_u16_bit_pattern_lossless(tmp_path, rng):
+    """BDV int16 datasets hold the unsigned bit pattern: full u16 range
+    round-trips exactly through write_bdv -> BDVReader."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.io.bdv import BDVReader, tif_series_to_bdv
+
+    vol = np.array([[[0, 1, 30000], [32768, 50000, 65535]]] * 2,
+                   np.uint16)  # (2, 2, 3) incl. values beyond int16
+    d = tmp_path / "series"
+    d.mkdir()
+    for z in range(2):
+        tio.imwrite(d / f"img_{z:06d}.tif", vol[z])
+    xml = tif_series_to_bdv(d, tmp_path / "out.xml", n_resolutions=1)
+    r = BDVReader(xml)
+    np.testing.assert_array_equal(r[0], vol[0])
+    np.testing.assert_array_equal(r[1], vol[1])
+    r.close()

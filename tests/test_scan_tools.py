@@ -189,3 +189,45 @@ def test_scanner_dark_support_skips_empty_overlap(tmp_path, rng):
     sc = Scanner({(0, 0, 0): sa, (1, 0, 0): sb}, dark=100.0, slop=(4, 4, 2))
     sc.align_all_stacks(rounds=1)
     assert ((0, 0, 0), (1, 0, 0)) not in sc.alignments
+
+
+def test_scanner_linkless_stack_keeps_nominal_position(tmp_path, rng):
+    """A stack whose every link was skipped (dark overlap) must keep its
+    nominal stage position, not collapse to the solver's zero."""
+    from ipp_tpu.stitch.scan import ScanStack, Scanner
+    from ipp_tpu.io import tiff as tio
+
+    stacks = {}
+    for xi, x0 in ((0, 0), (1, 90)):
+        d = tmp_path / f"s{xi}"
+        d.mkdir()
+        paths = []
+        for z in range(3):
+            p = d / f"{z:03d}.tif"
+            tio.imwrite(p, (rng.random((40, 100)) * 1000 + 200)
+                        .astype(np.uint16))
+            paths.append(p)
+        stacks[(xi, 0, 0)] = ScanStack(paths=paths, x0=x0, y0=0, z0=0)
+    sc = Scanner(stacks)
+    # inject one alignment involving only stack 0 ... none exist between
+    # the pair: simulate the dark-skip by leaving alignments empty except
+    # a self-consistent one for stack (0,0,0) is impossible, so directly
+    # test the solver path with a single edge missing the second stack
+    sc.alignments = {}
+    sc.apply_alignments()  # no alignments: early return, positions kept
+    assert sc.stacks[(1, 0, 0)].x0 == 90
+    # now with one unrelated alignment so the solver actually runs
+    d3 = tmp_path / "s2"
+    d3.mkdir()
+    paths = []
+    for z in range(3):
+        p = d3 / f"{z:03d}.tif"
+        tio.imwrite(p, (rng.random((40, 100)) * 1000).astype(np.uint16))
+        paths.append(p)
+    sc.stacks[(2, 0, 0)] = ScanStack(paths=paths, x0=180, y0=0, z0=0)
+    sc.alignments = {((0, 0, 0), (2, 0, 0)): (0, 182, 0)}
+    sc.scores = {((0, 0, 0), (2, 0, 0)): 0.9}
+    sc.apply_alignments()
+    # stack 1 had no links: stays at its nominal 90 (after global rebase)
+    assert abs(sc.stacks[(1, 0, 0)].x0 - 90) <= 1
+    assert abs(sc.stacks[(2, 0, 0)].x0 - 182) <= 1

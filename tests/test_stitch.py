@@ -136,3 +136,20 @@ def test_merge_rotation_flip_and_diag_stack(stitched_setup, tmp_path):
     img = tio.imread(planes[0])
     assert img.ndim == 3 and img.shape[2] == 3
     assert img.max() > 0
+
+
+def test_place_tiles_mst_single_tile_grid(tmp_path, rng):
+    """A 1x1 grid has no links; placement must no-op, not crash."""
+    from ipp_tpu.geometry.stacks import TileGrid
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.place import place_tiles_mst
+
+    d = tmp_path / "ch" / "000000" / "000000_000000"
+    d.mkdir(parents=True)
+    for z in range(3):
+        tio.imwrite(d / f"{z:06d}.tif",
+                    (rng.random((32, 32)) * 1000).astype(np.uint16))
+    grid = TileGrid.from_directory(tmp_path / "ch")
+    place_tiles_mst(grid)
+    s = grid.stacks[0][0]
+    assert (s.abs_v, s.abs_h, s.abs_d) == (0, 0, 0)
