@@ -113,6 +113,26 @@ def main() -> None:
     print(f"destripe: compile {destripe_compile:.1f}s, steady "
           f"{destripe_s:.3f}s ({destripe_mpix:.1f} Mpix/s)", file=sys.stderr)
 
+    # --- secondary: lightsheet correction (Mpix/s) -------------------------
+    from ipp_tpu.ops.lightsheet import correct_lightsheet
+
+    ls_img = jnp.asarray(rng.integers(0, 40000, (2048, 2048))
+                         .astype(np.uint16))
+
+    def run_ls(reps=3):
+        acc = jnp.float32(0)
+        for _ in range(reps):
+            acc = acc + jnp.sum(correct_lightsheet(
+                ls_img.astype(jnp.float32)))
+        return float(acc)
+
+    run_ls()
+    t0 = time.time()
+    run_ls()
+    ls_s = (time.time() - t0) / 3
+    print(f"lightsheet correction: {ls_img.size / ls_s / 1e6:.0f} Mpix/s",
+          file=sys.stderr)
+
     # --- secondary: NCC alignment maps (pairs/s) ---------------------------
     from ipp_tpu.ops.ncc import ncc_maps_batched
 

@@ -302,3 +302,237 @@ def fused_stage_inv_otf(re, im, otf_re, otf_im, kern, conj,
         otf_re.reshape(R_o, n), otf_im.reshape(R_o, n),
         mats_hi, mats_lo, bool(conj), interpret=interpret)
     return rr.reshape(shape), ii.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# v2: sublane-contraction stage kernels for the near-transpose-free
+# convolve walk (mxu_fft.MatmulFFT3.convolve, IPP_TPU_FFT_V2 path)
+#
+# The v1 path's remaining cost is 8 XLA transposes per convolve (~11 ms
+# of 43.8 at 256^3): each lane-form stage needs its axis in lanes.  The
+# MXU's rhs contracts over SUBLANES natively, so a kernel that loops an
+# 8-deep major chunk and runs dot(M, X[i]) transforms the SUBLANE axis
+# with no relayout at all.  The walk (axes (z, y, x), x = lanes
+# throughout, real-domain width — the half-spectrum dim never reaches
+# the lane position):
+#
+#   (z, y, x)   --K1 fwd (contract y, dense rfft fold)-->  (z, Yk, x)
+#   transpose   --XLA-->                                   (Yk, z, x)
+#   (Yk, z, x)  --K2 fwd (contract z, radix-2)-->          (Yk, Z, x)
+#   (Yk, Z, x)  --fused_stage (lanes x, radix-2)-->        (Yk, Z, X)
+#   * OTF *     --fused_stage_inv_otf-->                   (Yk, Z, x)
+#   (Yk, Z, x)  --K2 inv-->                                (Yk, z, x)
+#   transpose   --XLA-->                                   (z, Yk, x)
+#   (z, Yk, x)  --K1 inv (Hermitian fold)-->               (z, y, x)
+#
+# ONE transpose pair survives (4 array transposes vs 8), every stage is
+# a fused one-pass kernel, and the y-fold matrices live in the sublane
+# dim (272 rows) so the v1 x-matmuls' 272->384 lane padding disappears.
+# ---------------------------------------------------------------------------
+
+
+def _split3(x):
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return xh, xl
+
+
+def _mm3_lhs(mh, ml, x):
+    """3-pass hi/lo matmul with the constant matrix as LHS:
+    M @ x, contraction over x's sublanes (MXU-native)."""
+    f32 = jnp.float32
+    xh, xl = _split3(x)
+    return (jnp.dot(mh, xh, preferred_element_type=f32)
+            + jnp.dot(ml, xh, preferred_element_type=f32)
+            + jnp.dot(mh, xl, preferred_element_type=f32))
+
+
+@lru_cache(maxsize=16)
+def prep_v2_rfft_mats(n: int, kp: int):
+    """((fwd_hi, fwd_lo), (inv_hi, inv_lo)) for the sublane y-rfft:
+    fwd (2*kp, n) stacked [re-rows; im-rows] (zero rows pad kx -> kp);
+    inv (n, 2*kp) Hermitian fold consuming [re; im]."""
+    from .mxu_fft import _irdft_mats, _rdft_mats
+
+    kx = n // 2 + 1
+    fr, fi = _rdft_mats(n)          # (n, kx) each
+    fwd = np.zeros((2 * kp, n), np.float32)
+    fwd[:kx] = fr.T
+    fwd[kp:kp + kx] = fi.T
+    ar, ai = _irdft_mats(n)          # (kx, n) each, fold + 1/n included
+    inv = np.zeros((n, 2 * kp), np.float32)
+    inv[:, :kx] = ar.T
+    inv[:, kp:kp + kx] = -ai.T
+    out = []
+    for M in (fwd, inv):
+        Mj = jnp.asarray(M)
+        hi = Mj.astype(jnp.bfloat16)
+        lo = (Mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out.append((hi, lo))
+    return tuple(out)
+
+
+@lru_cache(maxsize=16)
+def prep_v2_stage_mats(n: int):
+    """Transposed radix-2 stage mats for the sublane form (M_s^T so the
+    constants sit as LHS), Karatsuba-ordered like prep_stage_mats."""
+    from .mxu_fft import _radix_fwd_mats, _radix_inv_mats
+
+    out = []
+    for fwd in (True, False):
+        Mr, Mi = _radix_fwd_mats(n, 2) if fwd else _radix_inv_mats(n, 2)
+        mats = []
+        for s in range(2):
+            mats += [Mr[s].T, Mi[s].T, (Mr[s] + Mi[s]).T]
+        M = jnp.asarray(np.ascontiguousarray(np.stack(mats)), jnp.float32)
+        hi = M.astype(jnp.bfloat16)
+        lo = (M - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out.append((hi, lo))
+    return tuple(out)
+
+
+_V2_B = 8      # major-chunk depth per grid step
+_V2_TX = 128   # x lanes per grid step
+
+
+def _v2_rfft_kernel(x_ref, mhi_ref, mlo_ref, re_ref, im_ref):
+    kp2 = mhi_ref.shape[0]
+    kp = kp2 // 2
+    res, ims = [], []
+    for i in range(_V2_B):
+        full = _mm3_lhs(mhi_ref[:], mlo_ref[:], x_ref[i])  # (2kp, TX)
+        res.append(full[:kp])
+        ims.append(full[kp:])
+    re_ref[:] = jnp.stack(res, axis=0)
+    im_ref[:] = jnp.stack(ims, axis=0)
+
+
+def _v2_irfft_kernel(re_ref, im_ref, mhi_ref, mlo_ref, out_ref):
+    outs = []
+    for i in range(_V2_B):
+        both = jnp.concatenate([re_ref[i], im_ref[i]], axis=0)  # (2kp, TX)
+        outs.append(_mm3_lhs(mhi_ref[:], mlo_ref[:], both))     # (n, TX)
+    out_ref[:] = jnp.stack(outs, axis=0)
+
+
+def _v2_stage_fwd_kernel(re_ref, im_ref, mhi_ref, mlo_ref,
+                         rr_ref, ii_ref):
+    m = re_ref.shape[1] // 2
+    rrs, iis = [], []
+    for i in range(_V2_B):
+        re = re_ref[i]
+        im = im_ref[i]
+        pairs = ((re[:m] + re[m:], im[:m] + im[m:]),
+                 (re[:m] - re[m:], im[:m] - im[m:]))
+        rs, is_ = [], []
+        for s, (ur, ui) in enumerate(pairs):
+            t1 = _mm3_lhs(mhi_ref[3 * s], mlo_ref[3 * s], ur)
+            t2 = _mm3_lhs(mhi_ref[3 * s + 1], mlo_ref[3 * s + 1], ui)
+            t3 = _mm3_lhs(mhi_ref[3 * s + 2], mlo_ref[3 * s + 2], ur + ui)
+            rs.append(t1 - t2)
+            is_.append(t3 - t1 - t2)
+        rrs.append(jnp.concatenate(rs, axis=0))
+        iis.append(jnp.concatenate(is_, axis=0))
+    rr_ref[:] = jnp.stack(rrs, axis=0)
+    ii_ref[:] = jnp.stack(iis, axis=0)
+
+
+def _v2_stage_inv_kernel(re_ref, im_ref, mhi_ref, mlo_ref,
+                         rr_ref, ii_ref):
+    m = re_ref.shape[1] // 2
+    rrs, iis = [], []
+    for i in range(_V2_B):
+        re = re_ref[i]
+        im = im_ref[i]
+        vs = []
+        for s in range(2):
+            xr = re[s * m:(s + 1) * m]
+            xi = im[s * m:(s + 1) * m]
+            t1 = _mm3_lhs(mhi_ref[3 * s], mlo_ref[3 * s], xr)
+            t2 = _mm3_lhs(mhi_ref[3 * s + 1], mlo_ref[3 * s + 1], xi)
+            t3 = _mm3_lhs(mhi_ref[3 * s + 2], mlo_ref[3 * s + 2], xr + xi)
+            vs.append((t1 - t2, t3 - t1 - t2))
+        (r0, i0), (r1, i1) = vs
+        rrs.append(jnp.concatenate([(r0 + r1) * 0.5, (r0 - r1) * 0.5],
+                                   axis=0))
+        iis.append(jnp.concatenate([(i0 + i1) * 0.5, (i0 - i1) * 0.5],
+                                   axis=0))
+    rr_ref[:] = jnp.stack(rrs, axis=0)
+    ii_ref[:] = jnp.stack(iis, axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _v2_rfft_call(x, mhi, mlo, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, n, X = x.shape
+    kp = mhi.shape[0] // 2
+    grid = (A // _V2_B, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_B, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_rfft_kernel, grid=grid,
+        in_specs=[blk(n), mat, mat],
+        out_specs=[blk(kp), blk(kp)],
+        out_shape=[jax.ShapeDtypeStruct((A, kp, X), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (n + 2 * kp) * 4, transcendentals=0),
+        interpret=interpret)(x, mhi, mlo)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def _v2_irfft_call(re, im, mhi, mlo, n, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, kp, X = re.shape
+    grid = (A // _V2_B, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_B, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_irfft_kernel, grid=grid,
+        in_specs=[blk(kp), blk(kp), mat, mat],
+        out_specs=blk(n),
+        out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (n + 2 * kp) * 4, transcendentals=0),
+        interpret=interpret)(re, im, mhi, mlo)
+
+
+@partial(jax.jit, static_argnames=("forward", "interpret"))
+def _v2_stage_call(re, im, mhi, mlo, forward, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, n, X = re.shape
+    grid = (A // _V2_B, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_B, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_stage_fwd_kernel if forward else _v2_stage_inv_kernel,
+        grid=grid,
+        in_specs=[blk(n), blk(n), mat, mat],
+        out_specs=[blk(n), blk(n)],
+        out_shape=[jax.ShapeDtypeStruct((A, n, X), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * (n // 2) * 9,
+            bytes_accessed=4 * A * n * X * 4, transcendentals=0),
+        interpret=interpret)(re, im, mhi, mlo)

@@ -279,3 +279,28 @@ def test_fused_stage_kernel_convolve(rng, monkeypatch):
     refc = np.fft.irfftn(np.conj(np.fft.rfftn(k)) * np.fft.rfftn(x),
                          s=shape, axes=(0, 1, 2))
     assert np.abs(convc - refc).max() / np.abs(refc).max() < 1e-4
+
+
+def test_v2_convolve_matches_numpy(rng, monkeypatch):
+    """The v2 near-transpose-free convolve walk (sublane-form Pallas
+    kernels, interpret mode on CPU) equals numpy FFT convolution."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("IPP_TPU_FFT_V2", "1")
+    from ipp_tpu.ops.mxu_fft import MatmulFFT3
+
+    shape = (256, 16, 256)
+    x = rng.random(shape).astype(np.float32)
+    k = rng.random(shape).astype(np.float32)
+    plan = MatmulFFT3(shape, precision=jax.lax.Precision.HIGHEST)
+    assert plan._v2 is not None
+    otf = plan.otf_packed(jnp.asarray(k))
+    conv = np.asarray(plan.convolve(jnp.asarray(x), otf))
+    ref = np.fft.irfftn(np.fft.rfftn(k) * np.fft.rfftn(x), s=shape,
+                        axes=(0, 1, 2))
+    assert np.abs(conv - ref).max() / np.abs(ref).max() < 1e-4
+    convc = np.asarray(plan.convolve(jnp.asarray(x), otf, conj=True))
+    refc = np.fft.irfftn(np.conj(np.fft.rfftn(k)) * np.fft.rfftn(x),
+                         s=shape, axes=(0, 1, 2))
+    assert np.abs(convc - refc).max() / np.abs(refc).max() < 1e-4
