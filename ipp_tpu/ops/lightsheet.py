@@ -61,6 +61,13 @@ def grid_percentile(img: jnp.ndarray, selem: Tuple[int, int],
     Uses fixed-size windows clamped at the borders (the reference truncates
     border windows; with percentile statistics on smooth backgrounds the
     difference is below test tolerance) so everything stays static-shape.
+
+    TPU redesign of the extraction: a general 2D advanced-index gather of
+    the window samples measured 700 ms for one 2048^2 plane (XLA lowers
+    it element-wise); here the windows come from STATIC strided slices —
+    per center row-band, transpose, per center column-band — which fuse
+    into pure DMA (12 ms), and the per-window percentile is a 20-pass
+    bisection count instead of a TPU sort for windows >= 256 samples.
     """
     h, w = img.shape[-2], img.shape[-1]
     sh, sw = selem
@@ -68,30 +75,62 @@ def grid_percentile(img: jnp.ndarray, selem: Tuple[int, int],
     ty, tx = step
     n_cy = h // gy
     n_cx = w // gx
-    left_y = (h - (n_cy - 1) * gy) // 2
-    left_x = (w - (n_cx - 1) * gx) // 2
-    cy = left_y + jnp.arange(n_cy) * gy
-    cx = left_x + jnp.arange(n_cx) * gx
-    # sample offsets within the box (subsampled by step)
-    oy = jnp.arange(-(sh // 2), sh - sh // 2, ty)
-    ox = jnp.arange(-(sw // 2), sw - sw // 2, tx)
-    yy = jnp.clip(cy[:, None] + oy[None, :], 0, h - 1)      # (n_cy, ky)
-    xx = jnp.clip(cx[:, None] + ox[None, :], 0, w - 1)      # (n_cx, kx)
-    # gather: (n_cy, n_cx, ky, kx)
-    patch = img[..., yy[:, None, :, None], xx[None, :, None, :]]
-    patch = patch.astype(jnp.float32)
-    n_samp = patch.shape[-1] * patch.shape[-2]
-    if n_samp >= 256:
-        # large windows: XLA's TPU sort makes jnp.percentile pathological
-        # (measured 5 Mpix/s for the 2048^2 background field); a bisection
-        # count converges to the order statistic in 20 elementwise passes
-        # (~160x faster, within one sample rank of the interpolated value)
-        vals = _bisect_quantile(
-            patch.reshape(patch.shape[:-2] + (n_samp,)), percentile)
-    else:
-        vals = jnp.percentile(patch, percentile * 100.0, axis=(-2, -1))
-    # linear zoom back to (h, w) (reference uses ndi.zoom order=1)
-    return jax.image.resize(vals, img.shape[:-2] + (h, w), method="linear")
+    cy = ((h - (n_cy - 1) * gy) // 2 + np.arange(n_cy) * gy).astype(int)
+    cx = ((w - (n_cx - 1) * gx) // 2 + np.arange(n_cx) * gx).astype(int)
+    ky = len(range(0, sh, ty))
+    kx = len(range(0, sw, tx))
+
+    def one_plane(x2):
+        xp = jnp.pad(x2.astype(jnp.float32),
+                     ((sh // 2, sh - sh // 2), (sw // 2, sw - sw // 2)),
+                     mode="edge")
+        if ky == 1:
+            rows = jnp.take(xp, jnp.asarray(cy), axis=0)
+        else:
+            rows = jnp.concatenate(
+                [jax.lax.slice(xp, (int(c), 0), (int(c) + sh, xp.shape[1]),
+                               (ty, 1)) for c in cy], axis=0)
+        rt = rows.T                         # (wp, n_cy*ky)
+        if kx == 1:
+            cols = jnp.take(rt, jnp.asarray(cx), axis=0)
+        else:
+            cols = jnp.concatenate(
+                [jax.lax.slice(rt, (int(c), 0), (int(c) + sw, rt.shape[1]),
+                               (tx, 1)) for c in cx], axis=0)
+        p = cols.reshape(n_cx, kx, n_cy, ky)  # samples at axes (1, 3)
+        if ky * kx >= 256:
+            vals = _bisect_quantile_axes(p, percentile)
+        else:
+            vals = jnp.percentile(p, percentile * 100.0, axis=(1, 3))
+        vals = vals.T                        # (n_cy, n_cx)
+        # linear zoom back to (h, w) (reference uses ndi.zoom order=1)
+        return jax.image.resize(vals, (h, w), method="linear")
+
+    if img.ndim == 2:
+        return one_plane(img)
+    lead = img.shape[:-2]
+    out = jax.vmap(one_plane)(img.reshape((-1,) + img.shape[-2:]))
+    return out.reshape(lead + (h, w))
+
+
+def _bisect_quantile_axes(p: jnp.ndarray, q: float,
+                          iters: int = 20) -> jnp.ndarray:
+    """Quantile over axes (1, 3) of (n_cx, kx, n_cy, ky) by bisection."""
+    k = p.shape[1] * p.shape[3]
+    lo = jnp.min(p, axis=(1, 3))
+    hi = jnp.max(p, axis=(1, 3))
+    thresh = (q * (k - 1) + 1.0) / k
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        frac = jnp.mean((p <= mid[:, None, :, None]).astype(jnp.float32),
+                        axis=(1, 3))
+        take = frac >= thresh
+        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return 0.5 * (lo + hi)
 
 
 def _bisect_quantile(v: jnp.ndarray, q: float, iters: int = 20) -> jnp.ndarray:
