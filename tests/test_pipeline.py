@@ -188,10 +188,22 @@ def test_deconvolve_pipeline_mesh_matches_single_device(tmp_path, rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(m1["stats"]["max"], m8["stats"]["max"],
                                rtol=1e-4, atol=1e-3)
+    def dequant(brick, manifest, idx):
+        qr = manifest.get("quant", {}).get(str(idx))
+        if qr is None:
+            return brick.astype(np.float32)
+        return brick.astype(np.float32) * ((qr[1] - qr[0]) / 65535.0) + qr[0]
+
     for p1 in sorted((out1 / "bricks").glob("*.npy")):
-        b1 = np.load(p1)
-        b8 = np.load(out8 / "bricks" / p1.name)
-        np.testing.assert_allclose(b1, b8, rtol=1e-4, atol=1e-2)
+        idx = int(p1.stem.split("_")[1])
+        b1 = dequant(np.load(p1), m1, idx)
+        b8 = dequant(np.load(out8 / "bricks" / p1.name), m8, idx)
+        # quantized bricks: allow one quantization step of slack per path
+        qstep = max(
+            (m1.get("quant", {}).get(str(idx), [0, 0])[1]
+             - m1.get("quant", {}).get(str(idx), [0, 0])[0]) / 65535.0, 0)
+        np.testing.assert_allclose(b1, b8, rtol=1e-4,
+                                   atol=1e-2 + 2.5 * qstep)
     for p1 in sorted(out1.glob("img_*.tif")):
         a = tio.imread(p1).astype(np.int32)
         b = tio.imread(out8 / p1.name).astype(np.int32)
