@@ -126,10 +126,11 @@ def main() -> None:
                 ls_img.astype(jnp.float32)))
         return float(acc)
 
-    run_ls()
+    LS_REPS = 3
+    run_ls(LS_REPS)
     t0 = time.time()
-    run_ls()
-    ls_s = (time.time() - t0) / 3
+    run_ls(LS_REPS)
+    ls_s = (time.time() - t0) / LS_REPS
     print(f"lightsheet correction: {ls_img.size / ls_s / 1e6:.0f} Mpix/s",
           file=sys.stderr)
 

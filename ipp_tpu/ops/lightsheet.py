@@ -133,27 +133,6 @@ def _bisect_quantile_axes(p: jnp.ndarray, q: float,
     return 0.5 * (lo + hi)
 
 
-def _bisect_quantile(v: jnp.ndarray, q: float, iters: int = 20) -> jnp.ndarray:
-    """Per-row quantile of (..., K) by bisection on the value range:
-    20 halvings locate the order statistic to ~1e-6 of the range, with
-    only compare+mean passes (no sort — TPU sorts are slow)."""
-    k = v.shape[-1]
-    lo = jnp.min(v, axis=-1)
-    hi = jnp.max(v, axis=-1)
-    # numpy 'linear' percentile sits at 1-indexed rank q*(K-1)+1
-    thresh = (q * (k - 1) + 1.0) / k
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        frac = jnp.mean((v <= mid[..., None]).astype(jnp.float32), axis=-1)
-        take = frac >= thresh
-        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (lo + hi)
-
-
 def correct_lightsheet(
     img: jnp.ndarray,
     percentile: float = 0.25,

@@ -242,8 +242,12 @@ class MatmulFFT3:
         # 10-iter RL, NRMSE 2.3e-5 vs the XLA HIGH path), off elsewhere
         # (interpret mode is for tests); IPP_TPU_FFT_KERNEL=0/1 overrides.
         kflag = os.environ.get("IPP_TPU_FFT_KERNEL", "auto")
+        # HIGHEST means bit-conservative f32 matmuls: the Pallas kernels
+        # are 3-pass bf16 hi/lo (~2e-5 NRMSE), so auto mode defers to the
+        # XLA path then; an explicit IPP_TPU_FFT_KERNEL=1 still wins
         self.use_kernel = (kflag == "1" if kflag in ("0", "1")
-                           else _on_tpu())
+                           else (_on_tpu()
+                                 and precision != jax.lax.Precision.HIGHEST))
         if storage is None:
             # bf16 intermediate storage halves the HBM traffic of the
             # spectra/transpose chain — the measured bound of the RL loop
@@ -312,8 +316,10 @@ class MatmulFFT3:
                                      prep_v2_rfft_mats, prep_v2_stage_mats)
 
             kp_y = -(-(ny // 2 + 1) // 8) * 8
+            # nz % 256 also guarantees the kernel batch A = lead*nz
+            # divides _V2_B=8; kp_y % 8 likewise covers the kp batches
             if (nx % 256 == 0 and nz % 256 == 0 and ny % 8 == 0
-                    and nz % 8 == 0 and (kp_y * nz) % STAGE_TM == 0
+                    and (kp_y * nz) % STAGE_TM == 0
                     and ny <= 2048):
                 self._v2 = dict(
                     kp=kp_y,

@@ -401,29 +401,31 @@ def deconvolve_volume(
             s = (qmax - qmin) / 65535.0
             lb, ub = lb * s + qmin, ub * s + qmin
             quant[str(plan.index)] = [qmin, qmax]
-            np.save(brick_dir / f"block_{plan.index:05d}.npy",
-                    core.astype(np.uint16))
         else:
             lb, ub = _block_stats(core, clip_percentile)
-            np.save(brick_dir / f"block_{plan.index:05d}.npy",
-                    core.astype(np.float32))
         stats["min"] = min(stats["min"], float(lb))
         stats["max"] = max(stats["max"], float(ub))
+        # manifest BEFORE brick: a crash between the two leaves a quant
+        # entry without a brick (block simply redone on --resume); the
+        # other order would leave a u16 brick whose codes resume would
+        # reassemble as raw intensities
         manifest_path.write_text(json.dumps(
             {"stats": stats, "quant": quant, "n_blocks": len(plans),
              "vol_shape": vol.shape}))
+        np.save(brick_dir / f"block_{plan.index:05d}.npy",
+                core.astype(np.uint16 if qrange is not None
+                            else np.float32))
         prog.step()
 
-    max_core = tuple(u - 2 * h for u, h in zip(
-        fft_work_shape(plans, halo, planned), halo))
+    uni = fft_work_shape(plans, halo, planned)
 
     def _finish_ops(uni_shape):
         """Device-side tail: crop to the uniform max core (the halo never
         leaves the device) and optionally quantize to u16 — both shrink
         the device->host transfer (~40 MB/s through the axon tunnel;
         PCIe-limited on real hosts)."""
-        crop = tuple(slice(h, h + min(mc, u - 2 * h)) for h, mc, u in
-                     zip(halo, max_core, uni_shape))
+        crop = tuple(slice(h, h + (u - 2 * h)) for h, u in
+                     zip(halo, uni_shape))
 
         def finish(dec):
             core = dec[crop]
@@ -442,7 +444,6 @@ def deconvolve_volume(
         from ..parallel.distributed import device_put_global
         from ..parallel.mesh import data_sharding
 
-        uni = fft_work_shape(plans, halo, planned)
         fft_shape = _fft_shape_for_backend(uni)
         # blocks are autosplit to fit ONE device, so the pipeline always
         # runs pure data parallelism: a mesh with a 'z' axis folds it into
@@ -536,7 +537,6 @@ def deconvolve_volume(
         # blocks still read at the uniform shape: symmetric edge padding is
         # the reference behavior (LsDeconv.m:877-898) and one shape means
         # one compiled executable for the whole run
-        uni = fft_work_shape(plans, halo, planned)
         fft_shape = _fft_shape_for_backend(uni)
         finish = jax.jit(_finish_ops(uni))
         read_pool = ThreadPoolExecutor(max_workers=1)
@@ -600,6 +600,11 @@ def deconvolve_volume(
                 if qr is not None:  # dequantize u16 brick
                     part = (part.astype(np.float32)
                             * ((qr[1] - qr[0]) / 65535.0) + qr[0])
+                elif part.dtype == np.uint16:
+                    raise RuntimeError(
+                        f"brick {p.index} is u16 but has no quant range "
+                        f"in the manifest — stale/corrupt brick cache; "
+                        f"delete {brick_dir} and re-run")
                 plane[y0:y1, x0:x1] = part
             plane = np.clip((plane - deconvmin) * scale,
                             0, info.max).astype(out_dtype)

@@ -291,3 +291,32 @@ def test_batch_filter_sharded_matches_unsharded(tmp_path, rng):
         got = tio.imread(tmp_path / "out" / f"t{i:02d}.tif")
         ref = np.asarray(process_img(t[None], cfg))[0]
         np.testing.assert_array_equal(got, ref)
+
+
+def test_deconvolve_pipeline_destripe_sigma_f32_bricks(tmp_path, rng):
+    """The z-destripe fork keeps f32 bricks (no quantization) and still
+    produces a sharpened output series."""
+    import json as _json
+
+    truth = np.zeros((12, 64, 64), np.float32)
+    truth[rng.integers(2, 10, 20), rng.integers(4, 60, 20),
+          rng.integers(4, 60, 20)] = 3000.0
+    truth = gaussian_filter(truth, 1.0)
+    psf = gaussian_psf((5, 7, 7), (1.0, 1.5, 1.5))
+    blurred = ndi_convolve(truth, psf, mode="constant")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for z in range(truth.shape[0]):
+        tio.imwrite(in_dir / f"img_{z:06d}.tif",
+                    np.clip(blurred[z], 0, 65535).astype(np.uint16))
+    from ipp_tpu.pipeline.deconvolve import deconvolve_volume
+
+    out = deconvolve_volume(in_dir, tmp_path / "dec", psf, niter=6,
+                            destripe_sigma=16.0,
+                            max_block_elems=48 * 64 * 64)
+    outs = sorted(out.glob("img_*.tif"))
+    assert len(outs) == 12
+    m = _json.loads((out / "blocks_manifest.json").read_text())
+    assert m.get("quant") == {}  # f32 bricks on the destripe fork
+    bricks = sorted((out / "bricks").glob("*.npy"))
+    assert all(np.load(b).dtype == np.float32 for b in bricks)
