@@ -529,20 +529,28 @@ class MatmulFFT3:
     # them: (z,y,k) -> (y,k,z) [mm z] -> (Z,k,y) [mm y] -> multiply OTF in
     # (Z,k,Y) -> [mm y^-1] -> (y,k,Z)... -> (z,y,k) [mm x^-1]: 8 transposes.
 
-    def _fwd_packed_v2(self, x: jnp.ndarray):
+    def _fwd_packed_v2(self, x: jnp.ndarray, ratio_num=None):
         """v2 forward: (..., z, y, x) -> (re, im) in (..., kp, Z, X) with
         z/x in radix-2-permuted frequency order and kp the sublane-padded
         y half-spectrum.  One transpose pair per transform instead of
-        four (see ops/pallas_fft.py v2 section)."""
-        from .pallas_fft import _v2_rfft_call, _v2_stage_call, fused_stage
+        four (see ops/pallas_fft.py v2 section).  With `ratio_num`, the
+        transform input is ratio_num / max(x, eps) computed inside the
+        first kernel — the RL ratio never touches HBM."""
+        from .pallas_fft import (_v2_rfft_call, _v2_rfft_ratio_call,
+                                 _v2_stage_call, fused_stage)
 
         v2 = self._v2
         lead = x.shape[:-3]
         nz, ny, nx = self.shape
         x3 = x.reshape((-1, ny, nx))
         fhi, flo = v2["rmats"][0]
-        re, im = _v2_rfft_call(x3, fhi, flo,
-                               interpret=self._kern_interpret)
+        if ratio_num is not None:
+            num3 = ratio_num.reshape((-1, ny, nx))
+            re, im = _v2_rfft_ratio_call(num3, x3, fhi, flo,
+                                         interpret=self._kern_interpret)
+        else:
+            re, im = _v2_rfft_call(x3, fhi, flo,
+                                   interpret=self._kern_interpret)
         re = re.reshape(lead + (nz, v2["kp"], nx))
         im = im.reshape(lead + (nz, v2["kp"], nx))
         re = jnp.swapaxes(re, -3, -2)     # (..., kp, z, x)
@@ -557,14 +565,14 @@ class MatmulFFT3:
         return fused_stage(re, im, v2["xmats"], True,
                            interpret=self._kern_interpret)
 
-    def _convolve_v2(self, x, otf, conj):
+    def _convolve_v2(self, x, otf, conj, ratio_num=None):
         from .pallas_fft import (_v2_irfft_call, _v2_stage_call,
                                  fused_stage_inv_otf)
 
         v2 = self._v2
         lead = x.shape[:-3]
         nz, ny, nx = self.shape
-        re, im = self._fwd_packed_v2(x)
+        re, im = self._fwd_packed_v2(x, ratio_num)
         rr, ii = fused_stage_inv_otf(re, im, otf[0], otf[1], v2["xmats"],
                                      conj, interpret=self._kern_interpret)
         zhi, zlo = v2["zmats"][1]
@@ -606,11 +614,15 @@ class MatmulFFT3:
         re, im = self._fwd_packed(psf_rolled)
         return re.astype(jnp.float32), im.astype(jnp.float32)
 
-    def convolve(self, x: jnp.ndarray, otf, conj: bool = False) -> jnp.ndarray:
+    def convolve(self, x: jnp.ndarray, otf, conj: bool = False,
+                 ratio_num=None) -> jnp.ndarray:
         """Circular convolution irfftn(rfftn(x) * OTF); `otf` comes from
         :meth:`otf_packed`."""
         if self._v2 is not None:
-            return self._convolve_v2(x, otf, conj)
+            return self._convolve_v2(x, otf, conj, ratio_num)
+        if ratio_num is not None:
+            eps = jnp.float32(np.finfo(np.float32).eps)
+            x = ratio_num / jnp.maximum(x, eps)
         re, im = self._fwd_packed(x)
         f32 = jnp.float32
         kern_y = self._kern.get(re.shape[-1])

@@ -536,3 +536,48 @@ def _v2_stage_call(re, im, mhi, mlo, forward, interpret=False):
             flops=2 * A * X * n * (n // 2) * 9,
             bytes_accessed=4 * A * n * X * 4, transcendentals=0),
         interpret=interpret)(re, im, mhi, mlo)
+
+
+def _v2_rfft_ratio_kernel(num_ref, den_ref, mhi_ref, mlo_ref,
+                          re_ref, im_ref):
+    """y-rfft with the Richardson-Lucy ratio fused at the input:
+    x = num / max(den, eps) never touches HBM (den is the blur
+    prediction, num the observation — decon.m:169's ratio)."""
+    kp2 = mhi_ref.shape[0]
+    kp = kp2 // 2
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    res, ims = [], []
+    for i in range(_V2_B):
+        x = num_ref[i] / jnp.maximum(den_ref[i], eps)
+        full = _mm3_lhs(mhi_ref[:], mlo_ref[:], x)
+        res.append(full[:kp])
+        ims.append(full[kp:])
+    re_ref[:] = jnp.stack(res, axis=0)
+    im_ref[:] = jnp.stack(ims, axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _v2_rfft_ratio_call(num, den, mhi, mlo, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, n, X = num.shape
+    kp = mhi.shape[0] // 2
+    grid = (A // _V2_B, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_B, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_rfft_ratio_kernel, grid=grid,
+        in_specs=[blk(n), blk(n), mat, mat],
+        out_specs=[blk(kp), blk(kp)],
+        out_shape=[jax.ShapeDtypeStruct((A, kp, X), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (2 * n + 2 * kp) * 4,
+            transcendentals=0),
+        interpret=interpret)(num, den, mhi, mlo)
