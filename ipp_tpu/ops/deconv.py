@@ -252,12 +252,13 @@ def fft_shape_for(shape: Sequence[int], psf_shape: Sequence[int],
 
 
 def _make_convolver(psf: jnp.ndarray, fft_shape):
-    """(conv, conv_conj_ratio) closures on the active FFT backend:
+    """(conv, conv_conj_ratio, update) closures on the active FFT backend:
     `conv(x)` is the circular PSF convolution; `conv_conj_ratio(num, den)`
     is the adjoint convolution of the RL ratio num / max(den, eps)
-    (decon.m:169) — on the MXU v2 path the ratio is computed inside the
-    first transform kernel and never touches HBM.  Input arrays may carry
-    leading batch dims."""
+    (decon.m:169); `update(bl, num, den)` is the full multiplicative RL
+    step |bl * conv^T(ratio)| (decon.m:169-171) — on the MXU v2 path both
+    the ratio and the update are fused into the transform kernels and
+    never touch HBM.  Input arrays may carry leading batch dims."""
     otf_pad, pre, _ = pad_to_shape(psf, fft_shape)
     center = tuple(p + s // 2 for p, s in zip(pre, psf.shape))
     rolled = jnp.roll(otf_pad, tuple(-c for c in center), axis=(0, 1, 2))
@@ -267,9 +268,21 @@ def _make_convolver(psf: jnp.ndarray, fft_shape):
 
         plan = MatmulFFT3(fft_shape)
         otf = plan.otf_packed(rolled)
-        return (lambda x: plan.convolve(x, otf),
-                lambda num, den: plan.convolve(den, otf, conj=True,
-                                               ratio_num=num))
+
+        def conv(x):
+            return plan.convolve(x, otf)
+
+        def conv_conj_ratio(num, den):
+            return plan.convolve(den, otf, conj=True, ratio_num=num)
+
+        def update(bl, num, den):
+            # the full RL step |bl * conv^T(num / max(conv, eps))| in one
+            # fused chain: ratio at the forward kernel's input, the
+            # multiplicative update at the inverse kernel's output
+            return plan.convolve(den, otf, conj=True, ratio_num=num,
+                                 mul_abs=bl)
+
+        return conv, conv_conj_ratio, update
     otf = jnp.fft.rfftn(rolled)
     otf_c = jnp.conj(otf)
     axes = (-3, -2, -1)
@@ -283,7 +296,10 @@ def _make_convolver(psf: jnp.ndarray, fft_shape):
         return jnp.fft.irfftn(jnp.fft.rfftn(ratio, axes=axes) * otf_c,
                               s=fft_shape, axes=axes)
 
-    return conv, conv_conj_ratio
+    def update(bl, num, den):
+        return jnp.abs(bl * conv_conj_ratio(num, den))
+
+    return conv, conv_conj_ratio, update
 
 
 def pad_to_shape(vol: jnp.ndarray, target: Sequence[int], mode: str = "constant"):
@@ -336,7 +352,7 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
     Richardson-Lucy), which converges monotonically — measured 0.016 vs
     0.063 NRMSE at 12 iterations on a synthetic phantom.
     """
-    conv, conv_conj_ratio = _make_convolver(psf, fft_shape)
+    conv, conv_conj_ratio, update = _make_convolver(psf, fft_shape)
     eps = jnp.float32(np.finfo(np.float32).eps)
     R = jnp.asarray(_tikhonov_kernel())
     apply_reg = 0 < regularize_interval < niter
@@ -344,26 +360,32 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
 
     def body(carry):
         i, bl, delta_prev, done = carry
-        is_reg = jnp.logical_and(
-            apply_reg,
-            jnp.logical_and(jnp.logical_and(i > 1, i < niter),
-                            (i % regularize_interval) == 0))
-        bl = jax.lax.cond(is_reg, lambda v: gauss3d(v, 0.5), lambda v: v, bl)
-        buf = conv(bl)
-        buf = conv_conj_ratio(y_obs if classic else bl, buf)
+        num_src = y_obs if classic else bl
+        if not apply_reg:  # common path: one fully fused RL step
+            buf = conv(bl)
+            bl = update(bl, num_src, buf)
+        else:
+            is_reg = jnp.logical_and(
+                apply_reg,
+                jnp.logical_and(jnp.logical_and(i > 1, i < niter),
+                                (i % regularize_interval) == 0))
+            bl = jax.lax.cond(is_reg, lambda v: gauss3d(v, 0.5),
+                              lambda v: v, bl)
+            buf = conv(bl)
+            buf = conv_conj_ratio(num_src, buf)
 
-        def with_reg(args):
-            bl_, buf_ = args
-            reg = _conv3d_zero(bl_, R)
-            return bl_ * buf_ * (1.0 - lam) + reg * lam
+            def with_reg(args):
+                bl_, buf_ = args
+                reg = _conv3d_zero(bl_, R)
+                return bl_ * buf_ * (1.0 - lam) + reg * lam
 
-        def no_reg(args):
-            bl_, buf_ = args
-            return bl_ * buf_
+            def no_reg(args):
+                bl_, buf_ = args
+                return bl_ * buf_
 
-        use_reg = jnp.logical_and(is_reg, lam > 0)
-        bl = jax.lax.cond(use_reg, with_reg, no_reg, (bl, buf))
-        bl = jnp.abs(bl)
+            use_reg = jnp.logical_and(is_reg, lam > 0)
+            bl = jax.lax.cond(use_reg, with_reg, no_reg, (bl, buf))
+            bl = jnp.abs(bl)
         if stop_criterion > 0:  # static: skip the norm passes otherwise
             delta_cur = jnp.linalg.norm(bl.reshape(-1))
             rel = (jnp.abs(delta_prev - delta_cur)
@@ -486,7 +508,7 @@ def richardson_lucy_batched(
     vols = jnp.pad(vols, [(0, 0)] + list(zip(pre, post)))
     if sharding is not None:
         vols = jax.lax.with_sharding_constraint(vols, sharding)
-    conv, conv_conj_ratio = _make_convolver(psf, fft_shape)
+    conv, conv_conj_ratio, update = _make_convolver(psf, fft_shape)
     R = jnp.asarray(_tikhonov_kernel())
     bl = vols
     y_obs = vols
@@ -498,13 +520,13 @@ def richardson_lucy_batched(
             for ax in (1, 2, 3):
                 bl = _conv1d_axis(bl, taps, ax)
         buf = conv(bl)
-        buf = conv_conj_ratio(y_obs if classic else bl, buf)
+        num_src = y_obs if classic else bl
         if is_reg and lam > 0:
+            buf = conv_conj_ratio(num_src, buf)
             reg = jax.vmap(lambda v: _conv3d_zero(v, R))(bl)
-            bl = bl * buf * (1.0 - lam) + reg * lam
+            bl = jnp.abs(bl * buf * (1.0 - lam) + reg * lam)
         else:
-            bl = bl * buf
-        bl = jnp.abs(bl)
+            bl = update(bl, num_src, buf)
     sl = tuple([slice(None)] + [slice(p, s - q) for p, q, s in
                                 zip(pre, post, bl.shape[1:])])
     return bl[sl]

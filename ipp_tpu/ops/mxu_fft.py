@@ -565,9 +565,9 @@ class MatmulFFT3:
         return fused_stage(re, im, v2["xmats"], True,
                            interpret=self._kern_interpret)
 
-    def _convolve_v2(self, x, otf, conj, ratio_num=None):
-        from .pallas_fft import (_v2_irfft_call, _v2_stage_call,
-                                 fused_stage_inv_otf)
+    def _convolve_v2(self, x, otf, conj, ratio_num=None, mul_abs=None):
+        from .pallas_fft import (_v2_irfft_call, _v2_irfft_mul_call,
+                                 _v2_stage_call, fused_stage_inv_otf)
 
         v2 = self._v2
         lead = x.shape[:-3]
@@ -584,10 +584,17 @@ class MatmulFFT3:
         rr = jnp.swapaxes(rr, -3, -2)     # (..., z, kp, x)
         ii = jnp.swapaxes(ii, -3, -2)
         ihi, ilo = v2["rmats"][1]
-        out = _v2_irfft_call(rr.reshape((-1, v2["kp"], nx)),
-                             ii.reshape((-1, v2["kp"], nx)),
-                             ihi, ilo, ny,
-                             interpret=self._kern_interpret)
+        if mul_abs is not None:
+            out = _v2_irfft_mul_call(rr.reshape((-1, v2["kp"], nx)),
+                                     ii.reshape((-1, v2["kp"], nx)),
+                                     mul_abs.reshape((-1, ny, nx)),
+                                     ihi, ilo, ny,
+                                     interpret=self._kern_interpret)
+        else:
+            out = _v2_irfft_call(rr.reshape((-1, v2["kp"], nx)),
+                                 ii.reshape((-1, v2["kp"], nx)),
+                                 ihi, ilo, ny,
+                                 interpret=self._kern_interpret)
         return out.reshape(lead + (nz, ny, nx))
 
     def _fwd_packed(self, x: jnp.ndarray):
@@ -615,11 +622,11 @@ class MatmulFFT3:
         return re.astype(jnp.float32), im.astype(jnp.float32)
 
     def convolve(self, x: jnp.ndarray, otf, conj: bool = False,
-                 ratio_num=None) -> jnp.ndarray:
+                 ratio_num=None, mul_abs=None) -> jnp.ndarray:
         """Circular convolution irfftn(rfftn(x) * OTF); `otf` comes from
         :meth:`otf_packed`."""
         if self._v2 is not None:
-            return self._convolve_v2(x, otf, conj, ratio_num)
+            return self._convolve_v2(x, otf, conj, ratio_num, mul_abs)
         if ratio_num is not None:
             eps = jnp.float32(np.finfo(np.float32).eps)
             x = ratio_num / jnp.maximum(x, eps)
@@ -651,8 +658,11 @@ class MatmulFFT3:
         rr, ii = self._stage(rr, ii, self._iz, self._iz_rad, False)
         rr = jnp.moveaxis(rr, -1, -3)                # (..., z, y, kxp)
         ii = jnp.moveaxis(ii, -1, -3)
-        return self._mm_last(jnp.concatenate([rr, ii], axis=-1), self._ix_p,
-                             out_dtype=jnp.float32)
+        out = self._mm_last(jnp.concatenate([rr, ii], axis=-1), self._ix_p,
+                            out_dtype=jnp.float32)
+        if mul_abs is not None:  # v1 fallback of the fused RL update
+            out = jnp.abs(mul_abs * out)
+        return out
 
     def otf(self, psf_rolled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Forward transform of an origin-centered padded PSF (canonical

@@ -581,3 +581,41 @@ def _v2_rfft_ratio_call(num, den, mhi, mlo, interpret=False):
             bytes_accessed=A * X * (2 * n + 2 * kp) * 4,
             transcendentals=0),
         interpret=interpret)(num, den, mhi, mlo)
+
+
+def _v2_irfft_mul_kernel(re_ref, im_ref, mul_ref, mhi_ref, mlo_ref,
+                         out_ref):
+    """y-irfft with the RL multiplicative update fused at the output:
+    out = |mul * irfft(...)| (decon.m:171's bl .* buf + abs)."""
+    outs = []
+    for i in range(_V2_B):
+        both = jnp.concatenate([re_ref[i], im_ref[i]], axis=0)
+        y = _mm3_lhs(mhi_ref[:], mlo_ref[:], both)
+        outs.append(jnp.abs(mul_ref[i] * y))
+    out_ref[:] = jnp.stack(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def _v2_irfft_mul_call(re, im, mul, mhi, mlo, n, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, kp, X = re.shape
+    grid = (A // _V2_B, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_B, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_irfft_mul_kernel, grid=grid,
+        in_specs=[blk(kp), blk(kp), blk(n), mat, mat],
+        out_specs=blk(n),
+        out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (2 * n + 2 * kp) * 4,
+            transcendentals=0),
+        interpret=interpret)(re, im, mul, mhi, mlo)
