@@ -113,6 +113,19 @@ def fused_cplx_matmul(re: jnp.ndarray, im: jnp.ndarray, mats,
 # wins to relayouts, which a kernel avoids by construction.
 # ---------------------------------------------------------------------------
 
+def _np_hilo(M):
+    """(hi, lo) bf16 split as NUMPY constants: the prep functions are
+    lru_cached, and caching jnp arrays poisons the cache with tracers
+    when the first call happens inside a trace (e.g. the mesh pipeline's
+    shard_map) — numpy constants are always safe to embed."""
+    import ml_dtypes
+
+    M = np.asarray(M, np.float32)
+    hi = M.astype(ml_dtypes.bfloat16)
+    lo = (M - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
 STAGE_TM = 512  # rows per grid step; all packed-path row counts divide it
 
 
@@ -129,10 +142,7 @@ def prep_stage_mats(n: int):
         mats = []
         for s in range(2):
             mats += [Mr[s], Mi[s], Mr[s] + Mi[s]]
-        M = jnp.asarray(np.stack(mats), jnp.float32)
-        hi = M.astype(jnp.bfloat16)
-        lo = (M - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out.append((hi, lo))
+        out.append(_np_hilo(np.stack(mats)))
     return tuple(out)
 
 
@@ -363,13 +373,7 @@ def prep_v2_rfft_mats(n: int, kp: int):
     inv = np.zeros((n, 2 * kp), np.float32)
     inv[:, :kx] = ar.T
     inv[:, kp:kp + kx] = -ai.T
-    out = []
-    for M in (fwd, inv):
-        Mj = jnp.asarray(M)
-        hi = Mj.astype(jnp.bfloat16)
-        lo = (Mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out.append((hi, lo))
-    return tuple(out)
+    return (_np_hilo(fwd), _np_hilo(inv))
 
 
 @lru_cache(maxsize=16)
@@ -384,10 +388,7 @@ def prep_v2_stage_mats(n: int):
         mats = []
         for s in range(2):
             mats += [Mr[s].T, Mi[s].T, (Mr[s] + Mi[s]).T]
-        M = jnp.asarray(np.ascontiguousarray(np.stack(mats)), jnp.float32)
-        hi = M.astype(jnp.bfloat16)
-        lo = (M - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out.append((hi, lo))
+        out.append(_np_hilo(np.ascontiguousarray(np.stack(mats))))
     return tuple(out)
 
 

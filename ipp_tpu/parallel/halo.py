@@ -59,6 +59,8 @@ def sharded_map_blocks_z(fn, mesh: Mesh, halo: int, axis_name: str = "z"):
         out = fn(ext)
         return out[halo:out.shape[0] - halo]
 
-    return shard_map(local_fn, mesh=mesh,
-                     in_specs=P(axis_name, None, None),
-                     out_specs=P(axis_name, None, None))
+    from .mesh import shard_map_compat
+
+    return shard_map_compat(local_fn, mesh=mesh,
+                            in_specs=P(axis_name, None, None),
+                            out_specs=P(axis_name, None, None))

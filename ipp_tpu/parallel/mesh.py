@@ -38,3 +38,25 @@ def block_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard (batch, z, y, x): batch over 'data', z over 'z'."""
     spec = ["data", "z"] + [None] * (ndim - 2)
     return NamedSharding(mesh, P(*spec))
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axes checking disabled: Pallas
+    pallas_call outputs carry no `vma` annotation, so newer JAX versions
+    reject kernels inside a checked shard_map (ValueError: vma ... must
+    not be None).  All our shard_maps are pure per-device data
+    parallelism, where the check adds nothing.  Falls back through the
+    historical keyword spellings."""
+    import jax
+
+    try:
+        from jax import shard_map as _sm
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature")

@@ -502,7 +502,9 @@ def deconvolve_volume(
             return jax.lax.map(one_block, blocks_raw)
 
         spec = P("data", None, None, None)
-        step = jax.jit(shard_map(
+        from ..parallel.mesh import shard_map_compat
+
+        step = jax.jit(shard_map_compat(
             local, mesh=mesh, in_specs=spec,
             out_specs=(spec, P("data"), P("data"))))
 

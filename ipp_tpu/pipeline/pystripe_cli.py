@@ -77,7 +77,9 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
         mesh = make_mesh(n_dev, z_parallel=1)
         spec = P("data", None, None)
         batch_size = max(batch_size, n_dev) // n_dev * n_dev
-        sharded_fn = jax.jit(shard_map(
+        from ..parallel.mesh import shard_map_compat
+
+        sharded_fn = jax.jit(shard_map_compat(
             lambda b: process_img(b, cfg), mesh=mesh,
             in_specs=spec, out_specs=spec))
 
