@@ -20,7 +20,7 @@ Host-side graph algorithms on tiny data (rows x cols tiles), re-implementing:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
