@@ -360,8 +360,8 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
 
     def body(carry):
         i, bl, delta_prev, done = carry
-        num_src = y_obs if classic else bl
         if not apply_reg:  # common path: one fully fused RL step
+            num_src = y_obs if classic else bl
             buf = conv(bl)
             bl = update(bl, num_src, buf)
         else:
@@ -371,6 +371,10 @@ def _rl_fft_iterations(bl, psf, *, niter, fft_shape, lam, stop_criterion,
                                 (i % regularize_interval) == 0))
             bl = jax.lax.cond(is_reg, lambda v: gauss3d(v, 0.5),
                               lambda v: v, bl)
+            # the RL ratio numerator must see the POST-smoothing estimate
+            # (reference decon.m:160-169 computes `buf = bl ./ buf` with the
+            # already-smoothed bl) — capture num_src only after the cond
+            num_src = y_obs if classic else bl
             buf = conv(bl)
             buf = conv_conj_ratio(num_src, buf)
 

@@ -60,6 +60,16 @@ def check_files(source, delete: bool = False, timeout: float = 200.0,
         started[p] = time.monotonic()
         _decode(p)
 
+    # Overall deadline: if every worker is wedged in a permanently-hung
+    # decode (the NFS-stall scenario the timeout exists for), queued files
+    # never start and the per-file decode clock never begins — without a
+    # global bound check_files would poll forever.  Budget = one `timeout`
+    # per batch of `workers` files, plus one spare round.
+    import math
+
+    deadline = time.monotonic() + timeout * (
+        math.ceil(len(files) / max(1, workers)) + 1)
+
     futs = {pool.submit(timed_decode, p): p for p in files}
     for fut, p in futs.items():
         while True:
@@ -76,6 +86,13 @@ def check_files(source, delete: bool = False, timeout: float = 200.0,
                             p.unlink()
                         except OSError:
                             pass
+                    break
+                if t0 is None and time.monotonic() > deadline:
+                    # never started and the pool has been stalled past the
+                    # whole-run budget: report it (so the caller knows it
+                    # was NOT verified) but never delete — it may be fine.
+                    log.info(f"unchecked: {p} (worker pool stalled)")
+                    bad.append(p)
                     break
                 # not started yet (pool busy) or still within budget
             except Exception as exc:  # noqa: BLE001

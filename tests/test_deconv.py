@@ -92,6 +92,20 @@ def test_rl_with_regularization_runs(rng):
     assert np.isfinite(out).all()
 
 
+def test_rl_regularized_reference_mode_matches_batched(rng):
+    """In reference mode (classic=False) with regularization, the RL ratio
+    numerator must be the POST-smoothing estimate (decon.m:160-169 computes
+    `buf = bl ./ buf` after the Gaussian).  The batched path always did this;
+    pin the single-volume while_loop path to it."""
+    vol = rng.random((16, 16, 16), dtype=np.float32) * 100
+    psf = gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0))
+    kw = dict(niter=6, lam=0.1, regularize_interval=2, classic=False,
+              edge_taper=False, fft_shape=(20, 20, 20))
+    single = np.asarray(dc.richardson_lucy(vol, psf, **kw))
+    batched = np.asarray(dc.richardson_lucy_batched(vol[None], psf, **kw))[0]
+    np.testing.assert_allclose(single, batched, rtol=1e-4, atol=1e-3)
+
+
 def test_fft_shape_smooth():
     s = dc.fft_shape_for((100, 101, 97), (11, 11, 11))
     for v in s:

@@ -156,6 +156,28 @@ def test_check_files_finds_damaged(tmp_path, rng):
     assert good.exists() and not bad.exists()
 
 
+def test_check_files_bounded_when_all_workers_hang(tmp_path, monkeypatch):
+    """A fully-wedged worker pool (NFS-stall scenario: every decode hangs)
+    must not make check_files loop forever: queued files that never start
+    are reported as unverified within the overall deadline."""
+    import time as _time
+
+    from ipp_tpu.utils import checkfiles as cf
+
+    for i in range(3):
+        (tmp_path / f"f{i}.tif").write_bytes(b"II*\0hang")
+
+    monkeypatch.setattr(cf, "_decode", lambda p: _time.sleep(8.0))
+    t0 = _time.monotonic()
+    found = cf.check_files(tmp_path, delete=True, timeout=0.5, workers=1)
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 6.0  # deadline = timeout * (ceil(3/1)+1) = 2 s
+    assert len(found) == 3
+    # unstarted files are reported but NEVER deleted (they may be healthy);
+    # the one that actually began decoding timed out and was deleted
+    assert sum(p.exists() for p in found) >= 2
+
+
 def test_find_swc_location_soma_in_mesh(tmp_path):
     """supplements/find_swc_location.py role: soma-inside-region lookup
     with a native OBJ ray-casting containment test."""
