@@ -316,9 +316,36 @@ def fuse_axis(d1: int, peak1: float, width1: int, d2: int, peak2: float,
     return params.inv_coord, params.unr_ncc, inf_w
 
 
+def _ncc_maps_sharded(ma: np.ndarray, mb: np.ndarray, du: int, dv: int,
+                      mesh) -> np.ndarray:
+    """ncc_maps_batched with the pair-batch axis sharded over the mesh's
+    'data' axis (the TPU-native replacement for Parastitcher's
+    rank-per-pair MPI step 2, pyscripts/Parastitcher.py:410-470): the
+    batch pads to a 'data' multiple, inputs are device_put with a
+    NamedSharding, and GSPMD partitions the (embarrassingly batch-
+    parallel) map computation across devices."""
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    if n_data <= 1:
+        return np.asarray(ncc_maps_batched(jnp.asarray(ma), jnp.asarray(mb),
+                                           du, dv), np.float64)
+    B = ma.shape[0]
+    pad = (-B) % n_data
+    if pad:
+        ma = np.concatenate([ma, np.repeat(ma[-1:], pad, axis=0)])
+        mb = np.concatenate([mb, np.repeat(mb[-1:], pad, axis=0)])
+    from ..parallel.mesh import data_sharding
+
+    sh = data_sharding(mesh, 3)
+    ma_d = jax.device_put(jnp.asarray(ma), sh)
+    mb_d = jax.device_put(jnp.asarray(mb), sh)
+    out = np.asarray(ncc_maps_batched(ma_d, mb_d, du, dv), np.float64)
+    return out[:B]
+
+
 def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
                         overlap: int, delay_v: int, delay_h: int,
-                        delay_d: int, params: Optional[NCCParams] = None):
+                        delay_d: int, params: Optional[NCCParams] = None,
+                        mesh=None):
     """Align a BATCH of same-shape pairs in three device calls total.
 
     vols_a/vols_b: (P, D, V, H).  The three NCC map kinds are each computed
@@ -326,7 +353,8 @@ def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
     only does the tiny peak/width/fusion math) — this amortizes dispatch
     and, on the tunneled TPU, round-trip latency across all pairs of a
     z-chunk (the MPI-rank-per-pair structure of Parastitcher collapses into
-    batched executables).
+    batched executables).  With a multi-device `mesh`, the pair batch
+    additionally shards over the mesh's 'data' axis (the MPI-ranks role).
 
     Returns a list of NCCResult, one per pair.
     """
@@ -370,12 +398,12 @@ def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
     b = np.asarray(b, np.float32)
     mips_a = host_mips(a)
     mips_b = host_mips(b)
-    ncc_xy = np.asarray(ncc_maps_batched(
-        mips_a[0], mips_b[0], delay_v + wr_v, delay_h + wr_h), np.float64)
-    ncc_xz = np.asarray(ncc_maps_batched(
-        mips_a[1], mips_b[1], delay_v + wr_v, delay_d + wr_d), np.float64)
-    ncc_yz = np.asarray(ncc_maps_batched(
-        mips_a[2], mips_b[2], delay_h + wr_h, delay_d + wr_d), np.float64)
+    ncc_xy = _ncc_maps_sharded(
+        mips_a[0], mips_b[0], delay_v + wr_v, delay_h + wr_h, mesh)
+    ncc_xz = _ncc_maps_sharded(
+        mips_a[1], mips_b[1], delay_v + wr_v, delay_d + wr_d, mesh)
+    ncc_yz = _ncc_maps_sharded(
+        mips_a[2], mips_b[2], delay_h + wr_h, delay_d + wr_d, mesh)
 
     failed_xy = delay_v == 0 and delay_h == 0
     failed_xz = delay_v == 0 and delay_d == 0

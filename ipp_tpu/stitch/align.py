@@ -95,9 +95,15 @@ def compute_displacements(
     z_range: Optional[Tuple[int, int]] = None,
     params: Optional[NCCParams] = None,
     io_threads: int = 8,
+    mesh=None,
 ) -> Dict[Tuple[int, int, str], List[Displacement]]:
     """Compute NORTH/WEST displacement candidate lists for every adjacent
     pair, one candidate per z-subvolume.
+
+    With a multi-device `mesh` (jax.sharding.Mesh with a 'data' axis), the
+    NCC-map batches shard over 'data' — the TPU-native replacement for
+    Parastitcher's MPI master_step2 rank fan-out
+    (reference pyscripts/Parastitcher.py:410-470).
 
     Returns {(row_b, col_b, 'north'|'west'): [Displacement per z chunk]} and
     also attaches nothing to the grid — step 3 (project) consumes the dict.
@@ -147,7 +153,7 @@ def compute_displacements(
             vols_b = np.stack([substacks[id(b)] for _, b, _, _ in group])
             results = align_pairs_batched(
                 vols_a, vols_b, side_sel, overlap, displ_max_v, displ_max_h,
-                displ_max_d, params)
+                displ_max_d, params, mesh=mesh)
             for (a, b, rb, cb), res in zip(group, results):
                 # defaults = nominal stage displacement
                 # (reference insertDisplacement, vmVirtualVolume.cpp:280-316)

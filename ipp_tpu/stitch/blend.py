@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import enum
 from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,6 +126,38 @@ def _blend_accumulate(parts: Tuple[jnp.ndarray, ...],
     return acc
 
 
+@partial(jax.jit, static_argnames=("offsets", "canvas_shape", "cosine"))
+def _blend_accumulate_planes(parts: Tuple[jnp.ndarray, ...],
+                             weights: Tuple[jnp.ndarray, ...],
+                             offsets: Tuple[Tuple[int, int], ...],
+                             canvas_shape: Tuple[int, int],
+                             cosine: bool):
+    """Batched form of _blend_accumulate: parts are (B, h, w) z-plane stacks
+    sharing one xy layout and one 2D weight map per tile (constant across z
+    for column-aligned grids).  The batch axis stays leading so a 'data'
+    sharding turns this into the mesh-parallel step 6
+    (Parastitcher master_step6's output-slab fan-out, Parastitcher.py:570)."""
+    B = parts[0].shape[0]
+    shape3 = (B,) + tuple(canvas_shape)
+    if cosine:
+        acc = jnp.zeros(shape3, jnp.float32)
+        mul = jnp.zeros(canvas_shape, jnp.float32)
+        for part, w, (oy, ox) in zip(parts, weights, offsets):
+            p = part.astype(jnp.float32) * w[None]
+            cur = jax.lax.dynamic_slice(acc, (0, oy, ox), p.shape)
+            acc = jax.lax.dynamic_update_slice(acc, cur + p, (0, oy, ox))
+            curw = jax.lax.dynamic_slice(mul, (oy, ox), w.shape)
+            mul = jax.lax.dynamic_update_slice(mul, curw + w, (oy, ox))
+        eps = jnp.float32(np.finfo(np.float16).eps)  # reference uses f16 eps
+        return jnp.where(mul[None] > eps, acc / mul[None], acc / eps)
+    acc = jnp.zeros(shape3, jnp.float32)
+    for part, _w, (oy, ox) in zip(parts, weights, offsets):
+        cur = jax.lax.dynamic_slice(acc, (0, oy, ox), part.shape)
+        acc = jax.lax.dynamic_update_slice(
+            acc, jnp.maximum(cur, part.astype(jnp.float32)), (0, oy, ox))
+    return acc
+
+
 class PlaneBlender:
     """Blends one z plane of a placed tile grid into a canvas.
 
@@ -158,6 +190,72 @@ class PlaneBlender:
                 self._weight_cache[key] = w
             out.append((i, inter, w))
         return out
+
+    def weights_for_batch(self, volume: VExtent):
+        """Like weights_for, but for a MULTI-plane volume sharing one xy
+        layout: returns [(stack_index, 3D intersection, weight2d)] with the
+        weights computed once on the first plane, or None when the layout
+        is not constant across the volume's z range (some stack starts or
+        ends mid-batch) — callers then fall back to per-plane blending."""
+        z0 = volume.z0
+        plane = VExtent(volume.x0, volume.x1, volume.y0, volume.y1,
+                        z0, z0 + 1)
+        # a stack intersecting ANY plane of the batch must cover ALL of it
+        # with the same xy footprint, else weights differ across planes
+        for e in self.extents:
+            if e.intersects(volume):
+                inter = e.intersection(volume)
+                if inter.z0 != volume.z0 or inter.z1 != volume.z1:
+                    return None
+        hits = self.weights_for(plane)
+        out = []
+        for i, inter_p, w in hits:
+            inter = self.extents[i].intersection(volume)
+            out.append((i, inter, w))
+        return out
+
+    def blend_planes(self, volume: VExtent, reader, dtype=np.uint16,
+                     sharding=None, pad_to: int = 1) -> Optional[np.ndarray]:
+        """Blend a batch of B = volume.shape[0] z planes in ONE device call.
+
+        reader(stack_index, 3D intersection) -> (B, h, w) crop stack.
+        With `sharding` (a NamedSharding over the batch axis), the blend
+        runs mesh-parallel — each device accumulates its planes (the
+        master_step6 slab fan-out, reference Parastitcher.py:570).  pad_to
+        pads the batch by edge replication to a device-count multiple.
+        Returns (B, H, W) in `dtype`, or None if the xy layout is not
+        constant across the batch (caller falls back to blend_plane).
+        """
+        hits = self.weights_for_batch(volume)
+        if hits is None:
+            return None
+        B = volume.shape[0]
+        canvas_shape = volume.shape[1:]
+        if not hits:
+            return np.zeros((B,) + canvas_shape, dtype)
+        parts, weights, offsets = [], [], []
+        pad = (-B) % max(1, pad_to)
+        for i, inter, w in hits:
+            img = reader(i, inter)
+            img = np.asarray(img)
+            assert img.shape[0] == B, (img.shape, B)
+            if pad:
+                img = np.concatenate([img] + [img[-1:]] * pad, axis=0)
+            part = jnp.asarray(img)
+            if sharding is not None:
+                part = jax.device_put(part, sharding)
+            parts.append(part)
+            weights.append(w if self.cosine
+                           else jnp.ones(img.shape[1:], jnp.float32))
+            offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
+        out = _blend_accumulate_planes(
+            tuple(parts), tuple(weights), tuple(offsets), canvas_shape,
+            self.cosine)
+        out = np.asarray(out)[:B]
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            info = np.iinfo(dtype)
+            out = np.clip(out, info.min, info.max)
+        return out.astype(dtype)
 
     def blend_plane(self, volume: VExtent,
                     reader, dtype=np.uint16) -> np.ndarray:

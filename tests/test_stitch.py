@@ -138,6 +138,46 @@ def test_merge_rotation_flip_and_diag_stack(stitched_setup, tmp_path):
     assert img.max() > 0
 
 
+def test_compute_displacements_mesh_matches_single_device(stitched_setup):
+    """Step 2 sharded over an 8-device mesh must give the same candidates
+    as one device (the MPI master_step2 role, Parastitcher.py:410-470)."""
+    from ipp_tpu.parallel.mesh import make_mesh
+
+    vol, tiles, offsets, grid = stitched_setup
+    overlap = 48
+    kw = dict(overlap_v=overlap, overlap_h=overlap, displ_max_v=12,
+              displ_max_h=12, displ_max_d=3, subvol_dim=12)
+    c1 = compute_displacements(grid, mesh=make_mesh(1), **kw)
+    c8 = compute_displacements(grid, mesh=make_mesh(8), **kw)
+    assert c1.keys() == c8.keys()
+    for key in c1:
+        for a, b in zip(c1[key], c8[key]):
+            assert a.displ == b.displ, (key, a.displ, b.displ)
+            assert a.ncc_width == b.ncc_width
+            np.testing.assert_allclose(a.ncc_peak, b.ncc_peak, atol=1e-5)
+
+
+def test_merge_mesh_matches_single_device(stitched_setup, tmp_path):
+    """Step 6 plane-batch sharding over an 8-device mesh must write
+    identical planes to the single-device path (the MPI master_step6 role,
+    Parastitcher.py:519-620), including the isotropic downsample."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.mesh import make_mesh
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+    out1, ds1 = merge_to_tif_series(grid, tmp_path / "m1", mesh=None,
+                                    target_voxel_um=4.0)
+    out8, ds8 = merge_to_tif_series(grid, tmp_path / "m8", mesh=make_mesh(8),
+                                    target_voxel_um=4.0)
+    p1 = sorted(out1.glob("img_*.tif"))
+    p8 = sorted(out8.glob("img_*.tif"))
+    assert [p.name for p in p1] == [p.name for p in p8] and p1
+    for a, b in zip(p1, p8):
+        np.testing.assert_array_equal(tio.imread(a), tio.imread(b))
+    np.testing.assert_allclose(ds1, ds8, atol=1e-3)
+
+
 def test_place_tiles_mst_single_tile_grid(tmp_path, rng):
     """A 1x1 grid has no links; placement must no-op, not crash."""
     from ipp_tpu.geometry.stacks import TileGrid
