@@ -43,16 +43,24 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if jax.process_count() > 1:
-        return True
+    # NEVER touch the backend (jax.process_count / jax.devices) before
+    # jax.distributed.initialize: backend init pins process_count at 1 and
+    # makes the later initialize a silent no-op.  Probe the distributed
+    # client state instead.
+    already = False
+    try:
+        already = bool(jax.distributed.is_initialized())
+    except AttributeError:  # pragma: no cover - older JAX
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    if already:
+        return jax.process_count() > 1
     if coordinator_address is None and num_processes in (None, 1):
         return False  # single-process run: nothing to initialize
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
-    except RuntimeError:
-        pass  # already initialized
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
     return jax.process_count() > 1
 
 

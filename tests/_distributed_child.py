@@ -1,0 +1,106 @@
+"""Child process for the 2-process jax.distributed test.
+
+Each process owns 2 CPU devices (4 global), wires jax.distributed through
+`ipp_tpu.parallel.distributed.initialize`, builds the global mesh, places a
+globally-identical batch via device_put_global, and runs one tiny sharded
+decon + destripe step.  Local output shards and the globally-reduced sum
+are written to --out; the parent test reassembles the shards from both
+ranks and asserts equality with a single-process run (the verification the
+reference's `mpiexec -np N` path never had, process_images.py:542-548).
+"""
+
+import argparse
+import sys
+
+import jax
+
+# the axon sitecustomize pre-imports jax, so env vars are too late: pick
+# the platform/device count through jax.config before any backend touch
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rank", type=int, required=True)
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    from ipp_tpu.parallel.distributed import (device_put_global, global_mesh,
+                                              initialize, process_slice)
+
+    ok = initialize(coordinator_address=args.coordinator,
+                    num_processes=args.nprocs, process_id=args.rank)
+    assert ok, "initialize() did not produce a multi-process runtime"
+    assert jax.process_count() == args.nprocs
+    assert jax.device_count() == 2 * args.nprocs
+    assert jax.local_device_count() == 2
+
+    import jax.numpy as jnp
+
+    from jax.sharding import PartitionSpec as P
+
+    from ipp_tpu.ops.deconv import richardson_lucy_batched
+    from ipp_tpu.ops.destripe import filter_streaks
+    from ipp_tpu.ops.psf import gaussian_psf
+    from ipp_tpu.parallel.mesh import data_sharding, shard_map_compat
+
+    mesh = global_mesh()
+    n_dev = jax.device_count()
+    rng = np.random.default_rng(0)  # SAME logical data on every process
+
+    # --- decon: batch of blocks sharded over 'data' -----------------------
+    # shard_map like the production pipeline (pipeline/deconvolve.py): each
+    # device runs the local RL with standard layouts (the XLA CPU fft thunk
+    # rejects the non-major layouts GSPMD picks for globally-sharded FFTs)
+    vols = rng.random((n_dev, 16, 16, 16)).astype(np.float32) * 100
+    psf = jnp.asarray(gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0)))
+    sh4 = data_sharding(mesh, 4)
+    lo, hi = process_slice(n_dev)
+    g_vols = device_put_global(vols[lo:hi], sh4)
+    assert g_vols.shape == vols.shape  # global shape reassembled
+
+    def rl_local(v):
+        return richardson_lucy_batched(v, psf, niter=4,
+                                       fft_shape=(20, 20, 20),
+                                       edge_taper=False)
+
+    spec4 = P("data", None, None, None)
+    step = jax.jit(shard_map_compat(rl_local, mesh=mesh,
+                                    in_specs=(spec4,), out_specs=spec4))
+    out = step(g_vols)
+    total = float(jnp.sum(out))  # global reduce -> replicated scalar
+
+    # --- destripe: tile batch sharded over 'data' -------------------------
+    tiles = rng.integers(0, 40000, (n_dev, 128, 128)).astype(np.uint16)
+    sh3 = data_sharding(mesh, 3)
+    g_tiles = device_put_global(tiles[lo:hi], sh3)
+    spec3 = P("data", None, None)
+    destripe_step = jax.jit(shard_map_compat(
+        lambda t: filter_streaks(t, sigma=(32, 32), wavelet="db4"),
+        mesh=mesh, in_specs=(spec3,), out_specs=spec3))
+    striped = destripe_step(g_tiles)
+    stripe_total = int(np.uint64(jnp.sum(striped.astype(jnp.uint64))))
+
+    # local shards back to host, ordered by their global batch index
+    def local_rows(arr):
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards]), \
+            [s.index[0].start or 0 for s in shards]
+
+    dec_rows, dec_idx = local_rows(out)
+    des_rows, des_idx = local_rows(striped)
+    np.savez(args.out, decon=dec_rows, decon_idx=np.asarray(dec_idx),
+             destripe=des_rows, destripe_idx=np.asarray(des_idx),
+             total=np.float64(total), stripe_total=np.uint64(stripe_total),
+             lo=lo, hi=hi)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

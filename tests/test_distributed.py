@@ -1,0 +1,85 @@
+"""Real 2-process jax.distributed execution (VERDICT r2 item 2).
+
+The reference runs multi-node via `mpiexec -np N python -m mpi4py
+Parastitcher.py` (process_images.py:542-548).  The TPU-native replacement
+is jax.distributed: two actual OS processes, a localhost coordinator, a
+global 4-device mesh (2 CPU devices per process), device_put_global +
+process_slice feeding, and one tiny sharded decon + destripe step whose
+output must match a single-process run bit-for-bit where deterministic.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_jax_distributed(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    # keep the axon plugin importable but make sure children go to CPU
+    # (the child script forces jax_platforms=cpu through jax.config)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    procs = []
+    outs = []
+    for rank in range(2):
+        out = tmp_path / f"rank{rank}.npz"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "_distributed_child.py"),
+             "--rank", str(rank), "--nprocs", "2",
+             "--coordinator", coord, "--out", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    msgs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed child timed out")
+        msgs.append(se.decode(errors="replace")[-2000:])
+    assert all(p.returncode == 0 for p in procs), msgs
+
+    d0 = np.load(outs[0])
+    d1 = np.load(outs[1])
+    # the two ranks cover the full batch between them, disjointly
+    assert d0["lo"] == 0 and d1["hi"] == 4
+    assert d0["hi"] == d1["lo"] == 2
+    # globally-reduced scalars are replicated: identical on both ranks
+    assert d0["total"] == d1["total"]
+    assert d0["stripe_total"] == d1["stripe_total"]
+
+    # single-process golden run (CPU, in this process)
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.deconv import richardson_lucy_batched
+    from ipp_tpu.ops.destripe import filter_streaks
+    from ipp_tpu.ops.psf import gaussian_psf
+
+    rng = np.random.default_rng(0)
+    vols = rng.random((4, 16, 16, 16)).astype(np.float32) * 100
+    psf = np.asarray(gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0)))
+    dec = np.asarray(richardson_lucy_batched(
+        vols, jnp.asarray(psf), niter=4, fft_shape=(20, 20, 20),
+        edge_taper=False))
+    tiles = rng.integers(0, 40000, (4, 128, 128)).astype(np.uint16)
+    des = np.asarray(filter_streaks(tiles, sigma=(32, 32), wavelet="db4"))
+
+    got_dec = np.concatenate([d0["decon"], d1["decon"]])
+    got_des = np.concatenate([d0["destripe"], d1["destripe"]])
+    np.testing.assert_allclose(got_dec, dec, rtol=2e-5, atol=2e-3)
+    np.testing.assert_array_equal(got_des, des)
