@@ -218,19 +218,23 @@ def place_tiles_mst(grid: TileGrid) -> None:
 
 
 def place_tiles_lqp(grid: TileGrid) -> None:
-    """Global placement as a reliability-weighted least-squares problem
-    (the TPAlgoLQP alternative to the MST; reference TPAlgoLQP.cpp +
-    pyscripts/LQP_HE.py solve an integer quadratic program — here the
-    relaxed LS problem per axis, solved exactly by a sparse normal system,
-    then rounded; unlike the MST it reconciles loop inconsistencies by
-    spreading error over all edges).
+    """Global placement as the reference's integer quadratic program
+    (TPAlgoLQP.cpp:110-242 + pyscripts/LQP_HE.py:1-702), solved natively.
 
-    minimize per axis k:  sum_edges w_e * (p[child] - p[parent] - d_e,k)^2
-    with p[0,0] fixed at 0; w_e = max(reliability_k, eps).
+    The reference optimizes per-edge displacements X_e with loop-closure
+    equality constraints A X = 0 (one per grid square), objective
+    sum R_e (X_e - D_e)^2, bounds X_e in [default_e - delay, default_e +
+    delay], then integer heuristics.  In POSITION space the substitution
+    X_e = p[child] - p[parent] makes A X = 0 automatic, so the identical
+    program is: minimize sum_e R_e (p_v - p_u - d_e)^2 subject to
+    |p_v - p_u - default_e| <= delay_e, p anchored — a bound-constrained
+    QP per axis.  Solved as weighted LS; if displacement bounds are
+    violated, re-solved with the bounds active (SLSQP).  The integer step
+    rounds positions (positions are loop-consistent by construction, like
+    the reference's heuristics output) and then coordinate-descends each
+    tile +-1 px to minimize the same integer cost the reference's
+    heuristic selection minimizes (LQP_HE.py sol_cost).
     """
-    from scipy.sparse import lil_matrix
-    from scipy.sparse.linalg import lsqr
-
     rows, cols = grid.n_rows, grid.n_cols
     n = rows * cols
 
@@ -239,29 +243,35 @@ def place_tiles_lqp(grid: TileGrid) -> None:
 
     abs_coord = np.zeros((rows, cols, 3), dtype=np.int64)
     for k in range(3):
+        # edges: (u, v, measured d, weight=R, default d, delay bound)
         edges = []
         for r in range(rows):
             for c in range(cols):
                 s = grid.stacks[r][c]
                 # NORTH link: p[r,c] = p[r-1,c] - displ_k
                 if r > 0 and s.north is not None:
-                    w = max(s.north.reliability[k], 1e-3)
-                    edges.append((node(r - 1, c), node(r, c),
-                                  -s.north.displ[k], w))
+                    d = s.north
+                    edges.append((node(r - 1, c), node(r, c), -d.displ[k],
+                                  d.reliability[k], -d.default_displ[k],
+                                  d.delay[k]))
                 if c > 0 and s.west is not None:
-                    w = max(s.west.reliability[k], 1e-3)
-                    edges.append((node(r, c - 1), node(r, c),
-                                  -s.west.displ[k], w))
-        A = lil_matrix((len(edges) + 1, n))
-        b = np.zeros(len(edges) + 1)
-        for i, (u, v, d, w) in enumerate(edges):
-            sw = math.sqrt(w)
-            A[i, v] = sw
-            A[i, u] = -sw
-            b[i] = sw * d
-        A[len(edges), 0] = 1000.0  # anchor p[0,0] = 0
-        sol = lsqr(A.tocsr(), b)[0]
-        abs_coord[:, :, k] = np.rint(sol).reshape(rows, cols)
+                    d = s.west
+                    edges.append((node(r, c - 1), node(r, c), -d.displ[k],
+                                  d.reliability[k], -d.default_displ[k],
+                                  d.delay[k]))
+        if not edges:
+            continue
+        us = np.array([e[0] for e in edges])
+        vs = np.array([e[1] for e in edges])
+        ds = np.array([e[2] for e in edges], dtype=np.float64)
+        ws = np.array([e[3] for e in edges], dtype=np.float64)
+        dflt = np.array([e[4] for e in edges], dtype=np.float64)
+        delays = np.array([e[5] for e in edges], dtype=np.float64)
+
+        sol = _solve_axis_qp(n, us, vs, ds, ws, dflt, delays)
+        pos = np.rint(sol).astype(np.int64)
+        pos = _integer_refine(pos, us, vs, ds, ws)
+        abs_coord[:, :, k] = pos.reshape(rows, cols)
 
     abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
     for r in range(rows):
@@ -270,3 +280,96 @@ def place_tiles_lqp(grid: TileGrid) -> None:
             s.abs_v = int(abs_coord[r, c, 0])
             s.abs_h = int(abs_coord[r, c, 1])
             s.abs_d = int(abs_coord[r, c, 2])
+
+
+def _solve_axis_qp(n, us, vs, ds, ws, dflt, delays) -> np.ndarray:
+    """Continuous relaxation of one axis of the placement LQP in position
+    space.  Unreliable edges (R=0) get only an epsilon pull toward their
+    default (the reference leaves them free within bounds; the epsilon
+    anchors otherwise-disconnected components)."""
+    from scipy.sparse import lil_matrix
+    from scipy.sparse.linalg import lsqr
+
+    eps = 1e-6
+    w_eff = np.where(ws > 0, ws, eps)
+    target = np.where(ws > 0, ds, dflt)
+    A = lil_matrix((len(us) + 1, n))
+    b = np.zeros(len(us) + 1)
+    for i in range(len(us)):
+        sw = math.sqrt(w_eff[i])
+        A[i, vs[i]] = sw
+        A[i, us[i]] = -sw
+        b[i] = sw * target[i]
+    A[len(us), 0] = 1000.0  # anchor p[0] = 0
+    sol = lsqr(A.tocsr(), b)[0]
+
+    # displacement bounds |x_e - default_e| <= delay_e (delay < 0 means
+    # unbounded, the nominal-displacement marker): if the LS solution
+    # violates any, re-solve the QP with the bounds active
+    bounded = delays >= 0
+    if bounded.any():
+        x = sol[vs] - sol[us]
+        viol = bounded & (np.abs(x - dflt) > delays + 1e-9)
+        if viol.any():
+            from scipy.optimize import LinearConstraint, minimize
+
+            def cost(p):
+                x = p[vs] - p[us]
+                return float(np.sum(w_eff * (x - target) ** 2))
+
+            def grad(p):
+                x = p[vs] - p[us]
+                g_e = 2.0 * w_eff * (x - target)
+                g = np.zeros(n)
+                np.add.at(g, vs, g_e)
+                np.add.at(g, us, -g_e)
+                return g
+
+            bi = np.where(bounded)[0]
+            M = np.zeros((len(bi) + 1, n))
+            for row, i in enumerate(bi):
+                M[row, vs[i]] = 1.0
+                M[row, us[i]] = -1.0
+            M[len(bi), 0] = 1.0  # keep the anchor
+            lc = LinearConstraint(
+                M, np.append(dflt[bi] - delays[bi], 0.0),
+                np.append(dflt[bi] + delays[bi], 0.0))
+            res = minimize(cost, sol, jac=grad, method="SLSQP",
+                           constraints=[lc],
+                           options={"maxiter": 200, "ftol": 1e-9})
+            if res.success or np.isfinite(res.fun):
+                sol = res.x
+    return sol
+
+
+def _integer_refine(pos, us, vs, ds, ws, max_passes: int = 50) -> np.ndarray:
+    """Greedy +-1 coordinate descent on integer positions minimizing
+    sum R (x_e - D_e)^2 — the cost by which the reference selects among
+    its integer heuristics (LQP_HE.py sol_cost/sol_to_integer)."""
+    pos = pos.copy()
+    n = len(pos)
+    inc_v: list = [[] for _ in range(n)]
+    for i in range(len(us)):
+        if ws[i] <= 0:
+            continue
+        inc_v[vs[i]].append(i)
+        inc_v[us[i]].append(i)
+
+    def delta_cost(j: int, step: int) -> float:
+        d = 0.0
+        for i in inc_v[j]:
+            x = pos[vs[i]] - pos[us[i]]
+            s = step if vs[i] == j else -step
+            d += ws[i] * ((x + s - ds[i]) ** 2 - (x - ds[i]) ** 2)
+        return d
+
+    for _ in range(max_passes):
+        improved = False
+        for j in range(1, n):  # node 0 stays anchored
+            for step in (1, -1):
+                if delta_cost(j, step) < -1e-12:
+                    pos[j] += step
+                    improved = True
+        if not improved:
+            break
+    return pos
