@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -76,6 +77,34 @@ def test_process_img_downsample_and_resize(rng):
     assert out.shape == (50, 60)
     out2 = process_img(img, ProcessConfig(new_size=(64, 64)))
     assert out2.shape == (64, 64)
+
+
+def test_kary_quantile_matches_numpy_percentile(rng):
+    """The K-ary counting quantile must reproduce np.percentile (linear
+    interpolation — the reference's prctl,
+    pystripe/lightsheet_correct.py:240) per window."""
+    from ipp_tpu.ops.lightsheet import _kary_quantile_axes
+
+    for q, shape in [(0.25, (3, 17, 4, 11)), (0.25, (2, 100, 2, 100)),
+                     (0.5, (1, 9, 1, 16)), (0.9, (2, 33, 3, 7))]:
+        p = (rng.random(shape) * 5000).astype(np.float32)
+        got = np.asarray(_kary_quantile_axes(jnp.asarray(p), q))
+        want = np.percentile(
+            np.moveaxis(p, 1, 2).reshape(shape[0], shape[2], -1),
+            q * 100.0, axis=-1).astype(np.float32)
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=1e-4)
+
+
+def test_grid_percentile_resize_matches_jax_image(rng):
+    """The matmul bilinear upsample equals jax.image.resize 'linear'."""
+    import jax.image
+
+    from ipp_tpu.ops.lightsheet import _resize_linear_mm
+
+    v = jnp.asarray(rng.random((13, 9)).astype(np.float32))
+    a = np.asarray(_resize_linear_mm(v, (128, 96)))
+    b = np.asarray(jax.image.resize(v, (128, 96), method="linear"))
+    np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_lightsheet_correction_removes_streak(rng):
