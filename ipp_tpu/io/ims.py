@@ -102,10 +102,14 @@ def write_imaris(
             n_levels += 1
 
     f = h5py.File(path, "w")
+    # root attributes (reference build_std_rootattributes,
+    # IMS_HDF5Mngr.cpp:190-207: DataSetDirectoryName/DataSetInfoDirectory
+    # Name/ThumbnailDirectoryName/ImarisDataSet/ImarisVersion)
     _attr_str(f, "ImarisDataSet", "ImarisDataSet")
     _attr_str(f, "ImarisVersion", "5.5.0")
     _attr_str(f, "DataSetDirectoryName", "DataSet")
     _attr_str(f, "DataSetInfoDirectoryName", "DataSetInfo")
+    _attr_str(f, "ThumbnailDirectoryName", "Thumbnail")
     f.attrs["NumberOfDataSets"] = np.uint32(1)
 
     ds_group = f.create_group("DataSet")
@@ -162,8 +166,30 @@ def write_imaris(
                     z_written[lv] += 1
                 buffers[lv].clear()
 
+    # DataSetInfo layout per the reference's build_std_filestruct
+    # (IMS_HDF5Mngr.cpp:211-283): CustomData, ImarisDataSet, Image,
+    # Channel N, Log, TimeInfo groups with string-encoded attributes
+    timestamp = "2024-01-01 00:00:00.000"
     info = f.create_group("DataSetInfo")
+    custom = info.create_group("CustomData")
+    _attr_str(custom, "DateAndTime", timestamp)
+    _attr_str(custom, "Height", str(ny))
+    _attr_str(custom, "Width", str(nx))
+    _attr_str(custom, "NumberOfZPoints", str(nz))
+    _attr_str(custom, "NumberOfChannels", "1")
+    _attr_str(custom, "NumberOfTimePoints", "1")
+    _attr_str(custom, "XPosition", "0.00")
+    _attr_str(custom, "YPosition", "0.00")
+    ids_info = info.create_group("ImarisDataSet")
+    _attr_str(ids_info, "Creator", "ipp_tpu")
+    _attr_str(ids_info, "NumberOfImages", "1")
+    _attr_str(ids_info, "Version", "5.5")
+    log_info = info.create_group("Log")
+    _attr_str(log_info, "Entries", "0")
     img_info = info.create_group("Image")
+    _attr_str(img_info, "Name", path.name)
+    _attr_str(img_info, "Description", "(description not specified)")
+    _attr_str(img_info, "RecordingDate", timestamp)
     _attr_str(img_info, "X", str(nx))
     _attr_str(img_info, "Y", str(ny))
     _attr_str(img_info, "Z", str(nz))
@@ -175,14 +201,35 @@ def write_imaris(
     _attr_str(img_info, "ExtMax1", f"{ny * voxel_um[1]:.3f}")
     _attr_str(img_info, "ExtMax2", f"{nz * voxel_um[0]:.3f}")
     ch_info = info.create_group("Channel 0")
+    _attr_str(ch_info, "Name", "Channel 1")
+    _attr_str(ch_info, "Description", "")
     _attr_str(ch_info, "Color", {"Blue": "0 0 1", "Green": "0 1 0",
                                  "Red": "1 0 0"}.get(channel_color, "1 1 1"))
     _attr_str(ch_info, "ColorMode", "BaseColor")
     _attr_str(ch_info, "HistogramMin", f"{hist_min:.3f}")
     _attr_str(ch_info, "HistogramMax", f"{hist_max:.3f}")
     time_info = info.create_group("TimeInfo")
-    _attr_str(time_info, "DatasetTimePoints", "1")
-    _attr_str(time_info, "TimePoint1", "2024-01-01 00:00:00.000")
+    _attr_str(time_info, "DataSetTimePoints", "1")
+    _attr_str(time_info, "FileTimePoints", "1")
+    _attr_str(time_info, "TimePoint1", timestamp)
+
+    # Thumbnail: RGBA MIP of the coarsest level, the group Imaris shows in
+    # its file browser (IMS_HDF5Mngr.cpp:283 Thumbnail group; real files
+    # carry a Thumbnail/Data uint8 RGBA dataset)
+    thumb = f.create_group("Thumbnail")
+    top = np.asarray(datasets[-1][:], np.float32)
+    mip = top.max(axis=0)
+    side = 256
+    ty = max(1, mip.shape[0] // side)
+    tx = max(1, mip.shape[1] // side)
+    mip = mip[: (mip.shape[0] // ty) * ty, : (mip.shape[1] // tx) * tx]
+    mip = mip.reshape(mip.shape[0] // ty, ty, -1, tx).max(axis=(1, 3))
+    rng_ = max(hist_max - hist_min, 1e-6)
+    gray = np.clip((mip - hist_min) / rng_ * 255.0, 0, 255).astype(np.uint8)
+    rgba = np.dstack([gray, gray, gray,
+                      np.full_like(gray, 255)])
+    # Imaris stores the thumbnail as (H, 4*W) uint8 rows of RGBA samples
+    thumb.create_dataset("Data", data=rgba.reshape(gray.shape[0], -1))
     f.close()
     return path
 

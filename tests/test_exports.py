@@ -49,6 +49,64 @@ def test_imaris_is_valid_hdf5_with_pyramid(tmp_path, tif_series):
                                    ref_z0, atol=1)
 
 
+def test_imaris_schema_matches_reference(tmp_path, tif_series):
+    """Schema-level assertions against the reference's Imaris5 layout
+    (IMS_HDF5Mngr.cpp build_std_rootattributes :190-207 and
+    build_std_filestruct :211-283): root attributes incl.
+    ThumbnailDirectoryName, the DataSetInfo group tree (CustomData,
+    ImarisDataSet, Image, Channel 0, Log, TimeInfo) with S1-encoded
+    string attributes, and the Thumbnail group with RGBA data."""
+    import h5py
+
+    d, vol = tif_series
+    ims = write_imaris(tmp_path / "s.ims", lambda z: vol[z], vol.shape,
+                       vol.dtype, n_levels=2)
+
+    def s(attrs, key):
+        raw = attrs[key]
+        assert raw.dtype.kind == "S" and raw.ndim == 1, (
+            f"{key} must be an S1 char array (IMS attribute encoding)")
+        return b"".join(bytes(x) for x in raw).decode()
+
+    with h5py.File(ims, "r") as f:
+        # root attributes (build_std_rootattributes)
+        assert s(f.attrs, "DataSetDirectoryName") == "DataSet"
+        assert s(f.attrs, "DataSetInfoDirectoryName") == "DataSetInfo"
+        assert s(f.attrs, "ThumbnailDirectoryName") == "Thumbnail"
+        assert s(f.attrs, "ImarisDataSet") == "ImarisDataSet"
+        assert s(f.attrs, "ImarisVersion") == "5.5.0"
+        # DataSetInfo tree (build_std_filestruct)
+        info = f["DataSetInfo"]
+        cd = info["CustomData"]
+        assert s(cd.attrs, "Height") == str(vol.shape[1])
+        assert s(cd.attrs, "Width") == str(vol.shape[2])
+        assert s(cd.attrs, "NumberOfZPoints") == str(vol.shape[0])
+        assert s(cd.attrs, "NumberOfChannels") == "1"
+        assert s(cd.attrs, "NumberOfTimePoints") == "1"
+        assert "DateAndTime" in cd.attrs
+        ids = info["ImarisDataSet"]
+        assert s(ids.attrs, "NumberOfImages") == "1"
+        assert s(ids.attrs, "Version") == "5.5"
+        assert "Creator" in ids.attrs
+        img = info["Image"]
+        for key in ("Name", "Description", "RecordingDate", "Unit",
+                    "X", "Y", "Z", "ExtMin0", "ExtMax0"):
+            assert key in img.attrs, key
+        assert s(img.attrs, "Unit") == "um"
+        ch = info["Channel 0"]
+        assert s(ch.attrs, "Name") == "Channel 1"
+        assert "Description" in ch.attrs
+        assert s(info["Log"].attrs, "Entries") == "0"
+        ti = info["TimeInfo"]
+        assert s(ti.attrs, "DataSetTimePoints") == "1"
+        assert s(ti.attrs, "FileTimePoints") == "1"
+        assert "TimePoint1" in ti.attrs
+        # Thumbnail group with RGBA rows (H, 4*W) uint8
+        th = f["Thumbnail/Data"]
+        assert th.dtype == np.uint8
+        assert th.shape[1] % 4 == 0 and th[:].max() > 0
+
+
 def test_terafly_pyramid_layout(tmp_path, tif_series):
     d, vol = tif_series
     out = tif_series_to_terafly(d, tmp_path / "terafly",
@@ -85,6 +143,38 @@ def test_dcimg_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(f2[0, 4:], frames[2][0, 4:])
     np.testing.assert_array_equal(f2[0, :4], frames[2][1, :4])
     np.testing.assert_array_equal(d[1:3][0][1:], frames[1][1:])
+
+
+def test_dcimg_new_format_roundtrip(tmp_path, rng):
+    """DCAM-API-4 (format_version 0x2000000) session layout: per-frame
+    footers, 64-bit data offset, no first-row metadata-pixel fixup
+    (VERDICT r2 item 8; synthetic fixture pins the implemented layout)."""
+    frames = (rng.random((3, 24, 56)) * 60000).astype(np.uint16)
+    p = tmp_path / "cam2.dcimg"
+    DCIMGFile.write(p, frames, format_version=0x2000000,
+                    frame_footer_size=48)
+    d = DCIMGFile(p)
+    assert d.format_version == 0x2000000
+    assert d.shape == (3, 24, 56)
+    assert d.dtype == np.uint16
+    for z in range(3):  # footer stride honored, pixels intact incl. row 0
+        np.testing.assert_array_equal(d[z], frames[z])
+    np.testing.assert_array_equal(d[0:3], frames)
+
+
+def test_dcimg_intermediate_version_rejected(tmp_path, rng):
+    """Format versions in [0x1000000, 0x2000000) still fail loudly —
+    misparsing would return garbage pixels silently."""
+    frames = (rng.random((2, 8, 8)) * 100).astype(np.uint16)
+    p = tmp_path / "cam15.dcimg"
+    DCIMGFile.write(p, frames)
+    raw = bytearray(p.read_bytes())
+    import struct as _struct
+
+    _struct.pack_into("<I", raw, 8, 0x1000000)
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="unsupported DCIMG"):
+        DCIMGFile(p)
 
 
 def test_fnt_cubes_and_movie_exports(tmp_path, rng):
