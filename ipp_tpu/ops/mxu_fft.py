@@ -321,8 +321,13 @@ class MatmulFFT3:
             if (nx % 256 == 0 and nz % 256 == 0 and ny % 8 == 0
                     and (kp_y * nz) % STAGE_TM == 0
                     and ny <= 2048):
+                # 't' = axis-1-stacking rfft/irfft kernels: kp-major
+                # output kills the swapaxes pair around the z-stage
+                # (unbatched walks only; IPP_TPU_FFT_V2T=0 reverts)
+                tflag = os.environ.get("IPP_TPU_FFT_V2T", "auto")
                 self._v2 = dict(
                     kp=kp_y,
+                    t=(tflag != "0"),
                     rmats=prep_v2_rfft_mats(ny, kp_y),
                     zmats=prep_v2_stage_mats(nz),
                     xmats=prep_stage_mats(nx))
@@ -536,7 +541,8 @@ class MatmulFFT3:
         four (see ops/pallas_fft.py v2 section).  With `ratio_num`, the
         transform input is ratio_num / max(x, eps) computed inside the
         first kernel — the RL ratio never touches HBM."""
-        from .pallas_fft import (_v2_rfft_call, _v2_rfft_ratio_call,
+        from .pallas_fft import (_v2_rfft_call, _v2_rfft_call_t,
+                                 _v2_rfft_ratio_call, _v2_rfft_ratio_call_t,
                                  _v2_stage_call, fused_stage)
 
         v2 = self._v2
@@ -544,17 +550,26 @@ class MatmulFFT3:
         nz, ny, nx = self.shape
         x3 = x.reshape((-1, ny, nx))
         fhi, flo = v2["rmats"][0]
+        use_t = v2.get("t") and lead == ()  # kp-major only maps unbatched
         if ratio_num is not None:
             num3 = ratio_num.reshape((-1, ny, nx))
-            re, im = _v2_rfft_ratio_call(num3, x3, fhi, flo,
-                                         interpret=self._kern_interpret)
+            if use_t:
+                re, im = _v2_rfft_ratio_call_t(
+                    num3, x3, fhi, flo, interpret=self._kern_interpret)
+            else:
+                re, im = _v2_rfft_ratio_call(
+                    num3, x3, fhi, flo, interpret=self._kern_interpret)
+        elif use_t:
+            re, im = _v2_rfft_call_t(x3, fhi, flo,
+                                     interpret=self._kern_interpret)
         else:
             re, im = _v2_rfft_call(x3, fhi, flo,
                                    interpret=self._kern_interpret)
-        re = re.reshape(lead + (nz, v2["kp"], nx))
-        im = im.reshape(lead + (nz, v2["kp"], nx))
-        re = jnp.swapaxes(re, -3, -2)     # (..., kp, z, x)
-        im = jnp.swapaxes(im, -3, -2)
+        if not use_t:
+            re = re.reshape(lead + (nz, v2["kp"], nx))
+            im = im.reshape(lead + (nz, v2["kp"], nx))
+            re = jnp.swapaxes(re, -3, -2)     # (..., kp, z, x)
+            im = jnp.swapaxes(im, -3, -2)
         zhi, zlo = v2["zmats"][0]
         re3 = re.reshape((-1, nz, nx))
         im3 = im.reshape((-1, nz, nx))
@@ -566,12 +581,14 @@ class MatmulFFT3:
                            interpret=self._kern_interpret)
 
     def _convolve_v2(self, x, otf, conj, ratio_num=None, mul_abs=None):
-        from .pallas_fft import (_v2_irfft_call, _v2_irfft_mul_call,
+        from .pallas_fft import (_v2_irfft_call, _v2_irfft_call_t,
+                                 _v2_irfft_mul_call, _v2_irfft_mul_call_t,
                                  _v2_stage_call, fused_stage_inv_otf)
 
         v2 = self._v2
         lead = x.shape[:-3]
         nz, ny, nx = self.shape
+        use_t = v2.get("t") and lead == ()
         re, im = self._fwd_packed_v2(x, ratio_num)
         rr, ii = fused_stage_inv_otf(re, im, otf[0], otf[1], v2["xmats"],
                                      conj, interpret=self._kern_interpret)
@@ -579,11 +596,23 @@ class MatmulFFT3:
         rr3, ii3 = _v2_stage_call(rr.reshape((-1, nz, nx)),
                                   ii.reshape((-1, nz, nx)), zhi, zlo,
                                   False, interpret=self._kern_interpret)
+        ihi, ilo = v2["rmats"][1]
+        if use_t:
+            # rr3 is (kp, z, x) — exactly the layout the 't' irfft reads;
+            # the swapaxes pair around the z-stage is gone
+            if mul_abs is not None:
+                out = _v2_irfft_mul_call_t(rr3, ii3,
+                                           mul_abs.reshape((-1, ny, nx)),
+                                           ihi, ilo, ny,
+                                           interpret=self._kern_interpret)
+            else:
+                out = _v2_irfft_call_t(rr3, ii3, ihi, ilo, ny,
+                                       interpret=self._kern_interpret)
+            return out.reshape(lead + (nz, ny, nx))
         rr = rr3.reshape(lead + (v2["kp"], nz, nx))
         ii = ii3.reshape(lead + (v2["kp"], nz, nx))
         rr = jnp.swapaxes(rr, -3, -2)     # (..., z, kp, x)
         ii = jnp.swapaxes(ii, -3, -2)
-        ihi, ilo = v2["rmats"][1]
         if mul_abs is not None:
             out = _v2_irfft_mul_call(rr.reshape((-1, v2["kp"], nx)),
                                      ii.reshape((-1, v2["kp"], nx)),

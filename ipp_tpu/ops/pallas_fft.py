@@ -539,6 +539,178 @@ def _v2_stage_call(re, im, mhi, mlo, forward, interpret=False):
         interpret=interpret)(re, im, mhi, mlo)
 
 
+# --- axis-1-stacking ("t") variants: the y-rfft writes its output with
+# kp MAJOR ((kp, z, x) instead of (z, kp, x)) and the y-irfft reads it
+# back, so the XLA swapaxes pair around the z-stage disappears — the last
+# transposes of the v2 walk (docs/STATUS.md "Known gaps": needs
+# sublane-strided VMEM writes to be cheap; measured on hardware either
+# way, see STATUS).  Unbatched (lead == ()) only: with a batch dim the
+# kp-major layout would interleave kp ahead of the batch axis.
+
+
+# B=8 is the floor: Mosaic requires the second-minor block dim to divide
+# by 8 (or equal the array dim), so a contiguous-write B=1 (kp, 1, TX)
+# out block cannot lower — the sublane-strided stack is unavoidable in
+# this layout (measured anyway: the t-walk still nets +7 Mvox/s).
+_V2_BT = _V2_B
+
+
+def _v2_rfft_kernel_t(x_ref, mhi_ref, mlo_ref, re_ref, im_ref):
+    kp = mhi_ref.shape[0] // 2
+    res, ims = [], []
+    for i in range(_V2_BT):
+        full = _mm3_lhs(mhi_ref[:], mlo_ref[:], x_ref[i])  # (2kp, TX)
+        res.append(full[:kp])
+        ims.append(full[kp:])
+    re_ref[:] = jnp.stack(res, axis=1)   # (kp, B, TX): sublane-strided
+    im_ref[:] = jnp.stack(ims, axis=1)
+
+
+def _v2_rfft_ratio_kernel_t(num_ref, den_ref, mhi_ref, mlo_ref,
+                            re_ref, im_ref):
+    kp = mhi_ref.shape[0] // 2
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    res, ims = [], []
+    for i in range(_V2_BT):
+        x = num_ref[i] / jnp.maximum(den_ref[i], eps)
+        full = _mm3_lhs(mhi_ref[:], mlo_ref[:], x)
+        res.append(full[:kp])
+        ims.append(full[kp:])
+    re_ref[:] = jnp.stack(res, axis=1)
+    im_ref[:] = jnp.stack(ims, axis=1)
+
+
+def _v2_irfft_kernel_t(re_ref, im_ref, mhi_ref, mlo_ref, out_ref):
+    outs = []
+    for i in range(_V2_BT):
+        both = jnp.concatenate([re_ref[:, i, :], im_ref[:, i, :]], axis=0)
+        outs.append(_mm3_lhs(mhi_ref[:], mlo_ref[:], both))
+    out_ref[:] = jnp.stack(outs, axis=0)
+
+
+def _v2_irfft_mul_kernel_t(re_ref, im_ref, mul_ref, mhi_ref, mlo_ref,
+                           out_ref):
+    outs = []
+    for i in range(_V2_BT):
+        both = jnp.concatenate([re_ref[:, i, :], im_ref[:, i, :]], axis=0)
+        y = _mm3_lhs(mhi_ref[:], mlo_ref[:], both)
+        outs.append(jnp.abs(mul_ref[i] * y))
+    out_ref[:] = jnp.stack(outs, axis=0)
+
+
+def _v2_blk_t(kp):
+    """(kp, B, TX) block at (0, i, j) of a (kp, A, X) array."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((kp, _V2_BT, _V2_TX), lambda i, j: (0, i, j),
+                        memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _v2_rfft_call_t(x, mhi, mlo, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, n, X = x.shape
+    kp = mhi.shape[0] // 2
+    grid = (A // _V2_BT, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_BT, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_rfft_kernel_t, grid=grid,
+        in_specs=[blk(n), mat, mat],
+        out_specs=[_v2_blk_t(kp)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((kp, A, X), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (n + 2 * kp) * 4, transcendentals=0),
+        interpret=interpret)(x, mhi, mlo)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _v2_rfft_ratio_call_t(num, den, mhi, mlo, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, n, X = num.shape
+    kp = mhi.shape[0] // 2
+    grid = (A // _V2_BT, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_BT, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_rfft_ratio_kernel_t, grid=grid,
+        in_specs=[blk(n), blk(n), mat, mat],
+        out_specs=[_v2_blk_t(kp)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((kp, A, X), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (2 * n + 2 * kp) * 4,
+            transcendentals=0),
+        interpret=interpret)(num, den, mhi, mlo)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def _v2_irfft_call_t(re, im, mhi, mlo, n, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kp, A, X = re.shape
+    grid = (A // _V2_BT, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_BT, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_irfft_kernel_t, grid=grid,
+        in_specs=[_v2_blk_t(kp)] * 2 + [mat, mat],
+        out_specs=blk(n),
+        out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (n + 2 * kp) * 4, transcendentals=0),
+        interpret=interpret)(re, im, mhi, mlo)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def _v2_irfft_mul_call_t(re, im, mul, mhi, mlo, n, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kp, A, X = re.shape
+    grid = (A // _V2_BT, X // _V2_TX)
+
+    def blk(h):
+        return pl.BlockSpec((_V2_BT, h, _V2_TX), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    mat = pl.BlockSpec(mhi.shape, lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _v2_irfft_mul_kernel_t, grid=grid,
+        in_specs=[_v2_blk_t(kp)] * 2 + [blk(n), mat, mat],
+        out_specs=blk(n),
+        out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * A * X * n * 2 * kp * 3,
+            bytes_accessed=A * X * (2 * n + 2 * kp) * 4,
+            transcendentals=0),
+        interpret=interpret)(re, im, mul, mhi, mlo)
+
+
 def _v2_rfft_ratio_kernel(num_ref, den_ref, mhi_ref, mlo_ref,
                           re_ref, im_ref):
     """y-rfft with the Richardson-Lucy ratio fused at the input:

@@ -295,6 +295,39 @@ def test_fused_stage_kernel_convolve(rng, monkeypatch):
     assert np.abs(convc - refc).max() / np.abs(refc).max() < 1e-4
 
 
+def test_v2_t_walk_matches_untransposed(rng, monkeypatch):
+    """The axis-1-stacking ('t') rfft/irfft kernels (kp-major layout, no
+    swapaxes pair) must produce the same convolution as the v2 walk with
+    the XLA transposes, including the fused RL ratio/mul forms."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("IPP_TPU_FFT_V2", "1")
+    from ipp_tpu.ops import pallas_fft
+    from ipp_tpu.ops.mxu_fft import MatmulFFT3
+
+    shape = (256, 16, 256)
+    x = (rng.random(shape) * 100 + 1).astype(np.float32)
+    num = (rng.random(shape) * 100 + 1).astype(np.float32)
+    mul = rng.random(shape).astype(np.float32)
+    k = rng.random(shape).astype(np.float32)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("IPP_TPU_FFT_V2T", flag)
+        plan = MatmulFFT3(shape, precision=jax.lax.Precision.HIGHEST)
+        assert plan._v2 is not None and plan._v2["t"] == (flag == "1")
+        otf = plan.otf_packed(jnp.asarray(k))
+        outs[flag] = (
+            np.asarray(plan.convolve(jnp.asarray(x), otf)),
+            np.asarray(plan.convolve(
+                jnp.asarray(x), otf, conj=True,
+                ratio_num=jnp.asarray(num), mul_abs=jnp.asarray(mul))),
+        )
+    for a, b in zip(outs["1"], outs["0"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
 def test_v2_convolve_matches_numpy(rng, monkeypatch):
     """The v2 near-transpose-free convolve walk (sublane-form Pallas
     kernels, interpret mode on CPU) equals numpy FFT convolution."""
