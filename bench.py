@@ -286,7 +286,8 @@ def main() -> None:
         place_tiles_mst(grid)
         place_s = time.time() - t0
         t0 = time.time()
-        out_dir, _ = merge_to_tif_series(grid, Path(td) / "stitched")
+        out_dir, _ = merge_to_tif_series(grid, Path(td) / "stitched",
+                                         plane_batch=4)
         merge_s = time.time() - t0
         e2e_s = align_s + place_s + merge_s
         n_vox = nz * full * full

@@ -17,7 +17,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["ImarisReader", "write_imaris", "tif_series_to_imaris"]
+__all__ = ["ImarisReader", "write_imaris", "write_imaris_timeseries",
+           "tif_series_to_imaris"]
 
 
 def _attr_str(group, name: str, value: str) -> None:
@@ -230,6 +231,86 @@ def write_imaris(
                       np.full_like(gray, 255)])
     # Imaris stores the thumbnail as (H, 4*W) uint8 rows of RGBA samples
     thumb.create_dataset("Data", data=rgba.reshape(gray.shape[0], -1))
+    f.close()
+    return path
+
+
+def write_imaris_timeseries(
+    path,
+    volume_reader,
+    shape_tzyx: Tuple[int, int, int, int],
+    dtype,
+    voxel_um: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+    channel_color: str = "Blue",
+) -> Path:
+    """4D time-series .ims: one DataSet TimePoint group per t
+    (the TeraStitcher imagemanager TimeSeries role,
+    src/imagemanager/TimeSeries.h — multi-TimePoint volumes the 3D
+    pipelines never produce but the Imaris5 format supports).
+
+    volume_reader(t, z) -> (H, W) plane.  Written single-resolution (time
+    series are small QC/alignment artifacts here; the pyramid writer is
+    write_imaris).
+    """
+    import h5py
+
+    path = Path(path)
+    nt, nz, ny, nx = shape_tzyx
+    f = h5py.File(path, "w")
+    _attr_str(f, "ImarisDataSet", "ImarisDataSet")
+    _attr_str(f, "ImarisVersion", "5.5.0")
+    _attr_str(f, "DataSetDirectoryName", "DataSet")
+    _attr_str(f, "DataSetInfoDirectoryName", "DataSetInfo")
+    _attr_str(f, "ThumbnailDirectoryName", "Thumbnail")
+    f.attrs["NumberOfDataSets"] = np.uint32(1)
+    ds = f.create_group("DataSet")
+    hist_min, hist_max = np.inf, -np.inf
+    for t in range(nt):
+        g = ds.create_group(f"ResolutionLevel 0/TimePoint {t}/Channel 0")
+        d = g.create_dataset("Data", shape=(nz, ny, nx), dtype=dtype,
+                             chunks=(min(16, nz), min(256, ny),
+                                     min(256, nx)),
+                             compression="gzip", compression_opts=2)
+        _attr_str(g, "ImageSizeX", str(nx))
+        _attr_str(g, "ImageSizeY", str(ny))
+        _attr_str(g, "ImageSizeZ", str(nz))
+        for z in range(nz):
+            plane = np.asarray(volume_reader(t, z))
+            hist_min = min(hist_min, float(plane.min()))
+            hist_max = max(hist_max, float(plane.max()))
+            d[z] = plane.astype(dtype)
+
+    timestamp = "2024-01-01 00:00:00.000"
+    info = f.create_group("DataSetInfo")
+    custom = info.create_group("CustomData")
+    _attr_str(custom, "DateAndTime", timestamp)
+    _attr_str(custom, "Height", str(ny))
+    _attr_str(custom, "Width", str(nx))
+    _attr_str(custom, "NumberOfZPoints", str(nz))
+    _attr_str(custom, "NumberOfChannels", "1")
+    _attr_str(custom, "NumberOfTimePoints", str(nt))
+    img_info = info.create_group("Image")
+    _attr_str(img_info, "Name", path.name)
+    _attr_str(img_info, "Unit", "um")
+    _attr_str(img_info, "X", str(nx))
+    _attr_str(img_info, "Y", str(ny))
+    _attr_str(img_info, "Z", str(nz))
+    for i, (ext, vox, npix) in enumerate(
+            zip("012", voxel_um[::-1], (nx, ny, nz))):
+        _attr_str(img_info, f"ExtMin{ext}", "0")
+        _attr_str(img_info, f"ExtMax{ext}", f"{npix * vox:.3f}")
+    ch_info = info.create_group("Channel 0")
+    _attr_str(ch_info, "Name", "Channel 1")
+    _attr_str(ch_info, "Color", {"Blue": "0 0 1", "Green": "0 1 0",
+                                 "Red": "1 0 0"}.get(channel_color, "1 1 1"))
+    _attr_str(ch_info, "HistogramMin", f"{hist_min:.3f}")
+    _attr_str(ch_info, "HistogramMax", f"{hist_max:.3f}")
+    ti = info.create_group("TimeInfo")
+    _attr_str(ti, "DataSetTimePoints", str(nt))
+    _attr_str(ti, "FileTimePoints", str(nt))
+    for t in range(1, nt + 1):
+        _attr_str(ti, f"TimePoint{t}", timestamp)
+    f.create_group("Thumbnail")
     f.close()
     return path
 

@@ -59,6 +59,7 @@ def merge_to_tif_series(
     flip_ud: bool = False,
     progress: Optional[ProgressReporter] = None,
     mesh=None,
+    plane_batch: int = 1,
 ) -> Tuple[Path, Optional[np.ndarray]]:
     """Merge all z planes to `out_dir/img_ZZZZZZ.tif`.
 
@@ -129,7 +130,9 @@ def merge_to_tif_series(
     use_mesh = mesh is not None and int(
         np.prod([v for v in mesh.shape.values()])) > 1
     n_data = int(mesh.shape["data"]) if use_mesh else 1
-    batch = n_data if use_mesh else 1
+    # single device: plane_batch planes per dispatch amortize the ~30 ms
+    # tunnel round-trip of the remote TPU backend across planes
+    batch = n_data if use_mesh else max(1, int(plane_batch))
     sharding = None
     if use_mesh:
         from ..parallel.mesh import data_sharding

@@ -145,6 +145,29 @@ def test_dcimg_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(d[1:3][0][1:], frames[1][1:])
 
 
+def test_imaris_timeseries_roundtrip(tmp_path, rng):
+    """4D time-series .ims (TeraStitcher TimeSeries.h role): one TimePoint
+    group per t, TimeInfo carrying the timepoint count, readable per-t
+    through ImarisReader."""
+    from ipp_tpu.io.ims import ImarisReader, write_imaris_timeseries
+
+    vol4 = (rng.random((3, 4, 32, 48)) * 60000).astype(np.uint16)
+    ims = write_imaris_timeseries(tmp_path / "ts.ims",
+                                  lambda t, z: vol4[t, z], vol4.shape,
+                                  vol4.dtype)
+    import h5py
+
+    with h5py.File(ims, "r") as f:
+        for t in range(3):
+            assert f"DataSet/ResolutionLevel 0/TimePoint {t}/Channel 0/Data" in f
+        ti = f["DataSetInfo/TimeInfo"].attrs
+        assert b"".join(bytes(x) for x in ti["DataSetTimePoints"]) == b"3"
+        assert "TimePoint3" in ti
+    for t in range(3):
+        with ImarisReader(ims, timepoint=t) as r:
+            np.testing.assert_array_equal(r[2], vol4[t, 2])
+
+
 def test_dcimg_new_format_roundtrip(tmp_path, rng):
     """DCAM-API-4 (format_version 0x2000000) session layout: per-frame
     footers, 64-bit data offset, no first-row metadata-pixel fixup

@@ -178,6 +178,22 @@ def test_merge_mesh_matches_single_device(stitched_setup, tmp_path):
     np.testing.assert_allclose(ds1, ds8, atol=1e-3)
 
 
+def test_merge_plane_batch_matches_unbatched(stitched_setup, tmp_path):
+    """Single-device plane batching (dispatch-latency amortization) writes
+    identical planes to the per-plane path."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+    out1, _ = merge_to_tif_series(grid, tmp_path / "b1")
+    out4, _ = merge_to_tif_series(grid, tmp_path / "b4", plane_batch=4)
+    p1 = sorted(out1.glob("img_*.tif"))
+    p4 = sorted(out4.glob("img_*.tif"))
+    assert [p.name for p in p1] == [p.name for p in p4] and p1
+    for a, b in zip(p1, p4):
+        np.testing.assert_array_equal(tio.imread(a), tio.imread(b))
+
+
 def test_place_tiles_mst_single_tile_grid(tmp_path, rng):
     """A 1x1 grid has no links; placement must no-op, not crash."""
     from ipp_tpu.geometry.stacks import TileGrid
