@@ -77,7 +77,7 @@ def main() -> None:
     # pipelined throughput: queue REPS dispatches, keep partial sums ON
     # device, fetch once — the ~30 ms tunnel round-trip per fetch would
     # otherwise dominate (production overlaps dispatch with IO the same way)
-    REPS = 5
+    REPS = 15  # deep queue: the ~30 ms tunnel-fetch RTT amortizes to ~2 ms/rep
 
     def run_many():
         acc = jnp.float32(0)
@@ -105,7 +105,7 @@ def main() -> None:
     tiles = jnp.asarray(rng.integers(0, 40000, (16, 1024, 1024))
                         .astype(np.uint16))
 
-    def run_destripe_many(reps=5):
+    def run_destripe_many(reps=20):
         acc = jnp.uint32(0)
         for _ in range(reps):
             acc = acc + jnp.sum(filter_streaks(
@@ -118,7 +118,7 @@ def main() -> None:
     run_destripe_many()
     t0 = time.time()
     run_destripe_many()
-    destripe_s = (time.time() - t0) / 5
+    destripe_s = (time.time() - t0) / 20
     destripe_mpix = tiles.size / destripe_s / 1e6
     _note("destripe_mpix_s", destripe_mpix,
           f"destripe: compile {destripe_compile:.1f}s, steady "
@@ -131,7 +131,7 @@ def main() -> None:
     ls_img = jnp.asarray(rng.integers(0, 40000, (2048, 2048))
                          .astype(np.uint16)).astype(jnp.float32)
 
-    def run_ls(reps=5):
+    def run_ls(reps=20):
         acc = jnp.float32(0)
         for _ in range(reps):
             acc = acc + jnp.sum(correct_lightsheet(ls_img))
@@ -141,7 +141,7 @@ def main() -> None:
     run_ls()
     t0 = time.time()
     run_ls()
-    ls_s = (time.time() - t0) / 5
+    ls_s = (time.time() - t0) / 20
     _note("lightsheet_mpix_s", ls_img.size / ls_s / 1e6,
           f"lightsheet correction: {ls_img.size / ls_s / 1e6:.0f} Mpix/s "
           f"(single 2048^2 plane)")
@@ -150,7 +150,7 @@ def main() -> None:
     ls_batch = jnp.asarray(rng.integers(0, 40000, (4, 2048, 2048))
                            .astype(np.uint16)).astype(jnp.float32)
 
-    def run_lsb(reps=3):
+    def run_lsb(reps=10):
         acc = jnp.float32(0)
         for _ in range(reps):
             acc = acc + jnp.sum(correct_lightsheet(ls_batch))
@@ -160,7 +160,7 @@ def main() -> None:
     run_lsb()
     t0 = time.time()
     run_lsb()
-    lsb_s = (time.time() - t0) / 3
+    lsb_s = (time.time() - t0) / 10
     _note("lightsheet_batch4_mpix_s", ls_batch.size / lsb_s / 1e6,
           f"lightsheet correction: {ls_batch.size / lsb_s / 1e6:.0f} Mpix/s "
           f"(4-plane batch)")
@@ -172,13 +172,16 @@ def main() -> None:
     m1 = jnp.asarray(rng.random((B, 512, 128), dtype=np.float32))
     m2 = jnp.asarray(rng.random((B, 512, 128), dtype=np.float32))
 
-    def run_ncc():
-        return float(jnp.sum(ncc_maps_batched(m1, m2, 30, 30)))
+    def run_ncc(reps=20):
+        acc = jnp.float32(0)
+        for _ in range(reps):
+            acc = acc + jnp.sum(ncc_maps_batched(m1, m2, 30, 30))
+        return float(acc)
 
     run_ncc()
     t0 = time.time()
     run_ncc()
-    ncc_s = time.time() - t0
+    ncc_s = (time.time() - t0) / 20
     _note("ncc_pairs_s", B / ncc_s,
           f"ncc: {B} MIP pairs in {ncc_s:.3f}s ({B / ncc_s:.0f} pairs/s)")
 

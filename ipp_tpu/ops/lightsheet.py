@@ -57,23 +57,12 @@ def _band_slices(xp: jnp.ndarray, centers: np.ndarray, size: int,
     concatenated along axis 0 -> (len(centers)*k, W).
 
     TPU form: stride-`step` slicing per center measured 26 ms for the bg
-    field of one 2048^2 plane — the strided DMA re-runs per center.  The
-    image is instead split ONCE into `step` phase views (xp[q::step]);
-    every center's band is then a CONTIGUOUS slice of one phase, which
-    lowers to plain DMA (~5x faster)."""
-    if k == 1:
-        return jnp.take(xp, jnp.asarray(centers.astype(np.int32)), axis=0)
-    if step == 1:
-        return jnp.concatenate(
-            [jax.lax.slice(xp, (int(c), 0), (int(c) + k, xp.shape[1]))
-             for c in centers], axis=0)
-    phases = [xp[q::step] for q in range(step)]
-    parts = []
-    for c in centers:
-        q, s0 = int(c) % step, int(c) // step
-        parts.append(jax.lax.slice(phases[q], (s0, 0),
-                                   (s0 + k, phases[q].shape[1])))
-    return jnp.concatenate(parts, axis=0)
+    field of one 2048^2 plane — the strided DMA re-runs per center.  One
+    row-wise jnp.take with a precomputed index vector is contiguous DMA
+    per row (~2.5 ms true cost; CLAUDE.md row-take rule)."""
+    idx = np.concatenate([np.arange(c, c + size, step)[:k]
+                          for c in centers]).astype(np.int32)
+    return jnp.take(xp, jnp.asarray(idx), axis=0)
 
 
 def _kary_order_stats(p: jnp.ndarray, ranks, K: int = 16,
@@ -115,15 +104,52 @@ def _kary_order_stats(p: jnp.ndarray, ranks, K: int = 16,
     return hi  # the target order stat lies in (lo, hi], width ~ range/K^P
 
 
+def _bisect_rank_axes(p: jnp.ndarray, rank: float,
+                      iters: int = 11) -> jnp.ndarray:
+    """Smallest sample value v with count(p <= v) >= rank over axes
+    (1, 3), by plain two-way bisection counting — measured FASTER than
+    any K>2 counting fan-out on TPU (the broadcast compare across K
+    thresholds does not fuse: K=16 measured 30.5 ms vs 14.9 ms for 20
+    two-way passes on the 2048^2 bg field).  11 passes resolve the
+    bracket to range/2^11 (~32 intensity units at u16 full scale =
+    4.9e-4 of range — inside the pipeline's 1e-3 output tolerance; each
+    pass reads the full 64x-duplicated window sample tensor, so passes
+    are the unit of cost and set the ~6 ms/2048^2-plane floor)."""
+    lo = jnp.min(p, axis=(1, 3))
+    hi = jnp.max(p, axis=(1, 3))
+    lo = lo - 1e-3 * (hi - lo + 1.0)
+    r = jnp.float32(rank)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((p <= mid[:, None, :, None]).astype(jnp.float32),
+                      axis=(1, 3))
+        take = cnt >= r
+        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
 def _kary_quantile_axes(p: jnp.ndarray, q: float, K: int = 16,
                         passes: int = 5) -> jnp.ndarray:
-    """np.percentile-style linearly-interpolated quantile over axes (1, 3)
-    (the reference's prctl is np.percentile,
-    pystripe/lightsheet_correct.py:240-242)."""
+    """np.percentile-style quantile over axes (1, 3) (the reference's
+    prctl is np.percentile, pystripe/lightsheet_correct.py:240-242).
+
+    Small windows (k < 1024) interpolate linearly between the two
+    bracketing order statistics via the dual-rank K-ary search; large
+    windows (the bg field's k = 10000) return the upper order statistic
+    from plain bisection — the interpolation correction is bounded by
+    the gap between ADJACENT order statistics, which at k >= 1024 is
+    far below the pipeline's 1e-3 output tolerance, and skipping it
+    halves the counting work."""
     k = p.shape[1] * p.shape[3]
     pos = q * (k - 1)
     f = pos - math.floor(pos)
     r0 = math.floor(pos) + 1  # 1-indexed count of the lower order stat
+    if k >= 1024:
+        return _bisect_rank_axes(p, r0 if f < 1e-9 else r0 + f)
     if f < 1e-9 or k == 1:
         return _kary_order_stats(p, [r0], K, passes)[0]
     v = _kary_order_stats(p, [r0, r0 + 1], K, passes)
@@ -224,6 +250,9 @@ def _bisect_quantile_axes(p: jnp.ndarray, q: float,
     return 0.5 * (lo + hi)
 
 
+@partial(jax.jit, static_argnames=(
+    "percentile", "artifact_length", "background_window_size",
+    "background_spacing", "background_step", "lightsheet_vs_background"))
 def correct_lightsheet(
     img: jnp.ndarray,
     percentile: float = 0.25,
@@ -235,7 +264,11 @@ def correct_lightsheet(
 ) -> jnp.ndarray:
     """img -= min(img, min(ls, bg * w)) (reference correct_lightsheet,
     pystripe/lightsheet_correct.py:31-107; called from process_img,
-    pystripe/core.py:1337-1352)."""
+    pystripe/core.py:1337-1352).
+
+    Jitted as ONE program: the two percentile-field extractions, the
+    bisection passes and the final minimum fuse/overlap instead of
+    dispatching eagerly (measured 354 -> ~390 Mpix/s on a 2048^2 plane)."""
     x = img.astype(jnp.float32)
     # the reference evaluates BOTH percentile fields on sparse grids and
     # zoom-interpolates (apply_local_function with spacing defaulting to
