@@ -209,25 +209,30 @@ def grid_percentile(img: jnp.ndarray, selem: Tuple[int, int],
     cx = ((w - (n_cx - 1) * gx) // 2 + np.arange(n_cx) * gx).astype(int)
     ky = len(range(0, sh, ty))
     kx = len(range(0, sw, tx))
-
-    def one_plane(x2):
-        xp = jnp.pad(x2.astype(jnp.float32),
-                     ((sh // 2, sh - sh // 2), (sw // 2, sw - sw // 2)),
-                     mode="edge")
-        rows = _band_slices(xp, cy, sh, ty, ky)   # (n_cy*ky, wp)
-        rt = rows.T                               # (wp, n_cy*ky)
-        cols = _band_slices(rt, cx, sw, tx, kx)   # (n_cx*kx, n_cy*ky)
-        p = cols.reshape(n_cx, kx, n_cy, ky)      # samples at axes (1, 3)
-        vals = _kary_quantile_axes(p, percentile)
-        vals = vals.T                             # (n_cy, n_cx)
-        # linear zoom back to (h, w) (reference uses ndi.zoom order=1)
-        return _resize_linear_mm(vals, (h, w))
-
-    if img.ndim == 2:
-        return one_plane(img)
     lead = img.shape[:-2]
-    out = jax.vmap(one_plane)(img.reshape((-1,) + img.shape[-2:]))
-    return out.reshape(lead + (h, w))
+    B = int(np.prod(lead)) if lead else 1
+
+    # batch folds into the row-take index vector (vmap would batch the
+    # gathers, which lowers pathologically on TPU); the percentile then
+    # treats (B * n_cy) as one grid axis
+    x3 = img.reshape((B, h, w)).astype(jnp.float32)
+    xp = jnp.pad(x3, ((0, 0), (sh // 2, sh - sh // 2),
+                      (sw // 2, sw - sw // 2)), mode="edge")
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    band = np.concatenate([np.arange(c, c + sh, ty)[:ky] for c in cy])
+    row_idx = (np.arange(B)[:, None] * Hp + band[None, :]).reshape(-1)
+    rows = jnp.take(xp.reshape(B * Hp, Wp),
+                    jnp.asarray(row_idx.astype(np.int32)), axis=0)
+    rt = rows.T                                # (Wp, B*n_cy*ky)
+    cols = _band_slices(rt, cx, sw, tx, kx)    # (n_cx*kx, B*n_cy*ky)
+    p = cols.reshape(n_cx, kx, B * n_cy, ky)   # samples at axes (1, 3)
+    vals = _kary_quantile_axes(p, percentile)  # (n_cx, B*n_cy)
+    vals = vals.reshape(n_cx, B, n_cy).transpose(1, 2, 0)  # (B, n_cy, n_cx)
+    # linear zoom back to (h, w) (reference uses ndi.zoom order=1)
+    ay = jnp.asarray(_resize_linear_weights(n_cy, h))
+    ax = jnp.asarray(_resize_linear_weights(n_cx, w))
+    out = jnp.einsum("yi,bij,xj->byx", ay, vals, ax)
+    return out.reshape(lead + (h, w)) if lead else out[0]
 
 
 def _bisect_quantile_axes(p: jnp.ndarray, q: float,
