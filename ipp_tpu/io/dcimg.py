@@ -79,6 +79,14 @@ class DCIMGFile:
                 self._frame_footer = footer
                 self._data_offset = header_size + offset_to_data
                 self._fixup_first_row = False
+                # new-format semantics follow python-dcimg: xsize = image
+                # WIDTH, ysize = HEIGHT, frames are (ysize, xsize) — the
+                # width=ysize swap below applies ONLY to the v1.0 header
+                # whose field order was (xsize, bytes_per_row, ysize)
+                self.shape = (self.nfrms, self.ysize, self.xsize)
+                self.dtype = (np.uint16 if self.byte_depth == 2
+                              else np.uint8)
+                return
             else:
                 sess = f.read(64)
                 (self.session_size,) = struct.unpack_from("<Q", sess, 0)
@@ -100,12 +108,18 @@ class DCIMGFile:
         nfrms, h, w = self.shape
         if not 0 <= z < nfrms:
             raise IndexError(z)
-        frame_bytes = h * w * self.byte_depth
+        row_bytes = w * self.byte_depth
+        # new format honors bytes_per_row (rows may pad past the pixel
+        # width); v1.0 reads contiguous pixels exactly like the reference
+        # plugin (dcimg.cpp readData ignores its bytes_per_row field)
+        stride_row = (row_bytes if self._fixup_first_row
+                      else max(self.bytes_per_row, row_bytes))
         stride = self._bytes_per_img + self._frame_footer
         with open(self.path, "rb") as f:
             f.seek(self._data_offset + z * stride)
-            raw = f.read(frame_bytes)
-        img = np.frombuffer(raw, dtype=self.dtype).reshape(h, w).copy()
+            raw = f.read(stride_row * h)
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride_row)
+        img = rows[:, :row_bytes].copy().view(self.dtype).reshape(h, w)
         if self._fixup_first_row and h > 1:
             # metadata-pixel fixup, v1.0 only (dcimg.cpp:271-273)
             img[0, :4] = img[1, :4]
@@ -145,8 +159,9 @@ class DCIMGFile:
                 bytes_per_img = h * w * byte_depth
                 sess = bytearray(sess_len)
                 struct.pack_into("<Q", sess, 0, sess_len)
+                # new-format field semantics: xsize = WIDTH, ysize = HEIGHT
                 struct.pack_into("<7I", sess, 0x3C, nfrms, byte_depth, 0,
-                                 h, w, w * byte_depth, bytes_per_img)
+                                 w, h, w * byte_depth, bytes_per_img)
                 struct.pack_into("<Q", sess, 0x60, offset_to_data)
                 struct.pack_into("<I", sess, 0x68, frame_footer_size)
                 f.write(sess)

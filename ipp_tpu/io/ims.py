@@ -147,12 +147,25 @@ def write_imaris(
             img = img.mean(axis=(1, 3))
         return img
 
+    # thumbnail MIP accumulates from the streamed planes (decimated to
+    # <=256 per axis first) — reading a pyramid level back post-hoc
+    # would materialize the whole coarsest level (the FULL volume when
+    # n_levels == 1) and break the streaming contract
+    t_fy = max(1, ny // 256)
+    t_fx = max(1, nx // 256)
+    thumb_mip: Optional[np.ndarray] = None
+
     z_written = [0] * len(level_shapes)
     for z in range(nz):
         plane = np.asarray(volume_reader(z))
         hist_min = min(hist_min, float(plane.min()))
         hist_max = max(hist_max, float(plane.max()))
         datasets[0][z] = plane.astype(dtype)
+        small = plane[: (ny // t_fy) * t_fy, : (nx // t_fx) * t_fx]
+        small = small.reshape(ny // t_fy, t_fy, nx // t_fx, t_fx)
+        small = small.max(axis=(1, 3)).astype(np.float32)
+        thumb_mip = small if thumb_mip is None else np.maximum(thumb_mip,
+                                                               small)
         # coarser levels
         carry = plane.astype(np.float32)
         for lv in range(1, len(level_shapes)):
@@ -214,19 +227,15 @@ def write_imaris(
     _attr_str(time_info, "FileTimePoints", "1")
     _attr_str(time_info, "TimePoint1", timestamp)
 
-    # Thumbnail: RGBA MIP of the coarsest level, the group Imaris shows in
-    # its file browser (IMS_HDF5Mngr.cpp:283 Thumbnail group; real files
-    # carry a Thumbnail/Data uint8 RGBA dataset)
+    # Thumbnail: RGBA MIP accumulated during the plane stream, the group
+    # Imaris shows in its file browser (IMS_HDF5Mngr.cpp:283 Thumbnail
+    # group; real files carry a Thumbnail/Data uint8 RGBA dataset)
     thumb = f.create_group("Thumbnail")
-    top = np.asarray(datasets[-1][:], np.float32)
-    mip = top.max(axis=0)
-    side = 256
-    ty = max(1, mip.shape[0] // side)
-    tx = max(1, mip.shape[1] // side)
-    mip = mip[: (mip.shape[0] // ty) * ty, : (mip.shape[1] // tx) * tx]
-    mip = mip.reshape(mip.shape[0] // ty, ty, -1, tx).max(axis=(1, 3))
+    if thumb_mip is None:
+        thumb_mip = np.zeros((1, 1), np.float32)
     rng_ = max(hist_max - hist_min, 1e-6)
-    gray = np.clip((mip - hist_min) / rng_ * 255.0, 0, 255).astype(np.uint8)
+    gray = np.clip((thumb_mip - hist_min) / rng_ * 255.0,
+                   0, 255).astype(np.uint8)
     rgba = np.dstack([gray, gray, gray,
                       np.full_like(gray, 255)])
     # Imaris stores the thumbnail as (H, 4*W) uint8 rows of RGBA samples

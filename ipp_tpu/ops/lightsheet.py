@@ -171,13 +171,13 @@ def _resize_linear_weights(n_in: int, n_out: int) -> np.ndarray:
 
 
 def _resize_linear_mm(vals: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    """Linear 2D upsample as two dense matmuls (MXU) — jax.image.resize
-    lowers to gathers that measured 8.6 ms for 81^2 -> 2048^2; the matmul
-    form is sub-ms and numerically identical (weights are the same
-    half-pixel-center bilinear taps)."""
+    """Linear 2D upsample of (..., i, j) as two dense matmuls (MXU) —
+    jax.image.resize lowers to gathers that measured 8.6 ms for 81^2 ->
+    2048^2; the matmul form is sub-ms and numerically identical (weights
+    are the same half-pixel-center bilinear taps)."""
     ay = jnp.asarray(_resize_linear_weights(vals.shape[-2], shape[0]))
     ax = jnp.asarray(_resize_linear_weights(vals.shape[-1], shape[1]))
-    return ay @ vals @ ax.T
+    return jnp.einsum("yi,...ij,xj->...yx", ay, vals, ax)
 
 
 @partial(jax.jit, static_argnames=("selem", "spacing", "step", "percentile"))
@@ -195,10 +195,10 @@ def grid_percentile(img: jnp.ndarray, selem: Tuple[int, int],
     TPU redesign of the extraction: a general 2D advanced-index gather of
     the window samples measured 700 ms for one 2048^2 plane (XLA lowers
     it element-wise); strided slices measured 26 ms (strided DMA per
-    center); the phase-split contiguous slices here fuse into plain DMA.
-    The per-window percentile is a K-ary counting search (one read per
-    K-fold bracket narrowing) instead of a TPU sort, with np.percentile
-    linear interpolation between the two bracketing order statistics."""
+    center); one row-wise jnp.take with a precomputed index vector is
+    contiguous DMA per row (~2.5 ms).  The per-window percentile is
+    counting-based (bisection for large windows, interpolated dual-rank
+    K-ary for small ones) instead of a TPU sort."""
     h, w = img.shape[-2], img.shape[-1]
     sh, sw = selem
     gy, gx = spacing
@@ -229,30 +229,8 @@ def grid_percentile(img: jnp.ndarray, selem: Tuple[int, int],
     vals = _kary_quantile_axes(p, percentile)  # (n_cx, B*n_cy)
     vals = vals.reshape(n_cx, B, n_cy).transpose(1, 2, 0)  # (B, n_cy, n_cx)
     # linear zoom back to (h, w) (reference uses ndi.zoom order=1)
-    ay = jnp.asarray(_resize_linear_weights(n_cy, h))
-    ax = jnp.asarray(_resize_linear_weights(n_cx, w))
-    out = jnp.einsum("yi,bij,xj->byx", ay, vals, ax)
+    out = _resize_linear_mm(vals, (h, w))
     return out.reshape(lead + (h, w)) if lead else out[0]
-
-
-def _bisect_quantile_axes(p: jnp.ndarray, q: float,
-                          iters: int = 20) -> jnp.ndarray:
-    """Quantile over axes (1, 3) of (n_cx, kx, n_cy, ky) by bisection."""
-    k = p.shape[1] * p.shape[3]
-    lo = jnp.min(p, axis=(1, 3))
-    hi = jnp.max(p, axis=(1, 3))
-    thresh = (q * (k - 1) + 1.0) / k
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        frac = jnp.mean((p <= mid[:, None, :, None]).astype(jnp.float32),
-                        axis=(1, 3))
-        take = frac >= thresh
-        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (lo + hi)
 
 
 @partial(jax.jit, static_argnames=(

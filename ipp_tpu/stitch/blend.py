@@ -241,9 +241,11 @@ class PlaneBlender:
             assert img.shape[0] == B, (img.shape, B)
             if pad:
                 img = np.concatenate([img] + [img[-1:]] * pad, axis=0)
-            part = jnp.asarray(img)
-            if sharding is not None:
-                part = jax.device_put(part, sharding)
+            # device_put the HOST array straight onto the sharding: going
+            # through jnp.asarray first would commit the whole stack to
+            # device 0 and pay a second device-to-device relayout
+            part = (jax.device_put(img, sharding) if sharding is not None
+                    else jnp.asarray(img))
             parts.append(part)
             weights.append(w if self.cosine
                            else jnp.ones(img.shape[1:], jnp.float32))

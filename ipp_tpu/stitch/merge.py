@@ -205,11 +205,21 @@ def merge_to_tif_series(
             dtype=np.float32, sharding=sharding, pad_to=n_data)
         if merged3 is None:
             # layout changes across the batch (tiles start/end mid-z):
-            # blend plane by plane — bitwise the same math, just unbatched
+            # blend plane by plane — bitwise the same math, just unbatched,
+            # with the same reader-thread prefetch as the batched path
+            plane_futs = []
+            for z in range(zi, zj):
+                ext1 = batch_ext_of(z, z + 1)
+                plane_futs.append({
+                    (i, inter): read_pool.submit(stacks[i].imread, inter)
+                    for i, inter, _w in blender.weights_for(ext1)})
             merged3 = np.stack([
                 blender.blend_plane(
                     batch_ext_of(z, z + 1),
-                    lambda i, e: stacks[i].imread(e), dtype=np.float32)
+                    lambda i, e, fz=plane_futs[z - zi]: (
+                        fz[(i, e)].result() if (i, e) in fz
+                        else stacks[i].imread(e)),
+                    dtype=np.float32)
                 for z in range(zi, zj)])
         for k, z in enumerate(range(zi, zj)):
             emit_plane(z, merged3[k])

@@ -270,7 +270,7 @@ def place_tiles_lqp(grid: TileGrid) -> None:
 
         sol = _solve_axis_qp(n, us, vs, ds, ws, dflt, delays)
         pos = np.rint(sol).astype(np.int64)
-        pos = _integer_refine(pos, us, vs, ds, ws)
+        pos = _integer_refine(pos, us, vs, ds, ws, dflt, delays)
         abs_coord[:, :, k] = pos.reshape(rows, cols)
 
     abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
@@ -337,27 +337,60 @@ def _solve_axis_qp(n, us, vs, ds, ws, dflt, delays) -> np.ndarray:
             res = minimize(cost, sol, jac=grad, method="SLSQP",
                            constraints=[lc],
                            options={"maxiter": 200, "ftol": 1e-9})
-            if res.success or np.isfinite(res.fun):
+            # accept only a solve that actually satisfies the bounds
+            # (res.fun is essentially always finite, so it is NOT a
+            # usable success signal); a failed solve keeps the LS
+            # solution and the integer stage's bound guard still applies
+            x_res = res.x[vs] - res.x[us]
+            feasible = np.all(np.abs(x_res[bounded] - dflt[bounded])
+                              <= delays[bounded] + 1e-6)
+            if res.success and feasible:
                 sol = res.x
+            elif feasible and res.fun <= cost(sol):
+                sol = res.x  # not converged but feasible and no worse
+            else:
+                import warnings
+
+                warnings.warn(
+                    "placement QP bounds solve failed "
+                    f"(success={res.success}); keeping the LS solution "
+                    "and relying on the integer-stage bound guard",
+                    stacklevel=2)
     return sol
 
 
-def _integer_refine(pos, us, vs, ds, ws, max_passes: int = 50) -> np.ndarray:
+def _integer_refine(pos, us, vs, ds, ws, dflt, delays,
+                    max_passes: int = 50) -> np.ndarray:
     """Greedy +-1 coordinate descent on integer positions minimizing
     sum R (x_e - D_e)^2 — the cost by which the reference selects among
-    its integer heuristics (LQP_HE.py sol_cost/sol_to_integer)."""
+    its integer heuristics (LQP_HE.py sol_cost/sol_to_integer).  Steps
+    that would push any incident bounded edge outside its
+    |x_e - default_e| <= delay_e window are rejected (the reference's
+    bounds hold for the integer solution too, LQP_HE.py bnds)."""
     pos = pos.copy()
     n = len(pos)
-    inc_v: list = [[] for _ in range(n)]
+    inc_all: list = [[] for _ in range(n)]  # every incident edge (bounds)
+    inc_w: list = [[] for _ in range(n)]    # weighted edges (cost)
     for i in range(len(us)):
-        if ws[i] <= 0:
-            continue
-        inc_v[vs[i]].append(i)
-        inc_v[us[i]].append(i)
+        inc_all[vs[i]].append(i)
+        inc_all[us[i]].append(i)
+        if ws[i] > 0:
+            inc_w[vs[i]].append(i)
+            inc_w[us[i]].append(i)
+
+    def step_ok(j: int, step: int) -> bool:
+        for i in inc_all[j]:
+            if delays[i] < 0:
+                continue
+            x = pos[vs[i]] - pos[us[i]]
+            s = step if vs[i] == j else -step
+            if abs((x + s) - dflt[i]) > delays[i] + 1e-9:
+                return False
+        return True
 
     def delta_cost(j: int, step: int) -> float:
         d = 0.0
-        for i in inc_v[j]:
+        for i in inc_w[j]:
             x = pos[vs[i]] - pos[us[i]]
             s = step if vs[i] == j else -step
             d += ws[i] * ((x + s - ds[i]) ** 2 - (x - ds[i]) ** 2)
@@ -367,7 +400,7 @@ def _integer_refine(pos, us, vs, ds, ws, max_passes: int = 50) -> np.ndarray:
         improved = False
         for j in range(1, n):  # node 0 stays anchored
             for step in (1, -1):
-                if delta_cost(j, step) < -1e-12:
+                if delta_cost(j, step) < -1e-12 and step_ok(j, step):
                     pos[j] += step
                     improved = True
         if not improved:

@@ -39,15 +39,22 @@ def _decode(path: Path):
 
 
 def check_files(source, delete: bool = False, timeout: float = 200.0,
-                workers: int = 8, log: Optional[Logger] = None) -> List[Path]:
+                workers: int = 8, log: Optional[Logger] = None,
+                return_unchecked: bool = False):
     """Return the list of undecodable files under `source` (recursively).
 
     delete=True unlinks them (the reference's behavior) so a re-acquisition
-    or fill_blanks pass can replace them."""
+    or fill_blanks pass can replace them.
+
+    With return_unchecked=True, returns (damaged, unchecked): `unchecked`
+    are files that never got a worker before the overall deadline (stalled
+    pool) — possibly healthy, NEVER deleted, and kept out of `damaged` so
+    re-acquisition workflows don't act on unverified files."""
     log = log or Logger()
     source = Path(source)
     files = [p for p in source.rglob("*") if _PATTERN.search(p.name)]
     bad: List[Path] = []
+    unchecked: List[Path] = []
     pool = ThreadPoolExecutor(max_workers=workers)
     # the timeout must measure DECODE time, not queue wait: a clogged
     # pool would otherwise mark (and with delete=True destroy) perfectly
@@ -92,7 +99,7 @@ def check_files(source, delete: bool = False, timeout: float = 200.0,
                     # whole-run budget: report it (so the caller knows it
                     # was NOT verified) but never delete — it may be fine.
                     log.info(f"unchecked: {p} (worker pool stalled)")
-                    bad.append(p)
+                    unchecked.append(p)
                     break
                 # not started yet (pool busy) or still within budget
             except Exception as exc:  # noqa: BLE001
@@ -105,7 +112,11 @@ def check_files(source, delete: bool = False, timeout: float = 200.0,
                         pass
                 break
     pool.shutdown(wait=False)
-    log.info(f"checked {len(files)} files, {len(bad)} damaged")
+    log.info(f"checked {len(files)} files, {len(bad)} damaged"
+             + (f", {len(unchecked)} unchecked (pool stalled)"
+                if unchecked else ""))
+    if return_unchecked:
+        return bad, unchecked
     return bad
 
 
@@ -119,9 +130,10 @@ def main(argv=None) -> int:
     p.add_argument("--timeout", type=float, default=200.0)
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args(argv)
-    bad = check_files(args.source, delete=args.delete,
-                      timeout=args.timeout, workers=args.workers)
-    return 1 if bad else 0
+    bad, unchecked = check_files(args.source, delete=args.delete,
+                                 timeout=args.timeout, workers=args.workers,
+                                 return_unchecked=True)
+    return 1 if (bad or unchecked) else 0
 
 
 if __name__ == "__main__":

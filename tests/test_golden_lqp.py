@@ -202,6 +202,30 @@ def test_lqp_loop_inconsistent_grid():
     _compare(rows, cols, D, R, defaults, delay)
 
 
+def test_lqp_bounds_active():
+    """A grid whose measured displacements exceed the delay bounds: both
+    solvers must clamp — the integer solution's implied edge
+    displacements stay within default +- delay (LQP_HE.py bnds)."""
+    rows = cols = 3
+    delay = 3
+    defaults, D, R = {}, {}, {}
+    for r in range(rows):
+        for c in range(cols - 1):
+            defaults[("E", r, c)] = 100
+    for r in range(rows - 1):
+        for c in range(cols):
+            defaults[("S", r, c)] = 100
+    for e in defaults:
+        D[e] = 100
+        R[e] = 0.9
+    # reliable measurements OUTSIDE the bounds: the QP must clamp to +-3
+    D[("E", 0, 0)] = 108
+    D[("S", 0, 0)] = 92
+    R[("E", 0, 0)] = 0.95
+    R[("S", 0, 0)] = 0.95
+    _compare(rows, cols, D, R, defaults, delay)
+
+
 def test_lqp_unreliable_edges_grid():
     """4x3 grid where several edges are UNRELIABLE (R=0, displ reset to the
     default as step 4 does) and the reliable ones disagree: the integer

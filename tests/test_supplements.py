@@ -169,13 +169,15 @@ def test_check_files_bounded_when_all_workers_hang(tmp_path, monkeypatch):
 
     monkeypatch.setattr(cf, "_decode", lambda p: _time.sleep(8.0))
     t0 = _time.monotonic()
-    found = cf.check_files(tmp_path, delete=True, timeout=0.5, workers=1)
+    bad, unchecked = cf.check_files(tmp_path, delete=True, timeout=0.5,
+                                    workers=1, return_unchecked=True)
     elapsed = _time.monotonic() - t0
     assert elapsed < 6.0  # deadline = timeout * (ceil(3/1)+1) = 2 s
-    assert len(found) == 3
-    # unstarted files are reported but NEVER deleted (they may be healthy);
-    # the one that actually began decoding timed out and was deleted
-    assert sum(p.exists() for p in found) >= 2
+    assert len(bad) + len(unchecked) == 3
+    assert len(unchecked) >= 1  # the stalled-queue files are separated out
+    # unchecked files are NEVER deleted (they may be healthy); only files
+    # whose decode actually began and timed out may be unlinked
+    assert all(p.exists() for p in unchecked)
 
 
 def test_find_swc_location_soma_in_mesh(tmp_path):
