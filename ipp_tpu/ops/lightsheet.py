@@ -157,9 +157,16 @@ def _kary_quantile_axes(p: jnp.ndarray, q: float, K: int = 16,
 
 
 def _resize_linear_weights(n_in: int, n_out: int) -> np.ndarray:
-    """(n_out, n_in) bilinear-resize weight matrix with half-pixel centers
-    (the jax.image.resize 'linear' convention)."""
-    x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    """(n_out, n_in) linear-resize weight matrix with ENDPOINT alignment
+    x_in = o * (n_in - 1) / (n_out - 1) — the scipy.ndimage.zoom(order=1)
+    convention the reference interpolates its sparse grids with
+    (pystripe/lightsheet_correct.py:216-226 ndi_zoom); verified
+    empirically against scipy."""
+    if n_out == 1 or n_in == 1:
+        A = np.zeros((n_out, n_in), np.float32)
+        A[:, 0] = 1.0
+        return A
+    x = np.arange(n_out) * ((n_in - 1) / (n_out - 1))
     x0 = np.floor(x)
     frac = x - x0
     i0 = np.clip(x0.astype(int), 0, n_in - 1)

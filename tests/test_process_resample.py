@@ -100,15 +100,18 @@ def test_kary_quantile_matches_numpy_percentile(rng):
         np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
 
 
-def test_grid_percentile_resize_matches_jax_image(rng):
-    """The matmul bilinear upsample equals jax.image.resize 'linear'."""
-    import jax.image
+def test_grid_percentile_resize_matches_scipy_zoom(rng):
+    """The matmul linear upsample equals scipy.ndimage.zoom(order=1) —
+    the convention the reference interpolates its sparse grids with
+    (pystripe/lightsheet_correct.py:216-226)."""
+    from scipy.ndimage import zoom
 
     from ipp_tpu.ops.lightsheet import _resize_linear_mm
 
-    v = jnp.asarray(rng.random((13, 9)).astype(np.float32))
-    a = np.asarray(_resize_linear_mm(v, (128, 96)))
-    b = np.asarray(jax.image.resize(v, (128, 96), method="linear"))
+    v = rng.random((13, 9)).astype(np.float32)
+    a = np.asarray(_resize_linear_mm(jnp.asarray(v), (128, 96)))
+    b = zoom(v.astype(np.float64), (128 / 13, 96 / 9), order=1)
+    assert b.shape == (128, 96)
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
