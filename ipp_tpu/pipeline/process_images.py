@@ -136,13 +136,29 @@ def process_channel(
     dark: float = 0.0,
     auto_params: bool = False,
     resume: bool = False,
+    mesh=None,
     log: Optional[Logger] = None,
 ) -> Path:
     """Full single-channel pipeline (reference process_channel,
-    process_images.py:334-786)."""
+    process_images.py:334-786).
+
+    With more than one device (or an explicit `mesh`), steps 2 (NCC) and
+    6 (merge) shard over the mesh's 'data' axis — the role of the
+    reference's MPI Parastitcher fan-out (process_images.py:542-548)."""
     enable_persistent_cache()
     log = log or Logger()
     timer = StageTimer()
+
+    import jax as _jax
+
+    if mesh is None and len(_jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    use_mesh = mesh is not None and int(
+        np.prod([v for v in mesh.shape.values()])) > 1
+    if use_mesh:
+        log.info(f"device mesh for steps 2/6: {dict(mesh.shape)}")
 
     timer.start("inspect")
     inspect_for_missing_tiles(channel_path, log)
@@ -191,7 +207,7 @@ def process_channel(
         grid, overlap_v=overlap_v, overlap_h=overlap_h,
         displ_max_v=search_radius, displ_max_h=search_radius,
         displ_max_d=min(search_radius, max(1, grid.flattened()[0].depth // 8)),
-        subvol_dim=subvol_dim)
+        subvol_dim=subvol_dim, mesh=mesh if use_mesh else None)
 
     timer.start("project/threshold/place (3-5)")
     project_displacements(grid, cands, overlap_v, overlap_h)
@@ -245,7 +261,9 @@ def process_channel(
     out_dir, ds_vol = merge_to_tif_series(
         grid, stitched_path, cosine_blending=cosine_blending,
         post_fn=post_fn, dtype=np.uint8 if convert_to_8bit else np.uint16,
-        target_voxel_um=target_voxel_um, resume=resume)
+        target_voxel_um=target_voxel_um, resume=resume,
+        mesh=mesh if use_mesh else None,
+        plane_batch=1 if use_mesh else 4)
 
     if target_voxel_um is not None and ds_vol is not None:
         timer.start("downsample npz")
