@@ -253,11 +253,13 @@ class PlaneBlender:
         out = _blend_accumulate_planes(
             tuple(parts), tuple(weights), tuple(offsets), canvas_shape,
             self.cosine)
-        out = np.asarray(out)[:B]
         if np.issubdtype(np.dtype(dtype), np.integer):
             info = np.iinfo(dtype)
-            out = np.clip(out, info.min, info.max)
-        return out.astype(dtype)
+            # round+clip+cast ON DEVICE: the canvas then travels
+            # device->host at the integer width (half the bytes of f32
+            # for u16 — the fetch is the merge path's transfer bound)
+            out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
+        return np.asarray(out)[:B]
 
     def blend_plane(self, volume: VExtent,
                     reader, dtype=np.uint16) -> np.ndarray:
@@ -283,8 +285,9 @@ class PlaneBlender:
             offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
         out = _blend_accumulate(tuple(parts), tuple(weights), tuple(offsets),
                                 canvas_shape, self.cosine)
-        out = np.asarray(out)
         if np.issubdtype(np.dtype(dtype), np.integer):
             info = np.iinfo(dtype)
-            out = np.clip(out, info.min, info.max)
-        return out.astype(dtype)
+            # round-to-nearest like the merge path's emit (device-side so
+            # integer fetches move integer-width bytes)
+            out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
+        return np.asarray(out).astype(dtype)

@@ -156,10 +156,28 @@ def merge_to_tif_series(
             futs[(i, inter)] = read_pool.submit(stacks[i].imread, inter)
         return futs
 
+    # fetch the blended canvas at the OUTPUT integer width when nothing
+    # downstream needs the float values (no per-plane post-processing, no
+    # downsample accumulation): device-side rint+clip+cast halves the
+    # device->host bytes of the merge's transfer-bound fetch
+    fetch_dtype = (dtype if (post_fn is None and target_voxel_um is None
+                             and np.issubdtype(np.dtype(dtype), np.integer))
+                   else np.float32)
+
     def emit_plane(zi: int, merged: np.ndarray):
-        """Post-process + enqueue one blended float plane for writing and
-        fold it into the isotropic downsample accumulation."""
+        """Post-process + enqueue one blended plane for writing and fold
+        it into the isotropic downsample accumulation."""
         path = out_dir / f"{tif_prefix}_{zi:06d}.tif"
+        if merged.dtype == np.dtype(dtype) and post_fn is None:
+            if rotation:
+                merged = np.rot90(merged, rotation // 90)
+            if flip_ud:
+                merged = merged[::-1]
+            if not (resume and path.exists()):
+                write_q.put((path, np.ascontiguousarray(merged)))
+            if progress is not None:
+                progress.step()
+            return
         merged_out = post_fn(merged) if post_fn is not None else merged
         if np.issubdtype(np.dtype(dtype), np.integer):
             info = np.iinfo(dtype)
@@ -202,7 +220,7 @@ def merge_to_tif_series(
             ext,
             lambda i, e: (futs[(i, e)].result() if (i, e) in futs
                           else stacks[i].imread(e)),
-            dtype=np.float32, sharding=sharding, pad_to=n_data)
+            dtype=fetch_dtype, sharding=sharding, pad_to=n_data)
         if merged3 is None:
             # layout changes across the batch (tiles start/end mid-z):
             # blend plane by plane — bitwise the same math, just unbatched,
@@ -219,7 +237,7 @@ def merge_to_tif_series(
                     lambda i, e, fz=plane_futs[z - zi]: (
                         fz[(i, e)].result() if (i, e) in fz
                         else stacks[i].imread(e)),
-                    dtype=np.float32)
+                    dtype=fetch_dtype)
                 for z in range(zi, zj)])
         for k, z in enumerate(range(zi, zj)):
             emit_plane(z, merged3[k])

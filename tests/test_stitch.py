@@ -178,6 +178,24 @@ def test_merge_mesh_matches_single_device(stitched_setup, tmp_path):
     np.testing.assert_allclose(ds1, ds8, atol=1e-3)
 
 
+def test_merge_integer_fetch_matches_float_path(stitched_setup, tmp_path):
+    """The device-side u16 fetch (taken when no post-processing needs the
+    float canvas) writes the same planes as the float-fetch path (forced
+    here via target_voxel_um)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+    out_u16, _ = merge_to_tif_series(grid, tmp_path / "u16")
+    out_f32, _ = merge_to_tif_series(grid, tmp_path / "f32",
+                                     target_voxel_um=4.0)
+    p1 = sorted(out_u16.glob("img_*.tif"))
+    p2 = sorted(out_f32.glob("img_*.tif"))
+    assert p1 and len(p1) == len(p2)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(tio.imread(a), tio.imread(b))
+
+
 def test_merge_plane_batch_matches_unbatched(stitched_setup, tmp_path):
     """Single-device plane batching (dispatch-latency amortization) writes
     identical planes to the per-plane path."""
