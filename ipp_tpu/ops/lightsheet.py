@@ -178,10 +178,10 @@ def _resize_linear_weights(n_in: int, n_out: int) -> np.ndarray:
 
 
 def _resize_linear_mm(vals: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    """Linear 2D upsample of (..., i, j) as two dense matmuls (MXU) —
-    jax.image.resize lowers to gathers that measured 8.6 ms for 81^2 ->
-    2048^2; the matmul form is sub-ms and numerically identical (weights
-    are the same half-pixel-center bilinear taps)."""
+    """Linear 2D upsample of (..., i, j) as two dense matmuls (MXU) with
+    the scipy.ndimage.zoom(order=1) endpoint-aligned taps the reference
+    interpolates with (see _resize_linear_weights) — gather-based resizes
+    measured 8.6 ms for 81^2 -> 2048^2; the matmul form is sub-ms."""
     ay = jnp.asarray(_resize_linear_weights(vals.shape[-2], shape[0]))
     ax = jnp.asarray(_resize_linear_weights(vals.shape[-1], shape[1]))
     return jnp.einsum("yi,...ij,xj->...yx", ay, vals, ax)

@@ -14,7 +14,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "block_sharding", "P"]
+__all__ = ["make_mesh", "default_mesh", "data_sharding", "block_sharding",
+           "P"]
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -27,6 +28,17 @@ def make_mesh(n_devices: Optional[int] = None,
     assert n % z_parallel == 0, (n, z_parallel)
     arr = np.array(devices).reshape(n // z_parallel, z_parallel)
     return Mesh(arr, ("data", "z"))
+
+
+def default_mesh():
+    """(mesh_or_None, plane_batch): the pipelines' shared policy — a
+    ('data', 'z'=1) mesh when more than one device is visible, else no
+    mesh with a 4-plane dispatch batch (amortizes remote-backend dispatch
+    latency on a single device).  One home so process_images, tsv_tools
+    and future callers cannot drift apart."""
+    if len(jax.devices()) > 1:
+        return make_mesh(), 1
+    return None, 4
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

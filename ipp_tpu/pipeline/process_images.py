@@ -149,12 +149,11 @@ def process_channel(
     log = log or Logger()
     timer = StageTimer()
 
-    import jax as _jax
+    from ..parallel.mesh import default_mesh
 
-    if mesh is None and len(_jax.devices()) > 1:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh()
+    plane_batch = 1
+    if mesh is None:
+        mesh, plane_batch = default_mesh()
     use_mesh = mesh is not None and int(
         np.prod([v for v in mesh.shape.values()])) > 1
     if use_mesh:
@@ -262,8 +261,7 @@ def process_channel(
         grid, stitched_path, cosine_blending=cosine_blending,
         post_fn=post_fn, dtype=np.uint8 if convert_to_8bit else np.uint16,
         target_voxel_um=target_voxel_um, resume=resume,
-        mesh=mesh if use_mesh else None,
-        plane_batch=1 if use_mesh else 4)
+        mesh=mesh if use_mesh else None, plane_batch=plane_batch)
 
     if target_voxel_um is not None and ds_vol is not None:
         timer.start("downsample npz")

@@ -125,16 +125,11 @@ def simple_grid_stitch(tile_dirs: List[List[Path]], out_dir,
     grid = TileGrid(stacks)
     from ..stitch.merge import merge_to_tif_series
 
-    import jax as _jax
+    from ..parallel.mesh import default_mesh
 
-    mesh = None
-    if len(_jax.devices()) > 1:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh()
+    mesh, plane_batch = default_mesh()
     out, _ = merge_to_tif_series(grid, out_dir, cosine_blending=cosine,
-                                 mesh=mesh,
-                                 plane_batch=1 if mesh is not None else 4)
+                                 mesh=mesh, plane_batch=plane_batch)
     return out
 
 

@@ -259,7 +259,9 @@ class PlaneBlender:
             # device->host at the integer width (half the bytes of f32
             # for u16 — the fetch is the merge path's transfer bound)
             out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
-        return np.asarray(out)[:B]
+        out_np = np.asarray(out)[:B]
+        return (out_np if out_np.dtype == np.dtype(dtype)
+                else out_np.astype(dtype))
 
     def blend_plane(self, volume: VExtent,
                     reader, dtype=np.uint16) -> np.ndarray:
@@ -290,4 +292,6 @@ class PlaneBlender:
             # round-to-nearest like the merge path's emit (device-side so
             # integer fetches move integer-width bytes)
             out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
-        return np.asarray(out).astype(dtype)
+        out_np = np.asarray(out)
+        return (out_np if out_np.dtype == np.dtype(dtype)
+                else out_np.astype(dtype))

@@ -168,7 +168,11 @@ def merge_to_tif_series(
         """Post-process + enqueue one blended plane for writing and fold
         it into the isotropic downsample accumulation."""
         path = out_dir / f"{tif_prefix}_{zi:06d}.tif"
-        if merged.dtype == np.dtype(dtype) and post_fn is None:
+        if (merged.dtype == np.dtype(dtype) and post_fn is None
+                and target_voxel_um is None):
+            # fast path only when the downsample accumulation below is
+            # off — a float output dtype with target_voxel_um set must
+            # still fall through to feed the npz volume
             if rotation:
                 merged = np.rot90(merged, rotation // 90)
             if flip_ud:

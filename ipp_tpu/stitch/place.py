@@ -337,26 +337,54 @@ def _solve_axis_qp(n, us, vs, ds, ws, dflt, delays) -> np.ndarray:
             res = minimize(cost, sol, jac=grad, method="SLSQP",
                            constraints=[lc],
                            options={"maxiter": 200, "ftol": 1e-9})
-            # accept only a solve that actually satisfies the bounds
-            # (res.fun is essentially always finite, so it is NOT a
-            # usable success signal); a failed solve keeps the LS
-            # solution and the integer stage's bound guard still applies
+            # accept any solve that actually satisfies the bounds —
+            # feasibility is the requirement (res.fun is essentially
+            # always finite and success=False can still deliver a
+            # feasible near-optimum at maxiter); an infeasible solve
+            # falls back to default-displacement positions, which are
+            # always feasible (|x_e - default_e| = 0)
             x_res = res.x[vs] - res.x[us]
             feasible = np.all(np.abs(x_res[bounded] - dflt[bounded])
                               <= delays[bounded] + 1e-6)
-            if res.success and feasible:
+            if feasible:
                 sol = res.x
-            elif feasible and res.fun <= cost(sol):
-                sol = res.x  # not converged but feasible and no worse
             else:
                 import warnings
 
                 warnings.warn(
-                    "placement QP bounds solve failed "
-                    f"(success={res.success}); keeping the LS solution "
-                    "and relying on the integer-stage bound guard",
-                    stacklevel=2)
+                    "placement QP bounds solve infeasible "
+                    f"(success={res.success}); falling back to "
+                    "default-displacement positions", stacklevel=2)
+                sol = _default_positions(n, us, vs, dflt)
     return sol
+
+
+def _default_positions(n, us, vs, dflt) -> np.ndarray:
+    """Positions accumulated from the DEFAULT displacements along a BFS
+    spanning tree — the stage-grid layout, which satisfies every bound
+    exactly (|x_e - default_e| = 0 on tree edges; defaults are
+    loop-consistent, so non-tree edges match too)."""
+    from collections import deque
+
+    adj: list = [[] for _ in range(n)]
+    for i in range(len(us)):
+        adj[us[i]].append((vs[i], dflt[i]))
+        adj[vs[i]].append((us[i], -dflt[i]))
+    pos = np.zeros(n)
+    seen = np.zeros(n, bool)
+    for root in range(n):
+        if seen[root]:
+            continue
+        seen[root] = True
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            for v, d in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    pos[v] = pos[u] + d
+                    dq.append(v)
+    return pos
 
 
 def _integer_refine(pos, us, vs, ds, ws, dflt, delays,
@@ -378,15 +406,29 @@ def _integer_refine(pos, us, vs, ds, ws, dflt, delays,
             inc_w[vs[i]].append(i)
             inc_w[us[i]].append(i)
 
+    def edge_viol(i: int, x: float) -> float:
+        if delays[i] < 0:
+            return 0.0
+        return max(0.0, abs(x - dflt[i]) - delays[i])
+
     def step_ok(j: int, step: int) -> bool:
+        """No incident edge's bound violation may INCREASE (monotone:
+        repairs a rounding-violated start instead of freezing on it —
+        rint of a bound-clamped continuous solution can land 1 px out)."""
         for i in inc_all[j]:
-            if delays[i] < 0:
-                continue
             x = pos[vs[i]] - pos[us[i]]
             s = step if vs[i] == j else -step
-            if abs((x + s) - dflt[i]) > delays[i] + 1e-9:
+            if edge_viol(i, x + s) > edge_viol(i, x) + 1e-9:
                 return False
         return True
+
+    def delta_viol(j: int, step: int) -> float:
+        d = 0.0
+        for i in inc_all[j]:
+            x = pos[vs[i]] - pos[us[i]]
+            s = step if vs[i] == j else -step
+            d += edge_viol(i, x + s) - edge_viol(i, x)
+        return d
 
     def delta_cost(j: int, step: int) -> float:
         d = 0.0
@@ -395,6 +437,18 @@ def _integer_refine(pos, us, vs, ds, ws, dflt, delays,
             s = step if vs[i] == j else -step
             d += ws[i] * ((x + s - ds[i]) ** 2 - (x - ds[i]) ** 2)
         return d
+
+    # repair pass: greedily reduce total bound violation (strictly
+    # decreasing integer total -> terminates)
+    for _ in range(max_passes):
+        repaired = False
+        for j in range(1, n):
+            for step in (1, -1):
+                if delta_viol(j, step) < -1e-9:
+                    pos[j] += step
+                    repaired = True
+        if not repaired:
+            break
 
     for _ in range(max_passes):
         improved = False

@@ -226,6 +226,25 @@ def test_lqp_bounds_active():
     _compare(rows, cols, D, R, defaults, delay)
 
 
+def test_integer_refine_repairs_bound_violating_start():
+    """rint of a bound-clamped continuous solution can land 1 px outside
+    the window; the refine stage must repair it, not freeze on it."""
+    from ipp_tpu.stitch.place import _integer_refine
+
+    # one edge 0->1, default 100, delay 2, start violating at x = 103
+    pos = np.array([0, 103], np.int64)
+    us = np.array([0])
+    vs = np.array([1])
+    ds = np.array([105.0])      # measurement pulls OUTWARD
+    ws = np.array([0.9])
+    dflt = np.array([100.0])
+    delays = np.array([2.0])
+    out = _integer_refine(pos, us, vs, ds, ws, dflt, delays)
+    x = out[1] - out[0]
+    assert abs(x - 100.0) <= 2.0, x  # back inside the bound window
+    assert x == 102, x  # at the bound nearest the measurement
+
+
 def test_lqp_unreliable_edges_grid():
     """4x3 grid where several edges are UNRELIABLE (R=0, displ reset to the
     default as step 4 does) and the reliable ones disagree: the integer

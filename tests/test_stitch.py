@@ -196,6 +196,18 @@ def test_merge_integer_fetch_matches_float_path(stitched_setup, tmp_path):
         np.testing.assert_array_equal(tio.imread(a), tio.imread(b))
 
 
+def test_merge_float_dtype_with_downsample_still_emits_npz(stitched_setup,
+                                                           tmp_path):
+    """A float output dtype must not take the integer fast path and skip
+    the isotropic-downsample accumulation."""
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+    out, ds = merge_to_tif_series(grid, tmp_path / "f32ds",
+                                  dtype=np.float32, target_voxel_um=4.0)
+    assert ds is not None and ds.ndim == 3 and ds.size > 0
+
+
 def test_merge_plane_batch_matches_unbatched(stitched_setup, tmp_path):
     """Single-device plane batching (dispatch-latency amortization) writes
     identical planes to the per-plane path."""
