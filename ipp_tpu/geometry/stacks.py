@@ -153,14 +153,31 @@ class TileStack:
 
     def imread(self, ext: VExtent) -> np.ndarray:
         """Read an extent (absolute coords) contained in this stack
-        (reference TSVStackBase.imread, tsv/volume.py:267-302)."""
+        (reference TSVStackBase.imread, tsv/volume.py:267-302).
+
+        TIFF stacks go through the native threaded ROI loader
+        (native/fastio.cpp, the load_bl_tif role): one call decodes only
+        the requested window from every plane instead of a full-plane
+        Python decode per z — the dominant IO of the align substack and
+        merge crop reads."""
         mine = self.extent
         assert mine.contains(ext), f"{ext} not inside {mine}"
+        z0, z1 = ext.z0 - self.abs_d, ext.z1 - self.abs_d
+        y0, y1 = ext.y0 - self.abs_v, ext.y1 - self.abs_v
+        x0, x1 = ext.x0 - self.abs_h, ext.x1 - self.abs_h
+        paths = self.paths[z0:z1]
+        if paths and paths[0].suffix.lower() in (".tif", ".tiff"):
+            from .. import native
+
+            blk = native.read_block(paths, y0, y1, x0, x1,
+                                    dtype=self.dtype,
+                                    nthreads=min(8, len(paths)))
+            if blk is not None:
+                return blk
         out = np.empty(ext.shape, self.dtype)
-        for zi, z in enumerate(range(ext.z0, ext.z1)):
-            plane = self.read_plane(z - self.abs_d)
-            out[zi] = plane[ext.y0 - self.abs_v: ext.y1 - self.abs_v,
-                            ext.x0 - self.abs_h: ext.x1 - self.abs_h]
+        for zi, z in enumerate(range(z0, z1)):
+            plane = self.read_plane(z)
+            out[zi] = plane[y0:y1, x0:x1]
         return out
 
     def to_xml(self) -> ET.Element:
