@@ -39,8 +39,13 @@ class PairResult:
 
 
 def _read_substack(stack: TileStack, z0: int, z1: int) -> np.ndarray:
-    planes = [stack.read_plane(z) for z in range(z0, z1)]
-    return np.stack(planes).astype(np.float32)
+    """Full-frame z-range read through TileStack.imread (which routes
+    TIFFs to the native threaded ROI loader)."""
+    e = stack.extent
+    from ..geometry.extent import VExtent
+
+    sub = VExtent(e.x0, e.x1, e.y0, e.y1, e.z0 + z0, e.z0 + z1)
+    return stack.imread(sub).astype(np.float32)
 
 
 def _reliability(peak: float, width: int, inf_w: int) -> float:
