@@ -138,6 +138,29 @@ def test_merge_rotation_flip_and_diag_stack(stitched_setup, tmp_path):
     assert img.max() > 0
 
 
+def test_partitioned_displacements_merge_matches_whole(stitched_setup):
+    """Step 2 partitioned by z-range across workers and reduced with
+    merge_displacement_candidates equals the single-shot run — the
+    mergedisplacements-binary role for the reference's MPI step-2
+    partial XMLs (utils/mergedisplacements; Parastitcher.py:410-470)."""
+    from ipp_tpu.stitch.align import merge_displacement_candidates
+
+    vol, tiles, offsets, grid = stitched_setup
+    overlap = 48
+    kw = dict(overlap_v=overlap, overlap_h=overlap, displ_max_v=12,
+              displ_max_h=12, displ_max_d=3, subvol_dim=6)
+    whole = compute_displacements(grid, **kw)
+    part_a = compute_displacements(grid, z_range=(0, 6), **kw)
+    part_b = compute_displacements(grid, z_range=(6, 12), **kw)
+    merged = merge_displacement_candidates([part_a, part_b])
+    assert merged.keys() == whole.keys()
+    for key in whole:
+        assert len(merged[key]) == len(whole[key])
+        for a, b in zip(whole[key], merged[key]):
+            assert a.displ == b.displ, (key, a.displ, b.displ)
+            np.testing.assert_allclose(a.ncc_peak, b.ncc_peak, atol=1e-5)
+
+
 def test_compute_displacements_mesh_matches_single_device(stitched_setup):
     """Step 2 sharded over an 8-device mesh must give the same candidates
     as one device (the MPI master_step2 role, Parastitcher.py:410-470)."""
