@@ -108,6 +108,8 @@ def placed_grid(tmp_path_factory):
     return grid, xml_path
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")  # the REFERENCE's
+# f16 cosine accumulation overflows in its divide (tsv/volume.py:626)
 @pytest.mark.parametrize("cosine", [True, False])
 def test_blend_matches_reference_tsv(placed_grid, cosine):
     grid, xml_path = placed_grid
