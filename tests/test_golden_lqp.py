@@ -226,6 +226,32 @@ def test_lqp_bounds_active():
     _compare(rows, cols, D, R, defaults, delay)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_lqp_random_adversarial_grids(seed):
+    """Randomized sweep: loop-inconsistent displacements, mixed
+    reliabilities, occasional unreliable resets and out-of-bound
+    measurements — every draw must satisfy the golden criterion
+    (<=1 px agreement or no worse under the reference's own cost)."""
+    rng = np.random.default_rng(seed)
+    rows = int(rng.integers(2, 5))
+    cols = int(rng.integers(2, 5))
+    delay = int(rng.integers(4, 12))
+    defaults, D, R = {}, {}, {}
+    for r in range(rows):
+        for c in range(cols - 1):
+            defaults[("E", r, c)] = 100
+    for r in range(rows - 1):
+        for c in range(cols):
+            defaults[("S", r, c)] = 80
+    for e in defaults:
+        D[e] = defaults[e] + int(rng.integers(-delay - 2, delay + 3))
+        R[e] = float(rng.uniform(0.2, 0.95))
+        if rng.random() < 0.2:  # unreliable: step-4 reset semantics
+            D[e] = defaults[e]
+            R[e] = 0.0
+    _compare(rows, cols, D, R, defaults, delay)
+
+
 def test_integer_refine_repairs_bound_violating_start():
     """rint of a bound-clamped continuous solution can land 1 px outside
     the window; the refine stage must repair it, not freeze on it."""
