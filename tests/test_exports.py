@@ -185,6 +185,25 @@ def test_dcimg_new_format_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(d[0:3], frames)
 
 
+def test_dcimg_truncation_fuzz(tmp_path, rng):
+    """Truncated/corrupt DCIMG files must raise cleanly (ValueError /
+    IndexError / struct.error / short-buffer errors), never return
+    silently garbled frames or crash the interpreter."""
+    frames = (rng.random((2, 16, 16)) * 100).astype(np.uint16)
+    for fmt in (0x7, 0x2000000):
+        p = tmp_path / f"t{fmt:x}.dcimg"
+        DCIMGFile.write(p, frames, format_version=fmt)
+        data = p.read_bytes()
+        for cut in (3, 10, 44, 100, len(data) // 2):
+            q = tmp_path / f"cut{fmt:x}_{cut}.dcimg"
+            q.write_bytes(data[:cut])
+            try:
+                d = DCIMGFile(q)
+                d.read_frame(0)
+            except Exception as exc:  # noqa: BLE001 - must be an Exception,
+                assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+
+
 def test_dcimg_intermediate_version_rejected(tmp_path, rng):
     """Format versions in [0x1000000, 0x2000000) still fail loudly —
     misparsing would return garbage pixels silently."""
