@@ -176,8 +176,19 @@ class TileStack:
                 return blk
         out = np.empty(ext.shape, self.dtype)
         for zi, z in enumerate(range(z0, z1)):
-            plane = self.read_plane(z)
-            out[zi] = plane[y0:y1, x0:x1]
+            try:
+                plane = self.read_plane(z)
+                out[zi] = plane[y0:y1, x0:x1]
+            except Exception:  # noqa: BLE001
+                # dummy-substitution semantics, same as the native path
+                # and the reference (tsv/volume.py:378-397): a corrupt or
+                # missing plane becomes zeros with a warning, it does not
+                # abort a multi-hour merge
+                import warnings
+
+                out[zi] = 0
+                warnings.warn(f"zero-filled undecodable plane "
+                              f"{self.paths[z]}", stacklevel=2)
         return out
 
     def to_xml(self) -> ET.Element:

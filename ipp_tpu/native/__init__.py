@@ -70,7 +70,7 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.fastio_tiff_read.restype = c.c_int
     lib.fastio_read_block.argtypes = [
         c.POINTER(c.c_char_p), c.c_int32, c.c_int32, c.c_int32, c.c_int32,
-        c.c_int32, c.c_void_p, c.c_int32, c.c_int32, c.c_void_p]
+        c.c_int32, c.c_void_p, c.c_int32, c.c_int32, c.c_int32, c.c_void_p]
     lib.fastio_read_block.restype = c.c_int
     lib.fastio_tiff_write.argtypes = [
         c.c_char_p, c.c_void_p, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
@@ -147,15 +147,18 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
     if lib is None:
         return None
     dt = np.dtype(dtype)
+    _, sfmt = _dtype_meta(dt)
     out = np.empty((len(paths), y1 - y0, x1 - x0), dt)
     enc = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * len(enc))(*enc)
     failed = np.zeros(len(enc), np.uint8)
     n_failed = lib.fastio_read_block(
         arr, len(enc), y0, y1, x0, x1,
-        out.ctypes.data_as(ctypes.c_void_p), dt.itemsize, nthreads,
+        out.ctypes.data_as(ctypes.c_void_p), dt.itemsize, sfmt, nthreads,
         failed.ctypes.data_as(ctypes.c_void_p))
     if n_failed:
+        import warnings
+
         from ..io import tiff as _tio
 
         for z in np.nonzero(failed)[0]:
@@ -164,6 +167,10 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
                 out[z] = img[y0:y1, x0:x1].astype(dt, copy=False)
             except Exception:
                 out[z] = 0  # genuinely missing/corrupt: dummy zeros
+                warnings.warn(
+                    f"zero-filled undecodable plane {paths[z]} (the "
+                    "reference's dummy-substitution semantics, "
+                    "tsv/volume.py:378-397)", stacklevel=2)
     return out
 
 

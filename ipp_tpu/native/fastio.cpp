@@ -339,8 +339,8 @@ int fastio_tiff_read(const char* path, uint8_t* out, int64_t out_cap) {
 // only for genuinely missing files, tsv/volume.py:378-397).
 int fastio_read_block(const char** paths, int32_t nz, int32_t y0, int32_t y1,
                       int32_t x0, int32_t x1, uint8_t* out,
-                      int32_t bytes_per_px, int32_t nthreads,
-                      uint8_t* failed_mask) {
+                      int32_t bytes_per_px, int32_t expected_sfmt,
+                      int32_t nthreads, uint8_t* failed_mask) {
   const int64_t plane_out = (int64_t)(y1 - y0) * (x1 - x0) * bytes_per_px;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
@@ -353,8 +353,14 @@ int fastio_read_block(const char** paths, int32_t nz, int32_t y0, int32_t y1,
       FileBuf fb;
       fb.f = fopen(paths[z], "rb");
       TiffPage pg;
+      // expected_sfmt: TIFF SampleFormat the caller's dtype implies
+      // (1 unsigned, 2 signed, 3 IEEE float; 0 = don't care).  A byte-size
+      // match alone would memcpy e.g. f32 bits into a u32 buffer — the
+      // mismatch must fall back to the value-casting Python re-read.
       bool ok = fb.f && parse_tiff_page(fb.f, &pg) &&
                 pg.bits / 8 * pg.samples == bytes_per_px &&
+                (expected_sfmt == 0 ||
+                 (int32_t)pg.sample_format == expected_sfmt) &&
                 (int32_t)pg.width >= x1 && (int32_t)pg.height >= y1;
       if (ok) {
         full.resize((size_t)pg.width * pg.height * bytes_per_px);

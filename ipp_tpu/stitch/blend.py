@@ -158,6 +158,18 @@ def _blend_accumulate_planes(parts: Tuple[jnp.ndarray, ...],
     return acc
 
 
+def _to_output_dtype(out, dtype):
+    """Device-side round/clip/cast for integer outputs (the fetch then
+    moves integer-width bytes); non-integer dtypes cast host-side only
+    when needed.  Shared by blend_plane and blend_planes."""
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        info = np.iinfo(dtype)
+        out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
+    out_np = np.asarray(out)
+    return (out_np if out_np.dtype == np.dtype(dtype)
+            else out_np.astype(dtype))
+
+
 class PlaneBlender:
     """Blends one z plane of a placed tile grid into a canvas.
 
@@ -253,15 +265,7 @@ class PlaneBlender:
         out = _blend_accumulate_planes(
             tuple(parts), tuple(weights), tuple(offsets), canvas_shape,
             self.cosine)
-        if np.issubdtype(np.dtype(dtype), np.integer):
-            info = np.iinfo(dtype)
-            # round+clip+cast ON DEVICE: the canvas then travels
-            # device->host at the integer width (half the bytes of f32
-            # for u16 — the fetch is the merge path's transfer bound)
-            out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
-        out_np = np.asarray(out)[:B]
-        return (out_np if out_np.dtype == np.dtype(dtype)
-                else out_np.astype(dtype))
+        return _to_output_dtype(out, dtype)[:B]
 
     def blend_plane(self, volume: VExtent,
                     reader, dtype=np.uint16) -> np.ndarray:
@@ -287,11 +291,4 @@ class PlaneBlender:
             offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
         out = _blend_accumulate(tuple(parts), tuple(weights), tuple(offsets),
                                 canvas_shape, self.cosine)
-        if np.issubdtype(np.dtype(dtype), np.integer):
-            info = np.iinfo(dtype)
-            # round-to-nearest like the merge path's emit (device-side so
-            # integer fetches move integer-width bytes)
-            out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
-        out_np = np.asarray(out)
-        return (out_np if out_np.dtype == np.dtype(dtype)
-                else out_np.astype(dtype))
+        return _to_output_dtype(out, dtype)

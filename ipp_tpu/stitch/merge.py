@@ -168,30 +168,21 @@ def merge_to_tif_series(
         """Post-process + enqueue one blended plane for writing and fold
         it into the isotropic downsample accumulation."""
         path = out_dir / f"{tif_prefix}_{zi:06d}.tif"
-        if (merged.dtype == np.dtype(dtype) and post_fn is None
-                and target_voxel_um is None):
-            # fast path only when the downsample accumulation below is
-            # off — a float output dtype with target_voxel_um set must
-            # still fall through to feed the npz volume
-            if rotation:
-                merged = np.rot90(merged, rotation // 90)
-            if flip_ud:
-                merged = merged[::-1]
-            if not (resume and path.exists()):
-                write_q.put((path, np.ascontiguousarray(merged)))
-            if progress is not None:
-                progress.step()
-            return
-        merged_out = post_fn(merged) if post_fn is not None else merged
-        if np.issubdtype(np.dtype(dtype), np.integer):
-            info = np.iinfo(dtype)
-            merged_out = np.clip(np.rint(merged_out), info.min, info.max)
+        if merged.dtype == np.dtype(dtype) and post_fn is None:
+            merged_out = merged  # already converted on device
+        else:
+            merged_out = post_fn(merged) if post_fn is not None else merged
+            if np.issubdtype(np.dtype(dtype), np.integer):
+                info = np.iinfo(dtype)
+                merged_out = np.clip(np.rint(merged_out),
+                                     info.min, info.max)
+            merged_out = merged_out.astype(dtype)
         if rotation:
             merged_out = np.rot90(merged_out, rotation // 90)
         if flip_ud:
             merged_out = merged_out[::-1]
         if not (resume and path.exists()):
-            write_q.put((path, np.ascontiguousarray(merged_out.astype(dtype))))
+            write_q.put((path, np.ascontiguousarray(merged_out)))
 
         if target_voxel_um is not None:
             small = merged.astype(np.float32)

@@ -186,22 +186,34 @@ def test_dcimg_new_format_roundtrip(tmp_path, rng):
 
 
 def test_dcimg_truncation_fuzz(tmp_path, rng):
-    """Truncated/corrupt DCIMG files must raise cleanly (ValueError /
-    IndexError / struct.error / short-buffer errors), never return
-    silently garbled frames or crash the interpreter."""
+    """Truncated DCIMG files: header-destroying cuts must raise, and no
+    cut may return a silently WRONG frame — a read that succeeds must
+    equal the original data (only possible when the cut spared it)."""
     frames = (rng.random((2, 16, 16)) * 100).astype(np.uint16)
     for fmt in (0x7, 0x2000000):
         p = tmp_path / f"t{fmt:x}.dcimg"
         DCIMGFile.write(p, frames, format_version=fmt)
         data = p.read_bytes()
-        for cut in (3, 10, 44, 100, len(data) // 2):
+        for cut in (3, 10, 44, 100, len(data) // 2, len(data) - 7):
             q = tmp_path / f"cut{fmt:x}_{cut}.dcimg"
             q.write_bytes(data[:cut])
             try:
                 d = DCIMGFile(q)
-                d.read_frame(0)
-            except Exception as exc:  # noqa: BLE001 - must be an Exception,
-                assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+                got = d.read_frame(0)
+            except Exception:  # noqa: BLE001 - clean failure is correct
+                continue
+            # a successful read must be the true frame, never garbage
+            # (v1.0 applies the metadata-pixel fixup to row 0's first 4)
+            want = frames[0].copy()
+            if fmt < 0x1000000:
+                want[0, :4] = frames[0][1, :4]
+            np.testing.assert_array_equal(got, want)
+        # cuts inside the 44-byte file header can never parse
+        for cut in (3, 10):
+            q = tmp_path / f"hdr{fmt:x}_{cut}.dcimg"
+            q.write_bytes(data[:cut])
+            with pytest.raises(Exception):
+                DCIMGFile(q).read_frame(0)
 
 
 def test_dcimg_intermediate_version_rejected(tmp_path, rng):
