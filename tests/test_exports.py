@@ -185,6 +185,24 @@ def test_dcimg_new_format_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(d[0:3], frames)
 
 
+def test_imaris_truncation_fuzz(tmp_path, tif_series):
+    """Truncated .ims files must raise cleanly from ImarisReader, never
+    hang or crash; an intact file keeps reading correctly."""
+    d, vol = tif_series
+    ims = tif_series_to_imaris(d, tmp_path / "full.ims")
+    data = ims.read_bytes()
+    for cut in (4, 100, 1024, len(data) // 3, len(data) - 9):
+        q = tmp_path / f"cut_{cut}.ims"
+        q.write_bytes(data[:cut])
+        try:
+            with ImarisReader(q) as r:
+                got = r[0]
+        except Exception:  # noqa: BLE001 - clean failure is correct
+            continue
+        # if HDF5 salvaged enough to read, the data must be right
+        np.testing.assert_array_equal(got, vol[0])
+
+
 def test_dcimg_truncation_fuzz(tmp_path, rng):
     """Truncated DCIMG files: header-destroying cuts must raise, and no
     cut may return a silently WRONG frame — a read that succeeds must
