@@ -177,18 +177,18 @@ class TileStack:
         out = np.empty(ext.shape, self.dtype)
         for zi, z in enumerate(range(z0, z1)):
             try:
+                # ONLY the decode is guarded: a corrupt/missing plane
+                # becomes zeros with a warning (dummy-substitution, same
+                # as the native path) instead of aborting a multi-hour
+                # merge; slicing/shape errors still raise loudly
                 plane = self.read_plane(z)
-                out[zi] = plane[y0:y1, x0:x1]
             except Exception:  # noqa: BLE001
-                # dummy-substitution semantics, same as the native path
-                # and the reference (tsv/volume.py:378-397): a corrupt or
-                # missing plane becomes zeros with a warning, it does not
-                # abort a multi-hour merge
-                import warnings
+                from .. import native
 
                 out[zi] = 0
-                warnings.warn(f"zero-filled undecodable plane "
-                              f"{self.paths[z]}", stacklevel=2)
+                native.warn_zero_filled(self.paths[z])
+                continue
+            out[zi] = plane[y0:y1, x0:x1]
         return out
 
     def to_xml(self) -> ET.Element:

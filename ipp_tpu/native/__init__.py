@@ -17,7 +17,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["available", "read_block", "tiff_read", "tiff_write",
+__all__ = ["available", "read_block", "warn_zero_filled",
+           "tiff_read", "tiff_write",
            "zstd_save", "zstd_load", "load_slab"]
 
 _HERE = Path(__file__).parent
@@ -147,7 +148,9 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
     if lib is None:
         return None
     dt = np.dtype(dtype)
-    _, sfmt = _dtype_meta(dt)
+    # 0 = don't-care: unusual kinds (bool, complex, ...) skip the
+    # sample-format gate and rely on the byte-size match + fallback
+    sfmt = {"u": 1, "i": 2, "f": 3}.get(dt.kind, 0)
     out = np.empty((len(paths), y1 - y0, x1 - x0), dt)
     enc = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * len(enc))(*enc)
@@ -157,8 +160,6 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
         out.ctypes.data_as(ctypes.c_void_p), dt.itemsize, sfmt, nthreads,
         failed.ctypes.data_as(ctypes.c_void_p))
     if n_failed:
-        import warnings
-
         from ..io import tiff as _tio
 
         for z in np.nonzero(failed)[0]:
@@ -167,11 +168,21 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
                 out[z] = img[y0:y1, x0:x1].astype(dt, copy=False)
             except Exception:
                 out[z] = 0  # genuinely missing/corrupt: dummy zeros
-                warnings.warn(
-                    f"zero-filled undecodable plane {paths[z]} (the "
-                    "reference's dummy-substitution semantics, "
-                    "tsv/volume.py:378-397)", stacklevel=2)
+                warn_zero_filled(paths[z])
     return out
+
+
+def warn_zero_filled(path) -> None:
+    """The dummy-substitution notice (reference tsv/volume.py:378-397):
+    an undecodable or missing plane becomes zeros, LOUDLY — shared by the
+    native fallback and TileStack.imread's Python path so the message and
+    semantics cannot drift."""
+    import warnings
+
+    warnings.warn(
+        f"zero-filled undecodable plane {path} (the reference's "
+        "dummy-substitution semantics, tsv/volume.py:378-397)",
+        stacklevel=3)
 
 
 def zstd_save(path, arr: np.ndarray, level: int = 3) -> bool:

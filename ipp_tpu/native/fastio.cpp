@@ -357,11 +357,16 @@ int fastio_read_block(const char** paths, int32_t nz, int32_t y0, int32_t y1,
       // (1 unsigned, 2 signed, 3 IEEE float; 0 = don't care).  A byte-size
       // match alone would memcpy e.g. f32 bits into a u32 buffer — the
       // mismatch must fall back to the value-casting Python re-read.
-      bool ok = fb.f && parse_tiff_page(fb.f, &pg) &&
-                pg.bits / 8 * pg.samples == bytes_per_px &&
-                (expected_sfmt == 0 ||
-                 (int32_t)pg.sample_format == expected_sfmt) &&
-                (int32_t)pg.width >= x1 && (int32_t)pg.height >= y1;
+      // SampleFormat 4 (VOID) must be treated as UINT per the TIFF spec
+      // (old ImageJ/MATLAB writers emit it for plain u16 data)
+      int32_t sfmt_eff = 0;
+      bool ok = fb.f && parse_tiff_page(fb.f, &pg);
+      if (ok) {
+        sfmt_eff = (pg.sample_format == 4) ? 1 : (int32_t)pg.sample_format;
+        ok = pg.bits / 8 * pg.samples == bytes_per_px &&
+             (expected_sfmt == 0 || sfmt_eff == expected_sfmt) &&
+             (int32_t)pg.width >= x1 && (int32_t)pg.height >= y1;
+      }
       if (ok) {
         full.resize((size_t)pg.width * pg.height * bytes_per_px);
         ok = decode_page(fb.f, pg, full.data());
