@@ -183,11 +183,21 @@ class TileStack:
                 # merge; slicing/shape errors still raise loudly
                 plane = self.read_plane(z)
             except Exception:  # noqa: BLE001
-                from .. import native
+                import time as _time
 
-                out[zi] = 0
-                native.warn_zero_filled(self.paths[z])
-                continue
+                # one delayed retry first: transient environmental errors
+                # (NFS hiccup, EMFILE) must not permanently punch a zero
+                # hole into the output (raw_imread has no internal retry
+                # loop, unlike tio.imread)
+                _time.sleep(0.2)
+                try:
+                    plane = self.read_plane(z)
+                except Exception:  # noqa: BLE001
+                    from .. import native
+
+                    out[zi] = 0
+                    native.warn_zero_filled(self.paths[z])
+                    continue
             out[zi] = plane[y0:y1, x0:x1]
         return out
 

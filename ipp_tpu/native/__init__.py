@@ -25,6 +25,16 @@ _HERE = Path(__file__).parent
 _SO = _HERE / "libfastio.so"
 _lib = None
 _build_lock = threading.Lock()
+_ABI_VERSION = 2  # must match fastio_abi_version() in fastio.cpp
+
+
+def _abi_version(lib: ctypes.CDLL) -> int:
+    try:
+        fn = lib.fastio_abi_version
+        fn.restype = ctypes.c_int
+        return int(fn())
+    except AttributeError:  # pre-versioning .so
+        return 1
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -53,8 +63,16 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     lib = ctypes.CDLL(str(_SO))
                 except OSError:
                     lib = None
+            # ABI guard: mtime freshness can be fooled by mtime-preserving
+            # deploys (rsync -a, tar); calling an old .so with new
+            # argument lists would corrupt memory, so verify the exported
+            # version and rebuild on any mismatch
+            if lib is not None and _abi_version(lib) != _ABI_VERSION:
+                lib = None
             if lib is None:
                 lib = _build()
+                if lib is not None and _abi_version(lib) != _ABI_VERSION:
+                    lib = None  # stale source tree: refuse entirely
             if lib is not None:
                 _configure(lib)
                 _lib = lib
@@ -94,8 +112,11 @@ def available() -> bool:
 
 
 def _dtype_meta(dtype) -> Tuple[int, int]:
+    """(bits, TIFF SampleFormat) for a dtype; SampleFormat 0 = not
+    representable (bool, complex, ...) — readers treat it as don't-care,
+    the writer refuses and falls back to the Python codec."""
     dt = np.dtype(dtype)
-    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    sfmt = {"u": 1, "i": 2, "f": 3}.get(dt.kind, 0)
     return dt.itemsize * 8, sfmt
 
 
@@ -128,6 +149,8 @@ def tiff_write(path, img: np.ndarray, compress_level: int = 0) -> bool:
         return False
     img = np.ascontiguousarray(img)
     bits, sfmt = _dtype_meta(img.dtype)
+    if sfmt == 0:  # dtype has no TIFF SampleFormat: Python codec path
+        return False
     rc = lib.fastio_tiff_write(str(path).encode(),
                                img.ctypes.data_as(ctypes.c_void_p),
                                img.shape[0], img.shape[1], bits, sfmt,
@@ -148,9 +171,7 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
     if lib is None:
         return None
     dt = np.dtype(dtype)
-    # 0 = don't-care: unusual kinds (bool, complex, ...) skip the
-    # sample-format gate and rely on the byte-size match + fallback
-    sfmt = {"u": 1, "i": 2, "f": 3}.get(dt.kind, 0)
+    _, sfmt = _dtype_meta(dt)  # 0 = don't-care for unusual kinds
     out = np.empty((len(paths), y1 - y0, x1 - x0), dt)
     enc = [str(p).encode() for p in paths]
     arr = (ctypes.c_char_p * len(enc))(*enc)
@@ -164,11 +185,15 @@ def read_block(paths: Sequence, y0: int, y1: int, x0: int, x1: int,
 
         for z in np.nonzero(failed)[0]:
             try:
+                # only the decode is guarded (same invariant as
+                # TileStack.imread): a wrong-SIZED plane raises loudly
+                # below instead of silently zero-filling
                 img = _tio.imread(paths[z], retries=2)
-                out[z] = img[y0:y1, x0:x1].astype(dt, copy=False)
             except Exception:
                 out[z] = 0  # genuinely missing/corrupt: dummy zeros
                 warn_zero_filled(paths[z])
+                continue
+            out[z] = img[y0:y1, x0:x1].astype(dt, copy=False)
     return out
 
 

@@ -337,6 +337,13 @@ int fastio_tiff_read(const char* path, uint8_t* out, int64_t out_cap) {
 // nz bytes) so the caller can re-read them through a robust codec instead
 // of silently accepting zeros (the reference always substitutes a dummy
 // only for genuinely missing files, tsv/volume.py:378-397).
+// Bumped whenever any exported signature changes; the Python side
+// refuses (and rebuilds) a .so whose version does not match — the
+// mtime-only freshness check can be fooled by mtime-preserving deploys
+// (rsync -a, tar), and calling an old ABI with new argument lists would
+// corrupt memory.
+int fastio_abi_version() { return 2; }
+
 int fastio_read_block(const char** paths, int32_t nz, int32_t y0, int32_t y1,
                       int32_t x0, int32_t x1, uint8_t* out,
                       int32_t bytes_per_px, int32_t expected_sfmt,

@@ -172,11 +172,15 @@ def merge_to_tif_series(
             merged_out = merged  # already converted on device
         else:
             merged_out = post_fn(merged) if post_fn is not None else merged
-            if np.issubdtype(np.dtype(dtype), np.integer):
-                info = np.iinfo(dtype)
-                merged_out = np.clip(np.rint(merged_out),
-                                     info.min, info.max)
-            merged_out = merged_out.astype(dtype)
+            if merged_out.dtype != np.dtype(dtype):
+                # skip when post_fn already produced the target integer
+                # dtype: np.rint on an integer plane would round-trip a
+                # float64 copy of the full stitched canvas
+                if np.issubdtype(np.dtype(dtype), np.integer):
+                    info = np.iinfo(dtype)
+                    merged_out = np.clip(np.rint(merged_out),
+                                         info.min, info.max)
+                merged_out = merged_out.astype(dtype)
         if rotation:
             merged_out = np.rot90(merged_out, rotation // 90)
         if flip_ud:
