@@ -76,7 +76,18 @@ def calculate_pad_size(shape: Tuple[int, int], sigma: int, rise: float = 0.5) ->
 def filter_coefficient(coef: jnp.ndarray, width_frac: float, axis: int = -1) -> jnp.ndarray:
     """rFFT-notch-irFFT a detail-coefficient array along `axis`
     (reference np_filter_coefficient, pystripe/core.py:749-754: the notch
-    sigma is coef.shape[axis+1] * width_frac)."""
+    sigma is coef.shape[axis+1] * width_frac).
+
+    The notch applied to complex rfft bin k uses sigma/2: the reference's
+    production (Linux) path multiplies scipy.fftpack's PACKED real-FFT
+    layout — where bin k occupies indices 2k-1/2k — by a length-n notch
+    (core.py:751-753), which is a sigma/2 notch in complex-bin space
+    (g_sigma(2k) == g_{sigma/2}(k)); its torch path makes the halving
+    explicit (core.py:768, `sigma / 2`).  Using sigma unhalved doubles
+    the suppressed band (measured 9.2e-2 vs 2.6e-2 max deviation from
+    the packed path on white noise — the residual 2.6e-2 is the
+    reference's own numpy-vs-torch spread from the re/im index
+    off-by-one in the packed layout)."""
     if axis == -1:
         sigma = coef.shape[-2] * width_frac
     elif axis == -2:
@@ -85,7 +96,7 @@ def filter_coefficient(coef: jnp.ndarray, width_frac: float, axis: int = -1) -> 
         raise ValueError("axis must be -1 or -2")
     n = coef.shape[axis]
     f = jnp.fft.rfft(coef, axis=axis)
-    g = jnp.asarray(notch(f.shape[axis], sigma))
+    g = jnp.asarray(notch(f.shape[axis], 0.5 * sigma))
     shape = [1] * f.ndim
     shape[axis] = f.shape[axis]
     f = f * g.reshape(shape)
@@ -187,7 +198,10 @@ def _filter_streaks_impl(img, threshold, bleach_clip_min, bleach_clip_med,
             if sigma2 > 0:
                 bg = filter_subband(jnp.clip(x, None, threshold), sigma2,
                                     lv, wavelet, axes=axes)
-            frac = foreground_fraction(x, threshold, crossover, smoothing=1)
+            # smoothing=0: the reference's GaussianBlur return value is
+            # DISCARDED (pystripe/core.py:600), so its shipped foreground
+            # mask is unsmoothed — match shipped behavior
+            frac = foreground_fraction(x, threshold, crossover, smoothing=0)
             x = (fg * frac + bg * (1.0 - frac)) * threshold
         elif sigma1 > 0 and sigma1 == sigma2:
             x = filter_subband(x, sigma1, lv, wavelet, axes=axes)

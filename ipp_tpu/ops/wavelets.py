@@ -313,6 +313,15 @@ def _dwt_last(x: jnp.ndarray, rec_lo: np.ndarray, rec_hi: np.ndarray):
     orthonormal-basis inner products), which makes synthesis its exact
     transpose.
 
+    The phase convention is raw: cA[i] = <x[2i:2i+L], lo>, which sits
+    (L-2)/2 coefficients early of pywt's interior grid (pywt places
+    coefficient i at input offset 2i - (L-2)).  Integer coefficient
+    shifts are harmless to every consumer (the destriper's circular
+    notch is shift-equivariant and synthesis is the exact transpose),
+    EXCEPT for the downsampling parity when recursing — see
+    :func:`_parity_rolls`, which wavedec2/waverec2 use to stay on
+    pywt's polyphase branch at level 2+.
+
     Backends: MXU block matmuls (default on TPU), strided convs, or the
     fused Pallas kernel (IPP_TPU_PALLAS_DWT=1)."""
     if USE_PALLAS_DWT:
@@ -384,11 +393,37 @@ def _idwt2_once(cA, details, rec_lo, rec_hi, axes):
     return jnp.moveaxis(x, -1, ax1)
 
 
+def _parity_rolls(filter_len: int, level: int) -> List[bool]:
+    """Whether to roll cA by +1 (per transformed axis) before decomposing at
+    each level 1..level (level 1 is always False).
+
+    The raw grid sits s = (L-2)/2 coefficients early of pywt's symmetric-mode
+    interior grid.  When the accumulated offset t is odd, recursing on the
+    raw cA would decompose the OPPOSITE polyphase branch from pywt —
+    genuinely different subbands, not a relabeling (measured: db4 level-2 cH
+    matches pywt at NO integer shift, 0.59 mean abs err on 0.35-rms
+    coefficients; tests/test_golden_destripe.py pins the shipped behavior).
+    A single +1 roll restores even offset; the residual even shift is
+    harmless (the notch is circular-shift-equivariant, synthesis is the
+    exact transpose).  For db9/sym8-class filters (s even) every t stays
+    even and no rolls are ever emitted — the destripe hot path is unchanged.
+    """
+    s = (filter_len - 2) // 2
+    rolls = [False]
+    t = s
+    for _ in range(1, level):
+        r = bool(t & 1)
+        rolls.append(r)
+        t = (t - int(r)) // 2 + s
+    return rolls
+
+
 def wavedec2(img: jnp.ndarray, wavelet: str, level: int,
              axes: Tuple[int, int] = (-2, -1)):
     """Multi-level 2D DWT (periodization).  Both transformed axis lengths must
     be divisible by 2**level.  Returns [cA_L, (cH,cV,cD)_L, ..., (cH,cV,cD)_1]
     (coarse -> fine, pywt layout; reference consumer: pystripe/core.py:927-939).
+    Level-2+ decompositions follow pywt's polyphase branch (_parity_rolls).
     """
     _, _, rec_lo, rec_hi = filter_bank(wavelet)
     for ax in axes:
@@ -396,9 +431,13 @@ def wavedec2(img: jnp.ndarray, wavelet: str, level: int,
         if n % (1 << level):
             raise ValueError(
                 f"axis {ax} length {n} not divisible by 2**{level}; pad first")
+    rolls = _parity_rolls(len(rec_lo), level)
     coeffs: List = []
     a = img
-    for _ in range(level):
+    for lv in range(level):
+        if rolls[lv]:
+            for ax in axes:
+                a = jnp.roll(a, 1, axis=ax)
         a, det = _dwt2_once(a, rec_lo, rec_hi, axes)
         coeffs.append(det)
     return [a] + coeffs[::-1]
@@ -407,9 +446,14 @@ def wavedec2(img: jnp.ndarray, wavelet: str, level: int,
 def waverec2(coeffs: Sequence, wavelet: str, axes: Tuple[int, int] = (-2, -1)):
     """Inverse of :func:`wavedec2`."""
     _, _, rec_lo, rec_hi = filter_bank(wavelet)
+    level = len(coeffs) - 1
+    rolls = _parity_rolls(len(rec_lo), level)
     a = coeffs[0]
-    for det in coeffs[1:]:
+    for i, det in enumerate(coeffs[1:]):
         a = _idwt2_once(a, det, rec_lo, rec_hi, axes)
+        if rolls[level - 1 - i]:
+            for ax in axes:
+                a = jnp.roll(a, -1, axis=ax)
     return a
 
 

@@ -118,8 +118,10 @@ def test_dual_band_sigma1_zero_uses_unclipped_foreground(rng):
                  mode="wrap")
     bg = filter_subband(jnp.clip(xp, None, threshold), sigma2, lv, wavelet,
                         axes=(-1,))
+    # smoothing=0: the reference's shipped foreground mask is unsmoothed
+    # (GaussianBlur return discarded, pystripe/core.py:600)
     frac = foreground_fraction(xp, jnp.float32(threshold), crossover,
-                               smoothing=1)
+                               smoothing=0)
     blended = (xp * frac + bg * (1.0 - frac)) * threshold
     expected = np.asarray(blended[base_pad:base_pad + 64 + 0,
                                   base_pad:base_pad + 64])

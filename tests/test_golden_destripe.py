@@ -1,0 +1,207 @@
+"""Golden cross-validation of the destripe engine against the reference's
+own code (pystripe/core.py filter_streaks, run VERBATIM via tests/refshims
+with its Linux production path: USE_PYTORCH=False -> the pywt/numpy branch).
+
+The pywt shim (the one numerically load-bearing stand-in) is validated
+first, independently of any ipp_tpu code path it is compared against:
+- pywt documentation anchors for db1 (even and odd lengths),
+- perfect reconstruction for long filters over odd/even shapes and levels,
+- the db9 filter bank's defining equations (orthonormality + vanishing
+  moments), pinning the shared constant tables without PyWavelets.
+
+Documented deviations bound the golden comparisons:
+- our DWT runs in periodization mode on a wrap-pad rounded up to 2**level
+  (ops/destripe.py module docstring); the reference extends symmetrically
+  at each level — only the interior (margin ~ pad + filter support) is
+  compared;
+- our notch multiplies complex rfft bins by g(sigma/2); the reference's
+  numpy path multiplies scipy.fftpack's PACKED layout by g(sigma), whose
+  re/im index off-by-one makes it differ from its own torch path
+  (explicit sigma/2, core.py:768) by ~2.5% of the filtered component —
+  tolerances sit above that internal spread.
+"""
+
+import numpy as np
+import pytest
+
+from tests.refshims import (REF, _shim_dwt_max_level, _shim_wavedec2,
+                            _shim_waverec2, install_shims, load_pystripe_core)
+from tests.test_destripe import make_striped_tile, stripe_power
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "pystripe" / "core.py").exists(),
+    reason="reference pystripe/core.py unavailable")
+
+
+# ---------------------------------------------------------------------------
+# pywt-shim validation (must hold before any golden uses the shim)
+# ---------------------------------------------------------------------------
+
+
+def test_pywt_shim_db1_doc_anchors():
+    """pywt documentation examples for dwt with db1/symmetric."""
+    install_shims()
+    import pywt
+
+    cA, cD = pywt.dwt(np.array([1.0, 2.0, 3.0, 4.0]), "db1")
+    np.testing.assert_allclose(cA, [2.12132034, 4.94974747], atol=1e-8)
+    np.testing.assert_allclose(cD, [-0.70710678, -0.70710678], atol=1e-8)
+    # odd length: the trailing sample is half-sample mirrored
+    cA, cD = pywt.dwt(np.array([1.0, 2.0, 3.0]), "db1")
+    np.testing.assert_allclose(cA, [2.12132034, 4.24264069], atol=1e-8)
+    np.testing.assert_allclose(cD, [-0.70710678, 0.0], atol=1e-8)
+
+
+@pytest.mark.parametrize("wavelet", ["db2", "db9", "sym8"])
+@pytest.mark.parametrize("shape", [(64, 64), (37, 53), (35, 64)])
+def test_pywt_shim_perfect_reconstruction(rng, wavelet, shape):
+    x = rng.normal(size=shape)
+    for level in (1, 2):
+        coeffs = _shim_wavedec2(x, wavelet, level=level)
+        rec = _shim_waverec2(coeffs, wavelet)
+        np.testing.assert_allclose(rec[: shape[0], : shape[1]], x, atol=1e-9)
+
+
+def test_pywt_shim_coefficient_lengths():
+    """out_len = floor((n + L - 1) / 2) per axis (pywt symmetric mode)."""
+    x = np.zeros((45, 66))
+    coeffs = _shim_wavedec2(x, "db9", level=1)  # L = 18
+    assert coeffs[0].shape == ((45 + 17) // 2, (66 + 17) // 2)
+    assert _shim_dwt_max_level(512, "db9") == 4
+    assert _shim_dwt_max_level(512, 2) == 9
+
+
+def test_db9_filter_defining_properties():
+    """Pin the shared db9 constants to the defining equations (independent
+    of both pywt and the DWT implementations): orthonormal even shifts,
+    sum h = sqrt(2), and 9 vanishing moments of the highpass."""
+    from ipp_tpu.ops.wavelets import filter_bank
+
+    dec_lo, dec_hi, rec_lo, rec_hi = filter_bank("db9")
+    L = len(rec_lo)
+    assert L == 18
+    assert abs(rec_lo.sum() - np.sqrt(2.0)) < 1e-10
+    for k in range(1, L // 2):
+        assert abs(np.dot(rec_lo[2 * k:], rec_lo[: L - 2 * k])) < 1e-10
+    assert abs(np.dot(rec_lo, rec_lo) - 1.0) < 1e-10
+    n = np.arange(L, dtype=np.float64)
+    for p in range(9):
+        # normalized: the raw moment of order p scales like L**p
+        assert abs(np.dot(n ** p, rec_hi)) / L ** p < 1e-7
+
+
+def test_pywt_shim_matches_sequential_1d():
+    """wavedec2 must equal two independent 1D passes (axis separability) —
+    guards the axes/key convention ('aa','da','ad','dd' in axes order)."""
+    install_shims()
+    import pywt
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(24, 40))
+    coeffs = pywt.wavedec2(x, "db2", level=1)
+    cA, (cH, cV, cD) = coeffs[0], coeffs[1]
+    a0, d0 = pywt.dwt(x, "db2", axis=-2)  # rows axis first
+    aa, ad = pywt.dwt(a0, "db2", axis=-1)
+    da, dd = pywt.dwt(d0, "db2", axis=-1)
+    np.testing.assert_allclose(cA, aa, atol=1e-12)
+    np.testing.assert_allclose(cH, da, atol=1e-12)  # cH = detail on axes[0]
+    np.testing.assert_allclose(cV, ad, atol=1e-12)
+    np.testing.assert_allclose(cD, dd, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# golden comparisons vs the reference's own filter_streaks
+# ---------------------------------------------------------------------------
+
+
+def _interior(a: np.ndarray, margin: int) -> np.ndarray:
+    return np.asarray(a, np.float64)[margin:-margin, margin:-margin]
+
+
+def _nrmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.sqrt(np.mean((a - b) ** 2)) / max(np.ptp(b), 1e-9)
+
+
+def _run_ours(img, **kw):
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.destripe import filter_streaks
+
+    return np.asarray(filter_streaks(jnp.asarray(img), **kw))
+
+
+def test_filter_streaks_golden_single_band(rng):
+    core = load_pystripe_core()
+    img, _ = make_striped_tile(rng, h=256, w=300, stripe_strength=0.3)
+    kw = dict(sigma=(64, 64), level=3, wavelet="db9")
+    ref = core.filter_streaks(img.copy(), **kw)
+    ours = _run_ours(img, **kw)
+    assert ref.dtype == ours.dtype == np.uint16
+    err = _nrmse(_interior(ours, 48), _interior(ref, 48))
+    assert err < 8e-3, f"interior NRMSE {err:.2e}"
+    # functional agreement: both suppress stripes by a similar factor
+    rs, os_ = stripe_power(ref), stripe_power(ours)
+    assert abs(rs - os_) / stripe_power(img) < 0.05
+
+
+def test_filter_streaks_golden_bidirectional(rng):
+    core = load_pystripe_core()
+    img, _ = make_striped_tile(rng, h=256, w=256, stripe_strength=0.25)
+    kw = dict(sigma=(48, 48), level=2, wavelet="db4", bidirectional=True)
+    ref = core.filter_streaks(img.copy(), **kw)
+    ours = _run_ours(img, **kw)
+    err = _nrmse(_interior(ours, 40), _interior(ref, 40))
+    assert err < 8e-3, f"interior NRMSE {err:.2e}"
+
+
+def test_filter_streaks_golden_sequential_dual_band(rng):
+    """sigma1 != sigma2 without thresholding: the reference filters the
+    whole image twice in sequence (core.py:995-997)."""
+    core = load_pystripe_core()
+    img, _ = make_striped_tile(rng, h=256, w=256, stripe_strength=0.3)
+    kw = dict(sigma=(32, 96), level=3, wavelet="db9")
+    ref = core.filter_streaks(img.copy(), **kw)
+    ours = _run_ours(img, **kw)
+    err = _nrmse(_interior(ours, 48), _interior(ref, 48))
+    assert err < 8e-3, f"interior NRMSE {err:.2e}"
+
+
+def test_filter_streaks_golden_thresholded_dual_band(rng):
+    """Thresholded fg/bg split + sigmoid blend, unreachable through the
+    reference's filter_streaks (it never forwards use_thresholding) but
+    exposed by filter_streak_dual_band (core.py:948-978): mirror the
+    reference's own pad->filter->crop harness around it."""
+    core = load_pystripe_core()
+    img, _ = make_striped_tile(rng, h=256, w=256, stripe_strength=0.3)
+    img_f = img.astype(np.float32)
+    thr = float(np.median(img_f))
+    base_pad = core.calculate_pad_size(shape=img_f.shape, sigma=96)
+    padded = np.pad(img_f, base_pad, mode="wrap")
+    ref = core.filter_streak_dual_band(
+        padded.copy(), 32.0, 96.0, 3, "db9", 10.0, thr, None,
+        use_thresholding=True)
+    ref = ref[base_pad:-base_pad, base_pad:-base_pad]
+    ours = _run_ours(
+        img_f, sigma=(32, 96), level=3, wavelet="db9", threshold=thr,
+        crossover=10.0, use_thresholding=True,
+        log1p_normalization_needed=False)
+    err = _nrmse(_interior(ours, 48), _interior(ref, 48))
+    assert err < 2e-2, f"interior NRMSE {err:.2e}"
+
+
+def test_pad_and_notch_scalar_parity():
+    """The scalar plumbing (pad size, notch rise) matches the reference's
+    closed forms exactly on its own code."""
+    core = load_pystripe_core()
+    from ipp_tpu.ops.destripe import calculate_pad_size, notch_rise_point
+
+    for shape in [(2048, 2048), (1833, 1333), (300, 256)]:
+        for sigma in (64, 250, 800):
+            assert (calculate_pad_size(shape, sigma)
+                    == core.calculate_pad_size(shape=shape, sigma=sigma))
+    for sigma in (64, 250, 800):
+        for rise in (0.3, 0.5):
+            assert (notch_rise_point(sigma, rise)
+                    == core.notch_rise_point(sigma, rise))

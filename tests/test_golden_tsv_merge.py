@@ -13,7 +13,6 @@ reproduce the reference's blended planes.
 """
 
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -33,56 +32,17 @@ pytestmark = pytest.mark.skipif(not (REF / "tsv" / "volume.py").exists(),
 
 
 def _load_reference_tsv():
-    """Import the reference's tsv.volume with shims for its missing
-    third-party deps (the module's own math runs untouched)."""
-    import inspect
-
+    """Import the reference's tsv.volume verbatim via the shared shim
+    registry (tests/refshims): the real pystripe.core supplies glob_re,
+    tifffile routes to ipp_tpu.io.tiff, numexpr evaluates over numpy."""
     if "tsv.volume" in sys.modules:
         import tsv.volume as tv
 
         return tv
 
-    ne = types.ModuleType("numexpr")
+    from tests.refshims import load_pystripe_core
 
-    def evaluate(expr, out=None, local_dict=None):
-        frame = inspect.currentframe().f_back
-        env = dict(frame.f_globals)
-        env.update(frame.f_locals)
-        if local_dict:
-            env.update(local_dict)
-        env["where"] = np.where
-        res = eval(expr, {"__builtins__": {}}, env)  # noqa: S307 - shim
-        if out is not None:
-            out[...] = res
-            return out
-        return res
-
-    ne.evaluate = evaluate
-    sys.modules.setdefault("numexpr", ne)
-
-    tiff_mod = types.ModuleType("tifffile")
-    from ipp_tpu.io import tiff as our_tiff
-
-    tiff_mod.imread = lambda p, **kw: our_tiff.imread(p)
-    tiff_mod.imwrite = lambda p, data, **kw: our_tiff.imwrite(p, data)
-    sys.modules.setdefault("tifffile", tiff_mod)
-
-    ps = types.ModuleType("pystripe")
-    ps_core = types.ModuleType("pystripe.core")
-
-    def glob_re(pattern, path):
-        import re as _re
-
-        rx = _re.compile(pattern, _re.IGNORECASE)
-        for p in sorted(Path(path).rglob("*")):
-            if p.is_file() and rx.search(p.name):
-                yield p
-
-    ps_core.glob_re = glob_re
-    ps.core = ps_core
-    sys.modules.setdefault("pystripe", ps)
-    sys.modules.setdefault("pystripe.core", ps_core)
-
+    load_pystripe_core()  # installs shims + real pystripe package
     if str(REF) not in sys.path:
         sys.path.insert(0, str(REF))
     import tsv.volume as tv

@@ -167,3 +167,27 @@ def test_matmul_dwt_backend_matches_conv(rng):
                                    rtol=1e-5, atol=1e-5)
         y = mxu_dwt.idwt_last_mm(a1, d1, lo, hi)
         np.testing.assert_allclose(np.asarray(y), x, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["db2", "db4", "db9"])
+def test_level2_on_pywt_polyphase_branch(name, rng):
+    """Level-2 coefficients must equal pywt's (symmetric mode, interior) at
+    SOME integer shift — i.e. wavedec2 recurses on pywt's polyphase branch.
+    Without _parity_rolls, db2/db4 (odd (L-2)/2) match at NO shift (the
+    notch then filters genuinely different subbands; the golden destripe
+    bidirectional test caught this at 8.3e-2 NRMSE)."""
+    import jax.numpy as jnp
+
+    from tests.refshims import _shim_wavedec2
+
+    x = rng.standard_normal((256, 256)).astype(np.float64)
+    ours = np.asarray(wv.wavedec2(jnp.asarray(x, jnp.float32), name, 2)[1][0])
+    ref = _shim_wavedec2(x, name, level=2)[1][0]
+    # interior window clear of both boundary conventions: a level-2 coeff
+    # spans 3L-2 input samples, so stay > (3L-2)/4 coeffs from either edge
+    m, w_ = 20, 16
+    best = min(
+        np.abs(ref[m + sy:m + sy + w_, m + sx:m + sx + w_] - ours[m:m + w_, m:m + w_]).max()
+        for sy in range(0, 18) for sx in range(0, 18)
+        if ref.shape[0] >= m + sy + w_ and ref.shape[1] >= m + sx + w_)
+    assert best < 1e-4, f"no integer shift aligns level-2 cH ({best:.3f})"
