@@ -25,10 +25,12 @@ same relaxation as stitch.place.place_tiles_lqp, replacing the reference's
 per-axis median chains (flat_adjust_stacks:724-818) which cannot reconcile
 loop inconsistencies.
 
-Each adjacent pair goes through the batched all-shifts NCC engine
-(ops/ncc.align_pair with sides we/ns/tb); blending uses distance-to-edge
-weights (the reference's EDT-weighted blend — exact for box-shaped stacks
-as a separable min-ramp).
+Each adjacent pair is scored as a batched plane-sweep (sample planes of
+one stack vs a z-window of the other with all (dy, dx) shifts at once via
+ops/ncc.ncc_maps_batched — the reference's align_one_x/y/z structure,
+tsv/scan.py:841-1063, without its nested Pearson loops); blending uses
+distance-to-edge weights (the reference's EDT-weighted blend — exact for
+box-shaped stacks as a separable min-ramp).
 """
 
 from __future__ import annotations
@@ -38,14 +40,25 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.extent import VExtent
 from ..io import tiff as tio
-from ..ops.ncc import NCCParams, align_pair, ncc_map
+from ..io.raw import raw_imread
+from ..ops.ncc import (NCCParams, ncc_map, ncc_maps_batched,
+                       peak_and_widths)
 from ..utils.log import Logger
 
 __all__ = ["ScanStack", "Scanner", "AverageDrift"]
+
+
+def _imread(path: Path) -> np.ndarray:
+    """Suffix-dispatched plane read (reference tsv/scan.py:16-21 imread:
+    .raw via the raw codec, anything else as TIFF)."""
+    if str(path).endswith(".raw"):
+        return np.asarray(raw_imread(path))
+    return tio.imread(path)
 
 
 @dataclass
@@ -100,7 +113,7 @@ class ScanStack:
     @property
     def plane_shape(self) -> Tuple[int, int]:
         if self._shape is None:
-            self._shape = tio.imread(self.paths[0]).shape
+            self._shape = _imread(self.paths[0]).shape
         return self._shape
 
     @property
@@ -113,7 +126,7 @@ class ScanStack:
         """Read plane z, undoing the per-z linear drift (reference
         ScanStack.read_plane trims by x_off_per_z*z, tsv/scan.py:108-117;
         here the shift wraps with np.roll and the wrapped strip zeroes)."""
-        img = tio.imread(self.paths[z])
+        img = _imread(self.paths[z])
         if not apply_drift or (self.drift_x == 0 and self.drift_y == 0):
             return img
         dx = int(round(self.drift_x * z))
@@ -145,8 +158,8 @@ class ScanStack:
         n = len(self.paths)
         if n < 2:
             return
-        a = np.maximum(tio.imread(self.paths[0]).astype(np.float32) - dark, 0)
-        b = np.maximum(tio.imread(self.paths[-1]).astype(np.float32) - dark, 0)
+        a = np.maximum(_imread(self.paths[0]).astype(np.float32) - dark, 0)
+        b = np.maximum(_imread(self.paths[-1]).astype(np.float32) - dark, 0)
         m = ncc_map(a, b, max_shift, max_shift)
         u, v = np.unravel_index(np.argmax(m), m.shape)
         if m[u, v] <= 0.3:  # no reliable structure: keep zero drift
@@ -223,24 +236,73 @@ class Scanner:
     def _align_one(self, s0: ScanStack, s1: ScanStack, side: str,
                    recenter: Tuple[int, int, int],
                    slop: Tuple[int, int, int]):
-        """One pair through the all-shifts NCC engine, window recentered by
-        the current drift estimate."""
+        """One pair as a batched plane-sweep: sample target planes of s1 are
+        scored against a z-window of s0 planes with all (dy, dx) shifts at
+        once, and the best (z, peak) wins.
+
+        This is the reference's align_one_x/y/z search structure
+        (tsv/scan.py:841-1063: target plane vs src planes across a z range,
+        full-plane correlation) driven through the batched all-shifts NCC
+        map engine instead of nested Pearson loops.  Full-plane scoring is
+        deliberate — the TeraStitcher MIP fusion (ops/ncc.align_pair)
+        collapses the z axis into projections whose z-peak is unreliable on
+        thin smooth structure, and its fuse_axis then silently falls back
+        to the nominal z offset (observed: injected z jitter unrecovered on
+        piezo grids); plane sweeps keep the full content per z candidate.
+        """
         overlap = self._overlap(s0, s1, side)
         va = self._read_cached(s0)
         vb = self._read_cached(s1)
-        d = min(va.shape[0], vb.shape[0])
-        va, vb = va[:d], vb[:d]
         if not self._dark_support_ok(va, vb, side, overlap):
             return None, 0.0
         dy, dx, dz = recenter
-        # recenter by rolling stack b's data window (equivalent to shifting
-        # the nominal search center, reference align_stack_x:392-418)
         sy, sx, sz = slop
-        res = align_pair(va, vb, side, overlap, sy + abs(dy), sx + abs(dx),
-                         sz + abs(dz), self.params)
-        score = float(np.nanmax(np.where(np.isfinite(res.ncc_peak),
-                                         res.ncc_peak, 0.0)))
-        return res.coord, score
+        sy, sx, sz = sy + abs(dy), sx + abs(dx), sz + abs(dz)
+        if side == "we":
+            A, B = va[:, :, -overlap:], vb[:, :, :overlap]
+        elif side == "ns":
+            A, B = va[:, -overlap:, :], vb[:, :overlap, :]
+        else:
+            A, B = va, vb
+        na, nb = A.shape[0], B.shape[0]
+        nominal_dz = s1.z0 - s0.z0
+        valid_t = [t for t in range(nb) if 0 <= t + nominal_dz < na]
+        if not valid_t:
+            return None, 0.0
+        # reference z_skip="middle" samples one plane; quartiles add two
+        # more cross-checks on deep stacks at negligible batch cost
+        t_samples = {valid_t[len(valid_t) // 2]}
+        if len(valid_t) >= 8:
+            t_samples |= {valid_t[len(valid_t) // 4],
+                          valid_t[3 * len(valid_t) // 4]}
+        cand = [(t, zi)
+                for t in sorted(t_samples)
+                for zi in range(t + nominal_dz - sz, t + nominal_dz + sz + 1)
+                if 0 <= zi < na]
+        batch_a = np.ascontiguousarray(
+            np.stack([A[zi] for _, zi in cand]), np.float32)
+        batch_b = np.ascontiguousarray(
+            np.stack([B[t] for t, _ in cand]), np.float32)
+        # clamp the shift search to keep min_dim_ncc_src rows/cols in play
+        # (align_pair's clamp, libcrossmips.cpp:260-262)
+        p = self.params
+        dv = min(sy, max(1, A.shape[1] - p.min_dim_ncc_src))
+        dh = min(sx, max(1, A.shape[2] - p.min_dim_ncc_src))
+        wr_v, wr_h = p.w_range(dv), p.w_range(dh)
+        maps = np.asarray(ncc_maps_batched(
+            jnp.asarray(batch_a), jnp.asarray(batch_b),
+            dv + wr_v, dh + wr_h), np.float64)
+        best = None
+        for i, (t, zi) in enumerate(cand):
+            pv, ph, pk, _, _ = peak_and_widths(maps[i], dv, dh, wr_v, wr_h, p)
+            if best is None or pk > best[0]:
+                best = (pk, pv, ph, zi - t)
+        pk, cv, ch, cd = best
+        if side == "we":
+            ch += va.shape[2] - overlap
+        elif side == "ns":
+            cv += va.shape[1] - overlap
+        return (int(cv), int(ch), int(cd)), float(max(pk, 0.0))
 
     def align_all_stacks(self, rounds: int = 2) -> None:
         """Pairwise NCC alignment of every adjacent pair along x, y, z with

@@ -231,3 +231,59 @@ def test_scanner_linkless_stack_keeps_nominal_position(tmp_path, rng):
     # stack 1 had no links: stays at its nominal 90 (after global rebase)
     assert abs(sc.stacks[(1, 0, 0)].x0 - 90) <= 1
     assert abs(sc.stacks[(2, 0, 0)].x0 - 182) <= 1
+
+
+def test_scan_stitch_cli_dragonfly_tree(tmp_path, rng):
+    """scan_stitch CLI end-to-end on a synthetic dragonfly hierarchy
+    (reference tsv/stitch.py:16-193): discovery, alignment, placements
+    JSON, offsets JSON reuse, blended plane series."""
+    import json
+
+    from ipp_tpu.pipeline import scan_stitch
+    from tests.synth import write_dragonfly_tree
+
+    root = tmp_path / "tree"
+    truth, vol = write_dragonfly_tree(root, rng)
+    out = tmp_path / "out"
+    offs_json = tmp_path / "offsets.json"
+    stacks_json = tmp_path / "stacks.json"
+    base_args = [
+        "--input", str(root),
+        "--voxel-size", "1,1,1", "--z-step", "12", "--piezo-distance", "16",
+        "--x-slop", "5", "--y-slop", "5", "--z-slop", "4",
+        "--dark", "100", "--threshold", "0.5", "--rounds", "1",
+        "--n-io-cores", "2", "--compression", "0"]
+    rc = scan_stitch.main(base_args + [
+        "--output-pattern", str(out / "img_%04d.tif"),
+        "--stack-offset-output", str(offs_json),
+        "--stacks", str(stacks_json)])
+    assert rc == 0
+
+    placed = {tuple(d["key"]): np.array([d["x0"], d["y0"], d["z0"]])
+              for d in json.load(open(stacks_json))}
+    assert set(placed) == set(truth)
+    t0 = np.array(truth[(0, 0, 0)])
+    p0 = placed[(0, 0, 0)]
+    for k, t in truth.items():
+        rel_err = np.abs((placed[k] - p0) - (np.array(t) - t0))
+        assert np.all(rel_err <= 1), (k, placed[k] - p0, np.array(t) - t0)
+
+    planes = sorted(out.glob("img_*.tif"))
+    depth = max(int(p[2]) + 16 for p in placed.values())
+    assert len(planes) == depth
+    mid = tio.imread(planes[depth // 2])
+    assert mid.shape == (max(int(p[1]) for p in placed.values()) + 80,
+                         max(int(p[0]) for p in placed.values()) + 128)
+    assert np.count_nonzero(mid) > 0.9 * mid.size
+
+    # offsets JSON reuse skips alignment and reproduces the placements
+    out2 = tmp_path / "out2"
+    stacks_json2 = tmp_path / "stacks2.json"
+    rc = scan_stitch.main(base_args + [
+        "--output-pattern", str(out2 / "img_%04d.tif"),
+        "--stack-offset-input", str(offs_json),
+        "--stacks", str(stacks_json2)])
+    assert rc == 0
+    placed2 = {tuple(d["key"]): np.array([d["x0"], d["y0"], d["z0"]])
+               for d in json.load(open(stacks_json2))}
+    assert all(np.array_equal(placed[k], placed2[k]) for k in placed)
