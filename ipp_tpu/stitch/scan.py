@@ -270,9 +270,14 @@ class Scanner:
         if not valid_t:
             return None, 0.0
         # reference z_skip="middle" samples one plane; quartiles add two
-        # more cross-checks on deep stacks at negligible batch cost
+        # more cross-checks on deep stacks at negligible batch cost.  For
+        # piezo z-pairs the valid window is only a few planes and the zi
+        # clamp cuts the up-range, so sample its ends too (the reference's
+        # align_stack_z uses exactly the first target plane)
         t_samples = {valid_t[len(valid_t) // 2]}
-        if len(valid_t) >= 8:
+        if side == "tb":
+            t_samples |= {valid_t[0], valid_t[-1]}
+        elif len(valid_t) >= 8:
             t_samples |= {valid_t[len(valid_t) // 4],
                           valid_t[3 * len(valid_t) // 4]}
         cand = [(t, zi)

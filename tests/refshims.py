@@ -313,6 +313,25 @@ def install_shims() -> None:
 
         tifffile_inner.TiffFileError = TiffFileError
 
+    tqdm_mod = _ensure_module("tqdm")
+    if not hasattr(tqdm_mod, "tqdm"):
+        class _Tqdm:
+            """Progress-bar stand-in (tsv/scan.py uses total= + update())."""
+
+            def __init__(self, iterable=None, total=None, **_kw):
+                self._it = iterable
+
+            def __iter__(self):
+                return iter(self._it if self._it is not None else ())
+
+            def update(self, n=1):
+                pass
+
+            def close(self):
+                pass
+
+        tqdm_mod.tqdm = _Tqdm
+
     _ensure_module("skimage")
     sk_filters = _ensure_module("skimage.filters")
     sk_filters.threshold_otsu = _placeholder("skimage.threshold_otsu")

@@ -52,7 +52,8 @@ def cut_tiles(vol: np.ndarray, n_rows: int, n_cols: int, tile: Tuple[int, int],
 
 
 def write_dragonfly_tree(root: Path, rng, *, tile_hw=(80, 128),
-                         n_x=2, overlap_x=32, sub_planes=16, n_sub=2,
+                         n_x=2, n_y=1, overlap_x=32, overlap_y=24,
+                         sub_planes=16, n_sub=2,
                          z_step_px=12, jitter=2, margin=4, smooth=4.0):
     """Write a dragonfly X/X_Y/Z hierarchy (tsv/scan.py:221-268 naming:
     coordinates in 10ths of microns, voxel size 1 um) cut from one smooth
@@ -65,30 +66,35 @@ def write_dragonfly_tree(root: Path, rng, *, tile_hw=(80, 128),
     """
     th, tw = tile_hw
     step_x = tw - overlap_x
+    step_y = th - overlap_y
     depth_needed = z_step_px * (n_sub - 1) + sub_planes
     vol = make_phantom(
-        rng, (depth_needed + 2 * margin, th + 2 * margin,
+        rng, (depth_needed + 2 * margin,
+              step_y * (n_y - 1) + th + 2 * margin,
               step_x * (n_x - 1) + tw + 2 * margin), smooth=smooth)
     truth = {}
     for xi in range(n_x):
         x_tenths = xi * step_x * 10
-        for zi in range(n_sub):
-            jx = jy = jz = 0
-            if xi or zi:
-                jx, jy, jz = (int(rng.integers(-jitter, jitter + 1))
-                              for _ in range(3))
-            x0 = margin + xi * step_x + jx
-            y0 = margin + jy
-            z0 = margin + zi * z_step_px + jz
-            truth[(xi, 0, zi)] = (x0 - margin, y0 - margin, z0 - margin)
-            d = root / f"{x_tenths}" / f"{x_tenths}_0"
-            d.mkdir(parents=True, exist_ok=True)
-            for p in range(sub_planes):
-                # file z-coordinate runs continuously across substacks so
-                # the reference's >=piezo_distance gap rule splits them
-                z_tenths = (zi * sub_planes + p) * 10
-                tio.imwrite(d / f"{z_tenths:06d}.tif",
-                            vol[z0 + p, y0:y0 + th, x0:x0 + tw])
+        for yi in range(n_y):
+            y_tenths = yi * step_y * 10
+            for zi in range(n_sub):
+                jx = jy = jz = 0
+                if xi or yi or zi:
+                    jx, jy, jz = (int(rng.integers(-jitter, jitter + 1))
+                                  for _ in range(3))
+                x0 = margin + xi * step_x + jx
+                y0 = margin + yi * step_y + jy
+                z0 = margin + zi * z_step_px + jz
+                truth[(xi, yi, zi)] = (x0 - margin, y0 - margin, z0 - margin)
+                d = root / f"{x_tenths}" / f"{x_tenths}_{y_tenths}"
+                d.mkdir(parents=True, exist_ok=True)
+                for p in range(sub_planes):
+                    # file z-coordinate runs continuously across substacks
+                    # so the reference's >=piezo_distance gap rule splits
+                    # them
+                    z_tenths = (zi * sub_planes + p) * 10
+                    tio.imwrite(d / f"{z_tenths:06d}.tif",
+                                vol[z0 + p, y0:y0 + th, x0:x0 + tw])
     return truth, vol
 
 
