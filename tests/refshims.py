@@ -282,15 +282,23 @@ def install_shims() -> None:
     pywt.wavedec2 = _shim_wavedec2
     pywt.waverec2 = _shim_waverec2
 
-    cv2 = _ensure_module("cv2")
-    cv2.MORPH_CLOSE = 3
-    cv2.MORPH_OPEN = 2
-    cv2.morphologyEx = _placeholder("cv2.morphologyEx")
-    cv2.floodFill = _placeholder("cv2.floodFill")
-    # the reference discards GaussianBlur's return value
-    # (pystripe/core.py:600) so its shipped smoothing is a no-op; keep the
-    # same signature and return the input unchanged
-    cv2.GaussianBlur = lambda src, *a, **k: src
+    # only stub cv2 when the real module isn't present/importable —
+    # mutating the real cv2 (identity GaussianBlur!) would corrupt it for
+    # every later user in the process (e.g. the movie exporter)
+    cv2 = sys.modules.get("cv2")
+    if cv2 is None or not getattr(cv2, "__file__", None):
+        try:
+            import cv2  # noqa: F401, PLC0415
+        except ImportError:
+            cv2 = _ensure_module("cv2")
+            cv2.MORPH_CLOSE = 3
+            cv2.MORPH_OPEN = 2
+            cv2.morphologyEx = _placeholder("cv2.morphologyEx")
+            cv2.floodFill = _placeholder("cv2.floodFill")
+            # the reference discards GaussianBlur's return value
+            # (pystripe/core.py:600) so its shipped smoothing is a no-op;
+            # keep the same signature and return the input unchanged
+            cv2.GaussianBlur = lambda src, *a, **k: src
 
     dcimg = _ensure_module("dcimg")
     if not hasattr(dcimg, "DCIMGFile"):
