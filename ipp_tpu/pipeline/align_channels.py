@@ -102,20 +102,58 @@ def roll_pad(vol: np.ndarray, shift: Tuple[int, int, int]) -> np.ndarray:
     return out
 
 
+def _sections_similarity(ref_vol: np.ndarray, mov: np.ndarray) -> float:
+    """Mean Pearson correlation of the three central sections — the cheap
+    acceptance metric for candidate moves.  Exactly-zero pixels (roll-pad
+    fill bands) are masked out so growing/shrinking bands cannot dominate
+    the correlation."""
+    corr = []
+    for r, m in zip(_central_slices(ref_vol), _central_slices(mov)):
+        r = r.astype(np.float64).ravel()
+        m = m.astype(np.float64).ravel()
+        keep = (r != 0) & (m != 0)
+        if keep.sum() < 16:
+            corr.append(0.0)
+            continue
+        r = r[keep] - r[keep].mean()
+        m = m[keep] - m[keep].mean()
+        denom = np.sqrt((r * r).sum() * (m * m).sum())
+        corr.append(float((r * m).sum() / denom) if denom > 0 else 0.0)
+    return float(np.mean(corr))
+
+
 def align_volumes(ref_vol: np.ndarray, mov_vol: np.ndarray,
-                  max_iter: int = 10, log: Optional[Logger] = None
+                  max_iter: int = 10, max_shift: int = 50,
+                  log: Optional[Logger] = None
                   ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """Iterate roll-pad moves until convergence or a cycle
-    (reference align_images, align_images.py:424-502)."""
+    (reference align_images, align_images.py:424-502).
+
+    Hardening beyond the reference: ECC is a local optimizer and on
+    low-texture sections can return translations tens of pixels off (the
+    reference either applies them or dies in cv2's divergence error,
+    process_images.py:804).  Here the iteration follows the same
+    trajectory — intermediate dips in quality are allowed, they often
+    precede the basin of the true optimum — but every visited state is
+    scored by the masked Pearson correlation of the central sections and
+    the BEST one is returned, so a diverging tail can never be the
+    answer; single moves beyond `max_shift` abort as unreliable.
+    """
     log = log or Logger()
     total = np.zeros(3, int)
     seen = set()
     mov = mov_vol.copy()
+    sim = _sections_similarity(ref_vol, mov)
+    best = (sim, mov, tuple(total))
     for it in range(max_iter):
         dz, dy, dx = get_offsets_ecc(ref_vol, mov)
         # ECC returns the warp taking ref toward mov; roll mov back
         move = (-dz, -dy, -dx)
         if move == (0, 0, 0):
+            break
+        if max(abs(v) for v in move) > max_shift:
+            log.warn(f"channel alignment move {move} exceeds max_shift="
+                     f"{max_shift}; treating as unreliable and stopping")
             break
         key = tuple(total + move)
         if key in seen:
@@ -123,6 +161,14 @@ def align_volumes(ref_vol: np.ndarray, mov_vol: np.ndarray,
         seen.add(tuple(total))
         mov = roll_pad(mov, move)
         total += move
+        sim = _sections_similarity(ref_vol, mov)
+        if sim > best[0]:
+            best = (sim, mov, tuple(total))
+    if sim < best[0]:
+        log.warn(f"channel alignment ended at section correlation "
+                 f"{sim:.4f} < best visited {best[0]:.4f}; reverting to "
+                 f"the best state (offsets {best[2]})")
+        mov, total = best[1], np.asarray(best[2])
     log.info(f"channel alignment offsets (dz, dy, dx) = {tuple(total)}")
     return mov, tuple(int(v) for v in total)
 

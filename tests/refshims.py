@@ -350,6 +350,89 @@ def install_shims() -> None:
     sk_transform.resize = _placeholder("skimage.resize")
 
 
+def _natural_sorted(iterable):
+    """tifffile.natural_sorted: numeric-aware string sort."""
+    import re
+
+    def key(s):
+        return [int(t) if t.isdigit() else t
+                for t in re.split(r"(\d+)", str(s))]
+
+    return sorted(iterable, key=key)
+
+
+def _shim_block_reduce(image, block_size=2, func=np.sum, cval=0,
+                       func_kwargs=None):
+    """skimage.measure.block_reduce: pad to a block multiple with cval,
+    then reduce each block with func (numpy reshape form)."""
+    image = np.asarray(image)
+    if np.isscalar(block_size):
+        block_size = (int(block_size),) * image.ndim
+    pad = [(0, (-s) % b) for s, b in zip(image.shape, block_size)]
+    if any(p[1] for p in pad):
+        image = np.pad(image, pad, mode="constant", constant_values=cval)
+    shape = []
+    axes = []
+    for i, b in enumerate(block_size):
+        shape.extend([image.shape[i] // b, b])
+        axes.append(2 * i + 1)
+    return func(image.reshape(shape), axis=tuple(axes),
+                **(func_kwargs or {}))
+
+
+def _shim_sobel(image, *a, **k):
+    """skimage.filters.sobel for 2D: hypot of the axis Sobel derivatives
+    (kernels /4, reflect boundaries — scipy.ndimage.sobel matches the
+    kernel up to the 1/4 normalization, which cancels in any
+    correlation-based consumer)."""
+    from scipy.ndimage import sobel as _sp_sobel
+
+    img = np.asarray(image, np.float64)
+    return np.hypot(_sp_sobel(img, axis=0, mode="reflect"),
+                    _sp_sobel(img, axis=1, mode="reflect")) / 4.0
+
+
+def install_process_images_shims() -> None:
+    """Additional stand-ins needed to import the reference's
+    process_images.py / align_images.py verbatim (their ECC alignment path
+    is the golden target; the placeholders cover paths the goldens never
+    drive).  Requires install_shims() first."""
+    mpi4py = _ensure_module("mpi4py")
+    if not hasattr(mpi4py, "MPI"):
+        mpi4py.MPI = _placeholder("mpi4py.MPI")
+
+    cpufeature_ext = _ensure_module("cpufeature.extension")
+    if not hasattr(cpufeature_ext, "CPUFeature"):
+        cpufeature_ext.CPUFeature = {"num_virtual_cores": 8,
+                                     "num_physical_cores": 8}
+
+    ims_mod = _ensure_module("imaris_ims_file_reader.ims")
+    if not hasattr(ims_mod, "ims"):
+        ims_mod.ims = _placeholder("imaris_ims_file_reader.ims")
+
+    sk_filters = sys.modules["skimage.filters"]
+    sk_filters.sobel = _shim_sobel
+    sk_thresh = _ensure_module("skimage.filters.thresholding")
+    if not hasattr(sk_thresh, "threshold_multiotsu"):
+        sk_thresh.threshold_multiotsu = _placeholder(
+            "skimage.threshold_multiotsu")
+    sk_measure = sys.modules["skimage.measure"]
+    sk_measure.block_reduce = _shim_block_reduce
+    sk_transform = sys.modules["skimage.transform"]
+    for attr in ("warp", "resize_local_mean"):
+        if not hasattr(sk_transform, attr):
+            setattr(sk_transform, attr, _placeholder(f"skimage.{attr}"))
+    skimage = sys.modules["skimage"]
+    if not hasattr(skimage, "feature"):
+        sk_feature = _ensure_module("skimage.feature")
+        sk_feature.canny = _placeholder("skimage.feature.canny")
+        skimage.feature = sk_feature
+
+    tifffile = sys.modules["tifffile"]
+    if not hasattr(tifffile, "natural_sorted"):
+        tifffile.natural_sorted = _natural_sorted
+
+
 def load_pystripe_core():
     """Import the reference's pystripe.core verbatim (numpy/pywt code paths
     forced: USE_PYTORCH=False, USE_NUMEXPR=False)."""
