@@ -284,19 +284,28 @@ class Scanner:
                 for t in sorted(t_samples)
                 for zi in range(t + nominal_dz - sz, t + nominal_dz + sz + 1)
                 if 0 <= zi < na]
-        batch_a = np.ascontiguousarray(
-            np.stack([A[zi] for _, zi in cand]), np.float32)
-        batch_b = np.ascontiguousarray(
-            np.stack([B[t] for t, _ in cand]), np.float32)
         # clamp the shift search to keep min_dim_ncc_src rows/cols in play
         # (align_pair's clamp, libcrossmips.cpp:260-262)
         p = self.params
         dv = min(sy, max(1, A.shape[1] - p.min_dim_ncc_src))
         dh = min(sx, max(1, A.shape[2] - p.min_dim_ncc_src))
+        # decimation ladder (the reference starts at decimate=8,
+        # tsv/stitch.py:157 / align_one:868-902): the z sweep scores
+        # mean-pooled planes — the host->device batch shrinks by dec^2 —
+        # and only the winning dz is re-scored at full resolution
+        dec = 1
+        while (dec < 8
+               and min(A.shape[1], A.shape[2]) // (2 * dec) >= 4 * p.min_dim_ncc_src):
+            dec *= 2
+        if dec > 1 and len(cand) > len(t_samples):
+            dz_best = self._coarse_dz(A, B, cand, dec, dv, dh)
+            cand = [(t, zi) for t, zi in cand if zi - t == dz_best]
+        batch_a = np.ascontiguousarray(
+            np.stack([A[zi] for _, zi in cand]), np.float32)
+        batch_b = np.ascontiguousarray(
+            np.stack([B[t] for t, _ in cand]), np.float32)
         wr_v, wr_h = p.w_range(dv), p.w_range(dh)
-        maps = np.asarray(ncc_maps_batched(
-            jnp.asarray(batch_a), jnp.asarray(batch_b),
-            dv + wr_v, dh + wr_h), np.float64)
+        maps = self._maps_bucketed(batch_a, batch_b, dv + wr_v, dh + wr_h)
         best = None
         for i, (t, zi) in enumerate(cand):
             pv, ph, pk, _, _ = peak_and_widths(maps[i], dv, dh, wr_v, wr_h, p)
@@ -308,6 +317,64 @@ class Scanner:
         elif side == "ns":
             cv += va.shape[1] - overlap
         return (int(cv), int(ch), int(cd)), float(max(pk, 0.0))
+
+    @staticmethod
+    def _maps_bucketed(batch_a: np.ndarray, batch_b: np.ndarray,
+                       du: int, dv: int) -> np.ndarray:
+        """ncc_maps_batched with the batch size and search window rounded
+        up to buckets, then cropped back.
+
+        Every distinct (B, du, dv) compiles a fresh XLA executable; the
+        candidate count and the drift-widened slops vary per pair and per
+        round, which on the tunneled TPU means minutes of compiles for a
+        real grid.  Rounding B to the next power of two (padding with
+        repeats) and the delays to multiples of 4 makes the handful of
+        shapes recur, so the persistent cache serves every later pair."""
+        du_p = -(-max(du, 1) // 4) * 4
+        dv_p = -(-max(dv, 1) // 4) * 4
+        B = batch_a.shape[0]
+        B_p = 1 << (B - 1).bit_length()
+        if B_p > B:
+            pad = np.broadcast_to(batch_a[:1], (B_p - B,) + batch_a.shape[1:])
+            batch_a = np.concatenate([batch_a, pad])
+            batch_b = np.concatenate(
+                [batch_b, np.broadcast_to(batch_b[:1],
+                                          (B_p - B,) + batch_b.shape[1:])])
+        maps = np.asarray(ncc_maps_batched(
+            jnp.asarray(batch_a), jnp.asarray(batch_b), du_p, dv_p),
+            np.float64)
+        return maps[:B, du_p - du:du_p + du + 1, dv_p - dv:dv_p + dv + 1]
+
+    @staticmethod
+    def _coarse_dz(A: np.ndarray, B: np.ndarray, cand, dec: int,
+                   dv: int, dh: int) -> int:
+        """Pick the best z offset from mean-pooled planes (the decimated
+        first rung of the ladder; z itself is never decimated)."""
+        def pool(img):
+            h = img.shape[0] // dec * dec
+            w = img.shape[1] // dec * dec
+            return img[:h, :w].reshape(
+                h // dec, dec, w // dec, dec).mean(axis=(1, 3))
+
+        pa = {zi: None for _, zi in cand}
+        pb = {t: None for t, _ in cand}
+        for zi in pa:
+            pa[zi] = pool(np.asarray(A[zi], np.float32))
+        for t in pb:
+            pb[t] = pool(np.asarray(B[t], np.float32))
+        batch_a = np.stack([pa[zi] for _, zi in cand])
+        batch_b = np.stack([pb[t] for t, _ in cand])
+        du = max(1, -(-dv // dec)) + 1
+        dw = max(1, -(-dh // dec)) + 1
+        maps = Scanner._maps_bucketed(batch_a, batch_b, du, dw)
+        peaks = maps.reshape(maps.shape[0], -1).max(axis=1)
+        # best peak per dz (several t samples can share a dz)
+        by_dz = {}
+        for (t, zi), pk in zip(cand, peaks):
+            d = zi - t
+            if d not in by_dz or pk > by_dz[d]:
+                by_dz[d] = pk
+        return max(by_dz, key=by_dz.get)
 
     def align_all_stacks(self, rounds: int = 2) -> None:
         """Pairwise NCC alignment of every adjacent pair along x, y, z with
