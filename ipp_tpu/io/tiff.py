@@ -494,8 +494,8 @@ def write_tiff(path: Union[str, Path], img: np.ndarray,
                bigtiff: Optional[bool] = None) -> None:
     """Write a 2D grayscale (or (H,W,3) RGB) numpy array as TIFF.
 
-    compression: None | 'zlib'.  Writes BigTIFF automatically for data
-    > 3.5 GB or when bigtiff=True.
+    compression: None | 'zlib' | 'zlib:N' (N = zlib level 1-9, default 6).
+    Writes BigTIFF automatically for data > 3.5 GB or when bigtiff=True.
     """
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
@@ -527,15 +527,20 @@ def write_tiff(path: Union[str, Path], img: np.ndarray,
     if rows_per_strip is None:
         # target ~1 MB strips
         rows_per_strip = max(1, min(h, (1 << 20) // max(1, w * samples * dt.itemsize)))
+    zlib_level = None
+    if isinstance(compression, str) and compression.startswith("zlib"):
+        zlib_level = 6
+        if ":" in compression:
+            zlib_level = max(1, min(9, int(compression.split(":", 1)[1])))
+    elif compression not in (None, "none", "raw"):
+        raise TiffError(f"unsupported compression {compression!r}")
     strips = []
     for y0 in range(0, h, rows_per_strip):
         chunk = img[y0:y0 + rows_per_strip].tobytes()
-        if compression == "zlib":
-            chunk = zlib.compress(chunk, 6)
-        elif compression not in (None, "none", "raw"):
-            raise TiffError(f"unsupported compression {compression!r}")
+        if zlib_level is not None:
+            chunk = zlib.compress(chunk, zlib_level)
         strips.append(chunk)
-    comp_tag = 8 if compression == "zlib" else 1
+    comp_tag = 8 if zlib_level is not None else 1
 
     bo = "<"
     entries = []  # (tag, type, count, values)

@@ -103,22 +103,31 @@ def roll_pad(vol: np.ndarray, shift: Tuple[int, int, int]) -> np.ndarray:
 
 
 def _sections_similarity(ref_vol: np.ndarray, mov: np.ndarray) -> float:
-    """Mean Pearson correlation of the three central sections — the cheap
-    acceptance metric for candidate moves.  Exactly-zero pixels (roll-pad
-    fill bands) are masked out so growing/shrinking bands cannot dominate
-    the correlation."""
+    """Mean overlap-weighted Pearson correlation of the three central
+    sections — the cheap acceptance metric for candidate moves.
+    Exactly-zero pixels (roll-pad fill bands) are masked out so
+    growing/shrinking bands cannot dominate the correlation, and each
+    section's correlation is weighted by its overlap fraction: without
+    the weight, a large mis-shift that leaves only one small bright blob
+    overlapping can score a near-perfect Pearson over those few pixels
+    and out-rank the true alignment.  The weight is comparative-only
+    (every candidate state is scored the same way), so the rescaling is
+    harmless."""
     corr = []
     for r, m in zip(_central_slices(ref_vol), _central_slices(mov)):
         r = r.astype(np.float64).ravel()
         m = m.astype(np.float64).ravel()
         keep = (r != 0) & (m != 0)
-        if keep.sum() < 16:
+        n_keep = int(keep.sum())
+        if n_keep < 16:
             corr.append(0.0)
             continue
+        frac = n_keep / keep.size
         r = r[keep] - r[keep].mean()
         m = m[keep] - m[keep].mean()
         denom = np.sqrt((r * r).sum() * (m * m).sum())
-        corr.append(float((r * m).sum() / denom) if denom > 0 else 0.0)
+        corr.append(float((r * m).sum() / denom) * frac if denom > 0
+                    else 0.0)
     return float(np.mean(corr))
 
 

@@ -15,9 +15,13 @@ choice), alignment runs through the batched all-shifts NCC engine with
 drift-recentered rounds, and positions come from the score-weighted LS
 solve.  Documented deviations: the offsets JSON schema is link-based (one
 record per aligned pair, not the reference's per-direction z-lists —
-load/dump round-trip with THIS tool only), and ``--z-skip`` is accepted
-but unused (the NCC engine scores whole overlap volumes at once instead of
-sampling planes, so there is nothing to skip).
+load/dump round-trip with THIS tool only); ``--z-skip`` is accepted but
+unused (the NCC engine scores whole overlap volumes at once instead of
+sampling planes, so there is nothing to skip); ``--n-cores`` is accepted
+but unused (alignment is device-batched, there is no CPU alignment pool);
+``--loose-x`` is accepted but unused (the score-weighted LS solve already
+places every stack individually, strictly looser than the reference's
+per-Y x offsets, tsv/scan.py:794-798).
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ def discover_scan_stacks(
         voxel_size: Tuple[float, float, float],
         z_stepper_distance: float = 297.0,
         piezo_distance: float = 300.0,
+        log: Optional[Logger] = None,
 ) -> Dict[Tuple[int, int, int], ScanStack]:
     """Walk the dragonfly hierarchy into ScanStacks keyed by grid index.
 
@@ -55,6 +60,7 @@ def discover_scan_stacks(
     positions divide by the voxel size exactly as the reference does.
     """
     xv, yv, zv = voxel_size
+    log = log or Logger()
     by_coord: Dict[Tuple[int, int, float], List[Path]] = {}
     root = Path(root)
     for folder in sorted(root.iterdir()):
@@ -79,12 +85,21 @@ def discover_scan_stacks(
                 img_paths = sorted(sub.glob("*.tif*"))
                 if not img_paths:
                     continue
-            try:
-                path_and_z = sorted(
-                    (int(p.name.rsplit(".", 1)[0]) / 10, p)
-                    for p in img_paths)
-            except ValueError:
+            # names are Z positions in 10ths of microns; a stray
+            # non-numeric file (preview.tif, thumbs…) must not silently
+            # discard the whole substack — skip it loudly and keep the
+            # real planes (the reference would crash on the same input,
+            # tsv/scan.py:254)
+            path_and_z = []
+            for p in img_paths:
+                try:
+                    path_and_z.append((int(p.name.rsplit(".", 1)[0]) / 10, p))
+                except ValueError:
+                    log.warn(f"{sub}: ignoring non-plane file {p.name} "
+                             f"(name is not a Z position)")
+            if not path_and_z:
                 continue
+            path_and_z.sort()
             z0 = path_and_z[0][0]
             zbase = z0
             current: List[Path] = []
@@ -152,7 +167,20 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                         "engine always scores the full overlap volume")
     p.add_argument("--dark", type=int, default=200,
                    help="values below this are background")
-    p.add_argument("--min-support", type=int, default=5)
+    p.add_argument("--min-support", type=int, default=5,
+                   help="minimum number of same-direction links before an "
+                        "unlinked adjacent pair is given their median "
+                        "offset (the reference's composite-alignment "
+                        "fallback)")
+    p.add_argument("--n-cores", type=int, default=None,
+                   help="accepted for reference-CLI compatibility; "
+                        "alignment runs batched on the device, so there "
+                        "is no CPU alignment pool to size")
+    p.add_argument("--loose-x", action="store_true",
+                   help="accepted for reference-CLI compatibility; the "
+                        "LS solve already places every stack "
+                        "individually (strictly looser than per-Y x "
+                        "offsets)")
     p.add_argument("--rounds", type=int, default=2,
                    help="drift-recentered alignment rounds")
     p.add_argument("--estimate-creep", action="store_true",
@@ -161,7 +189,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     p.add_argument("--n-io-cores", type=int, default=8)
     p.add_argument("--log-level", default="WARNING")
     p.add_argument("--compression", type=int, default=3,
-                   help="0 = none, >0 = zlib")
+                   help="zlib level 0 (none) to 9, as in the reference")
     p.add_argument("--stack-offset-output", default=None,
                    help="write the pairwise offsets JSON here")
     p.add_argument("--stack-offset-input", default=None,
@@ -179,7 +207,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     voxel_size = tuple(float(v) for v in opts.voxel_size.split(","))
     stacks = discover_scan_stacks(
         Path(opts.input), voxel_size,
-        z_stepper_distance=opts.z_step, piezo_distance=opts.piezo_distance)
+        z_stepper_distance=opts.z_step, piezo_distance=opts.piezo_distance,
+        log=log)
     log.info(f"discovered {len(stacks)} substacks")
     scanner = Scanner(stacks, dark=float(opts.dark),
                       slop=(opts.y_slop, opts.x_slop, opts.z_slop),
@@ -215,15 +244,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                       indent=2)
     vol = scanner.volume
     width, height = vol.x1, vol.y1
-    out_dir = Path(opts.output_pattern % vol.z0).parent
-    out_dir.mkdir(parents=True, exist_ok=True)
-    compression = "zlib" if opts.compression > 0 else None
+    level = max(0, min(9, opts.compression))
+    compression = f"zlib:{level}" if level > 0 else None
 
     def write_one(z: int) -> None:
         plane = scanner.imread(
             VExtent(0, width, 0, height, z, z + 1), np.uint16)[0]
-        tio.write_tiff(opts.output_pattern % z, plane,
-                       compression=compression)
+        out_path = Path(opts.output_pattern % z)
+        # patterns may put the z index in a directory component — the
+        # reference mkdirs per plane inside the z loop (tsv/stitch.py:184)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        tio.write_tiff(out_path, plane, compression=compression)
 
     # blending reads are the heavy part and hold the GIL only in numpy;
     # thread the TIFF writes like the reference's n_io_cores pool

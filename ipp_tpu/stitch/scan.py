@@ -258,6 +258,16 @@ class Scanner:
         dy, dx, dz = recenter
         sy, sx, sz = slop
         sy, sx, sz = sy + abs(dy), sx + abs(dx), sz + abs(dz)
+        # bucket the strip width: stage landings jitter by a pixel or two,
+        # so per-pair overlaps differ by +-1-2 px and every distinct width
+        # would be its own XLA executable (same compile-poison rule as
+        # _maps_bucketed).  Multiples of 4 collapse that jitter into one
+        # shape while losing <=3 edge pixels; narrow strips (<=32 px) are
+        # left exact — truncation there eats a meaningful fraction of the
+        # seam signal (measured: a 24->16 cut flipped a clean 1.0-score
+        # alignment to a wrong 0.56 one)
+        if side != "tb" and overlap > 32:
+            overlap = overlap - overlap % 4
         if side == "we":
             A, B = va[:, :, -overlap:], vb[:, :, :overlap]
         elif side == "ns":
@@ -415,8 +425,12 @@ class Scanner:
 
     def _estimate_drift(self, per_side) -> AverageDrift:
         """Median per-direction offsets with outlier rejection
-        (reference accumulate_offsets, tsv/scan.py:479-499)."""
+        (reference accumulate_offsets, tsv/scan.py:479-499 — ungated:
+        min_support gates only the composite fill-in of MISSING links,
+        see _composite_edges)."""
         def med(side, axis):
+            if not per_side[side]:
+                return 0
             return int(round(_median_without_outliers(
                 [t[axis] for t in per_side[side]])))
 
@@ -434,8 +448,15 @@ class Scanner:
         """Solve for absolute stack positions as a score-weighted
         least-squares problem per axis (the place_tiles_lqp relaxation —
         reconciles loop-inconsistent links that the reference's median
-        chains, flat_adjust_stacks:724-818, average away), then rebase."""
+        chains, flat_adjust_stacks:724-818, average away), then rebase.
+
+        With no surviving links every stack keeps its nominal stage
+        position, but the grid is STILL rebased to origin 0 — dragonfly
+        stage coordinates are absolute (tens of thousands of pixels) and
+        skipping the rebase would make downstream canvases allocate the
+        whole stage extent."""
         if not self.alignments:
+            self._rebase()
             return
         from scipy.sparse import lil_matrix
         from scipy.sparse.linalg import lsqr
@@ -449,6 +470,7 @@ class Scanner:
         for (k0, k1), (cv, ch, cd) in self.alignments.items():
             w = max(self.scores.get((k0, k1), 0.1), 1e-3)
             edges.append((idx[k0], idx[k1], (ch, cv, cd), w))
+        edges += self._composite_edges(idx)
         for axis in range(3):
             # edge rows + a weak per-stack prior toward the nominal stage
             # position: a stack with NO surviving links (dark-overlap
@@ -481,6 +503,54 @@ class Scanner:
         for k, i in idx.items():
             s = self.stacks[k]
             s.x0, s.y0, s.z0 = int(pos[i, 0]), int(pos[i, 1]), int(pos[i, 2])
+        self._rebase()
+
+    _SIDES = {"we": (1, 0, 0), "ns": (0, 1, 0), "tb": (0, 0, 1)}
+
+    def _composite_edges(self, idx) -> list:
+        """Median fill-in for adjacent pairs with NO surviving link — the
+        reference's composite-alignment fallback gated by min_support
+        (flat_adjust_stacks, tsv/scan.py:748,760: a pair lacking a direct
+        above-threshold link gets its peers' median offset, but only when
+        at least min_support peers support the guess; otherwise the
+        nominal offset stands).  Here the guesses enter the LS solve as
+        low-weight edges (0.05, well below real link scores ~0.75+), so
+        a real link always dominates and a loop-inconsistent guess is
+        reconciled rather than chained."""
+        by_side: Dict[str, List[Tuple[int, int, int]]] = {
+            s: [] for s in self._SIDES}
+        for (k0, k1), (cv, ch, cd) in self.alignments.items():
+            delta = tuple(b - a for a, b in zip(k0, k1))
+            for side, d in self._SIDES.items():
+                if delta == d:
+                    s0, s1 = self.stacks[k0], self.stacks[k1]
+                    by_side[side].append((ch - (s1.x0 - s0.x0),
+                                          cv - (s1.y0 - s0.y0),
+                                          cd - (s1.z0 - s0.z0)))
+        med = {side: tuple(int(round(np.median([v[a] for v in vals])))
+                           for a in range(3))
+               for side, vals in by_side.items()
+               if len(vals) >= self.min_support}
+        out = []
+        for k0 in self.stacks:
+            for side, d in self._SIDES.items():
+                if side not in med:
+                    continue
+                k1 = tuple(a + b for a, b in zip(k0, d))
+                if k1 not in self.stacks or (k0, k1) in self.alignments:
+                    continue
+                s0, s1 = self.stacks[k0], self.stacks[k1]
+                mx, my, mz = med[side]
+                out.append((idx[k0], idx[k1],
+                            (s1.x0 - s0.x0 + mx, s1.y0 - s0.y0 + my,
+                             s1.z0 - s0.z0 + mz), 0.05))
+        if out:
+            self.log.info(f"composite fill-in: {len(out)} unlinked "
+                          f"adjacent pairs given per-side median offsets")
+        return out
+
+    def _rebase(self) -> None:
+        """Shift all stack positions so the grid minimum sits at 0."""
         mx = min(s.x0 for s in self.stacks.values())
         my = min(s.y0 for s in self.stacks.values())
         mz = min(s.z0 for s in self.stacks.values())

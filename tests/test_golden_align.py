@@ -98,3 +98,28 @@ def test_align_volumes_truth_where_reference_diverges():
     vol, moved = _channel_pair(shift)
     _aligned, our_total = align_volumes(vol, moved, max_iter=8)
     assert np.array_equal(np.array(our_total), np.array(shift))
+
+
+def test_sections_similarity_weights_overlap():
+    """The acceptance metric must not prefer a large mis-shift whose tiny
+    surviving overlap correlates perfectly: two identical blobs make the
+    shifted state's raw Pearson 1.0 over a few pixels, and only the
+    overlap-fraction weight ranks the true (unshifted) state higher."""
+    import numpy as np
+
+    from ipp_tpu.pipeline.align_channels import (_sections_similarity,
+                                                 roll_pad)
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+
+    def blob(cy, cx):
+        return 1000.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+
+    plane = blob(32, 16) + blob(32, 48)
+    plane[plane < 20] = 0.0
+    vol = np.broadcast_to(plane, (8, 64, 64)).copy()
+    # shifting by the inter-blob distance lands one blob exactly on the
+    # other: raw Pearson over the surviving overlap is ~1.0
+    shifted = roll_pad(vol.copy(), (0, 0, 32))
+    assert _sections_similarity(vol, vol) > _sections_similarity(
+        vol, shifted)

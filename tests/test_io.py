@@ -54,6 +54,24 @@ def test_tiff_multi_strip(tmp_path, rng):
     np.testing.assert_array_equal(tio.read_tiff(p), img)
 
 
+def test_tiff_zlib_levels(tmp_path, rng):
+    """'zlib:N' selects the deflate level: every level round-trips, level
+    9 compresses a redundant image at least as well as level 1, and a
+    malformed level string raises."""
+    img = np.tile(rng.integers(0, 4000, (16, 700)).astype(np.uint16),
+                  (40, 1))
+    sizes = {}
+    for level in (1, 9):
+        p = tmp_path / f"l{level}.tif"
+        tio.write_tiff(p, img, compression=f"zlib:{level}",
+                       rows_per_strip=64)
+        np.testing.assert_array_equal(tio.read_tiff(p), img)
+        sizes[level] = p.stat().st_size
+    assert sizes[9] <= sizes[1]
+    with pytest.raises(Exception):
+        tio.write_tiff(tmp_path / "bad.tif", img, compression="zstd")
+
+
 def test_bigtiff_roundtrip(tmp_path, rng):
     img = rng.integers(0, 65535, (128, 200)).astype(np.uint16)
     p = tmp_path / "bt.tif"

@@ -287,3 +287,83 @@ def test_scan_stitch_cli_dragonfly_tree(tmp_path, rng):
     placed2 = {tuple(d["key"]): np.array([d["x0"], d["y0"], d["z0"]])
                for d in json.load(open(stacks_json2))}
     assert all(np.array_equal(placed[k], placed2[k]) for k in placed)
+
+
+def test_scanner_composite_fillin_min_support(tmp_path, rng):
+    """Adjacent pairs with NO surviving link get their peers' median
+    offset when at least min_support same-direction links exist, and
+    keep leaning on the nominal chain otherwise (reference
+    flat_adjust_stacks median fill-in, tsv/scan.py:748,760)."""
+    from ipp_tpu.stitch.scan import Scanner, ScanStack
+
+    n = 6
+    vols = make_phantom(rng, (2, 16, 16), smooth=2.0)
+    base_paths = {xi: _write_stack(tmp_path / f"s{xi}", vols)
+                  for xi in range(n)}
+
+    def run(min_support):
+        stacks = {(xi, 0, 0): ScanStack(base_paths[xi],
+                                        x0=100 * xi, y0=0, z0=0)
+                  for xi in range(n)}
+        sc = Scanner(stacks, min_support=min_support)
+        for xi in range(n - 1):
+            if xi == 2:
+                continue  # the unlinked pair (2,0,0)->(3,0,0)
+            # +2 px/step y creep relative to the nominal grid
+            sc.alignments[((xi, 0, 0), (xi + 1, 0, 0))] = (2, 100, 0)
+            sc.scores[((xi, 0, 0), (xi + 1, 0, 0))] = 0.9
+        sc.apply_alignments()
+        return {k: s.y0 for k, s in sc.stacks.items()}
+
+    y = run(min_support=4)  # 4 surviving 'we' links >= 4 -> fill-in
+    assert abs((y[(3, 0, 0)] - y[(2, 0, 0)]) - 2) <= 1, y
+    assert abs((y[(5, 0, 0)] - y[(0, 0, 0)]) - 10) <= 1, y
+    y = run(min_support=99)  # gated: the gap is NOT bridged with +2
+    assert y[(3, 0, 0)] - y[(2, 0, 0)] < 2, y
+
+
+def test_scanner_no_links_still_rebases(tmp_path, rng):
+    """Absolute dragonfly stage coordinates must be rebased to origin 0
+    even when no alignment links survive, or downstream canvases would
+    allocate the whole stage extent."""
+    from ipp_tpu.stitch.scan import Scanner, ScanStack
+
+    vols = make_phantom(rng, (2, 16, 16), smooth=2.0)
+    s = ScanStack(_write_stack(tmp_path / "solo", vols),
+                  x0=85000, y0=42000, z0=9000)
+    sc = Scanner({(0, 0, 0): s})
+    sc.apply_alignments()
+    assert (s.x0, s.y0, s.z0) == (0, 0, 0)
+    assert sc.volume.x1 == 16 and sc.volume.y1 == 16 and sc.volume.z1 == 2
+
+
+def test_scan_stitch_cli_compat_and_edge_cases(tmp_path, rng):
+    """Reference-surface compat flags parse (--n-cores/--loose-x/--z-skip),
+    a stray non-numeric plane file is skipped without discarding its
+    substack, z-indexed output DIRECTORIES are created per plane
+    (reference tsv/stitch.py:184), and --compression passes the zlib
+    level through to the TIFF writer."""
+    from ipp_tpu.pipeline import scan_stitch
+    from tests.synth import write_dragonfly_tree
+
+    root = tmp_path / "tree"
+    truth, vol = write_dragonfly_tree(root, rng)
+    sub = next(d for d in sorted(root.iterdir()) if d.is_dir())
+    subsub = next(d for d in sorted(sub.iterdir()) if d.is_dir())
+    (subsub / "preview.tif").write_bytes(b"not a plane")
+    out = tmp_path / "out"
+    rc = scan_stitch.main([
+        "--input", str(root), "--voxel-size", "1,1,1",
+        "--z-step", "12", "--piezo-distance", "16",
+        "--x-slop", "5", "--y-slop", "5", "--z-slop", "4",
+        "--dark", "100", "--threshold", "0.5", "--rounds", "1",
+        "--n-io-cores", "2",
+        "--n-cores", "24", "--loose-x", "--z-skip", "middle",
+        "--compression", "9",
+        "--output-pattern", str(out / "%04d" / "plane.tif")])
+    assert rc == 0
+    planes = sorted(out.glob("*/plane.tif"))
+    assert len(planes) >= 16  # all substacks survived the stray file
+    img = tio.imread(planes[len(planes) // 2])
+    assert img.dtype == np.uint16
+    assert np.count_nonzero(img) > 0.5 * img.size
