@@ -1,8 +1,9 @@
 """.raw memmap codec (reference: pystripe/raw.py:9-68, tsv/raw.py).
 
-Format: 3 little-endian uint32 header words (width, height, 2) followed by
-row-major uint16 pixels; endianness of the pixel payload is guessed from the
-header width plausibility, as in the reference.
+Format: 2 uint32 header words (width, height) at offset 0, then row-major
+uint16 pixels from byte 8; endianness of header AND pixels is guessed by
+decoding the width both ways and keeping the smaller (valid for widths
+< 64K, exactly the reference's heuristic).
 """
 
 from __future__ import annotations

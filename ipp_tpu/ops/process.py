@@ -115,7 +115,9 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
         x = it.gaussian_blur2d(x.astype(jnp.float32), 1.0, radius=2)
 
     if cfg.down_sample is not None:
-        x = rs.block_reduce(x, cfg.down_sample, cfg.down_sample_method)
+        # x may carry a leading batch dim (the batched tile path)
+        bs = (1,) * (x.ndim - 2) + tuple(cfg.down_sample)
+        x = rs.block_reduce(x, bs, cfg.down_sample_method)
 
     needs_streaks = (cfg.bleach_correction_frequency is not None
                      or tuple(cfg.sigma) > (0, 0))

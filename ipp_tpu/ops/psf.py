@@ -69,12 +69,25 @@ def _mirror8(oct_: np.ndarray) -> np.ndarray:
 def make_psf(dxy: float, dz: float, NA: float = 0.4, n: float = 1.45,
              lambda_ex: float = 488.0, lambda_em: float = 525.0,
              fcyl: float = 80000.0, slitwidth: float = 12000.0,
+             sample_at_data_pitch: bool = False,
              ) -> Tuple[np.ndarray, float, float]:
     """Build the (x, y, z) PSF volume; returns (psf, FWHM_xy, FWHM_z).
 
     All lengths in nanometers (reference LsMakePSF.m:1-64).  The returned
     array is normalized to unit sum and laid out (nx, ny, nz) like the
     reference (callers transpose to (z, y, x) as needed).
+
+    The xy sampling pitch defaults to the REFERENCE's convention: LsDeconv
+    clamps it to a third of the diffraction limit (dxy_corr = min(dxy,
+    Rxy/3), LsDeconv.m:161) and passes THAT into LsMakePSF, so when the
+    camera pixel is coarser than Rxy/3 the PSF is sampled finer than the
+    image grid and the direct convolution sees a correspondingly narrower
+    kernel in pixel units — that is the behavior its published results
+    carry, so it is the default here.  ``sample_at_data_pitch=True``
+    samples (and sizes) the grid at the true voxel pitch instead — the
+    equivalent of pycudadecon's OTF-to-data-grid resampling that the
+    reference's FNT path relies on (fnt_cube_processor.py:201-222, dxpsf
+    passed separately from dxdata).
     """
     NA_ls = math.sin(math.atan(0.5 * slitwidth / fcyl))
     halfmax = 0.5 * psf_value(0, 0, 0, NA, n, lambda_ex, lambda_em, NA_ls)
@@ -95,8 +108,8 @@ def make_psf(dxy: float, dz: float, NA: float = 0.4, n: float = 1.45,
     fwhm_z = 2.0 * abs(find_zero(fz))
 
     Rxy = 0.61 * lambda_em / NA
-    dxy_corr = min(dxy, Rxy / 3.0)
-    nxy = math.ceil(2.0 * fwhm_xy / dxy_corr)
+    pitch = dxy if sample_at_data_pitch else min(dxy, Rxy / 3.0)
+    nxy = math.ceil(2.0 * fwhm_xy / pitch)
     nz = math.ceil(2.0 * fwhm_z / dz)
     nxy += (nxy + 1) % 2  # force odd
     nz += (nz + 1) % 2
@@ -107,7 +120,7 @@ def make_psf(dxy: float, dz: float, NA: float = 0.4, n: float = 1.45,
     for k in range(hz):
         for j in range(hx):
             for i in range(hx):
-                oct_[i, j, k] = psf_value(i * dxy, j * dxy, k * dz, NA, n,
+                oct_[i, j, k] = psf_value(i * pitch, j * pitch, k * dz, NA, n,
                                           lambda_ex, lambda_em, NA_ls)
     psf = _mirror8(oct_)
     psf /= psf.sum()

@@ -36,6 +36,10 @@ __all__ = ["TileTask", "run_tile_pipeline"]
 class TileTask:
     input_path: Path
     output_path: Path
+    # multi-frame container (DCIMG) tasks carry the frame index; plain
+    # image files leave it None (reference process_dc_images z_idx,
+    # pystripe/core.py:1649-1684)
+    frame: Optional[int] = None
 
 
 @dataclass
@@ -108,9 +112,14 @@ def run_tile_pipeline(
                 # timeout sandbox: a hung/corrupt read becomes a zero tile
                 # (reference 1-task inner pool with timeout,
                 # pystripe/core.py:1710-1755)
-                img = np.asarray(
-                    timeout_pool.submit(read_fn, t.input_path)
-                    .result(timeout=read_timeout))
+                if t.frame is None:
+                    fut = timeout_pool.submit(read_fn, t.input_path)
+                else:
+                    from ..io.dcimg import dcimg_imread
+
+                    fut = timeout_pool.submit(dcimg_imread, t.input_path,
+                                              t.frame)
+                img = np.asarray(fut.result(timeout=read_timeout))
             except _FTimeout:
                 print(f"read timeout, substituting zeros: {t.input_path}")
                 img = None

@@ -52,9 +52,14 @@ def process_cubes(
     cubes = sorted(input_dir.rglob("*.nrrd"))
     if not cubes:
         raise FileNotFoundError(f"no .nrrd cubes under {input_dir}")
+    # sample at the cube's own voxel pitch: our RL convolves the PSF
+    # directly on the data grid, which is what pycudadecon's internal
+    # OTF-to-data-grid resampling achieves for the reference
+    # (fnt_cube_processor.py:201-222 passes dxpsf separately from dxdata)
     psf, fwhm_xy, fwhm_z = make_psf(
         dxy=voxel_um[1] * 1000.0, dz=voxel_um[0] * 1000.0, NA=na,
-        n=refractive_index, lambda_ex=lambda_ex, lambda_em=lambda_em)
+        n=refractive_index, lambda_ex=lambda_ex, lambda_em=lambda_em,
+        sample_at_data_pitch=True)
     psf_zyx = np.transpose(psf, (2, 1, 0))
     log.info(f"PSF {psf_zyx.shape}, FWHM xy {fwhm_xy:.0f} nm z {fwhm_z:.0f} nm")
     prog = ProgressReporter(len(cubes), desc="cubes")

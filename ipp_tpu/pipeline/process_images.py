@@ -339,6 +339,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma1", type=float, default=250.0)
     p.add_argument("--sigma2", type=float, default=250.0)
     p.add_argument("--wavelet", default="db9")
+    p.add_argument("--padding-mode", default="reflect",
+                   help="destripe pad mode; the reference's production "
+                        "call hardwires 'reflect' (process_images.py:436)")
+    p.add_argument("--bidirectional", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="filter streaks in both directions (the "
+                        "reference's production call passes True, "
+                        "process_images.py:437)")
     p.add_argument("--dark", type=float, default=0.0)
     p.add_argument("--flat", type=Path, default=None,
                    help="flat-field image to divide tiles by "
@@ -424,6 +432,8 @@ def main(argv=None) -> int:
         if not args.no_preprocess:
             cfg = ProcessConfig(
                 sigma=(args.sigma1, args.sigma2), wavelet=args.wavelet,
+                padding_mode=args.padding_mode,
+                bidirectional=args.bidirectional,
                 dark=args.dark, flat=flat,
                 gaussian_filter_2d=args.gaussian,
                 lightsheet=args.lightsheet,

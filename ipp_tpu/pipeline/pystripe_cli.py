@@ -31,10 +31,33 @@ SUPPORTED_EXTENSIONS = (".tif", ".tiff", ".raw", ".png")
 
 
 def collect_tasks(input_dir: Path, output_dir: Path,
-                  extensions=SUPPORTED_EXTENSIONS) -> List[TileTask]:
+                  extensions=SUPPORTED_EXTENSIONS,
+                  z_step: Optional[float] = None) -> List[TileTask]:
     """Mirror the input tree into output, one task per image
-    (reference glob in batch_filter, pystripe/core.py:1997-2019)."""
+    (reference glob in batch_filter, pystripe/core.py:1997-2019).
+
+    With z_step (microns) the scan switches to DCIMG mode (reference
+    :1997-2012): every *.dcimg expands to one task per frame, named
+    z{start + i*z_step_tenths:08.1f}.tif where start is the file's name
+    as a z position in tenths of a micron (process_dc_images,
+    pystripe/core.py:1649-1684)."""
     tasks = []
+    if z_step is not None:
+        from ..io.dcimg import DCIMGFile
+
+        step_tenths = z_step * 10.0
+        for p in sorted(input_dir.rglob("*.dcimg")):
+            try:
+                start = int(p.name.split(".")[0])
+            except ValueError:
+                print(f"skipping {p}: name is not a z position")
+                continue
+            n_frames = DCIMGFile(p).shape[0]
+            out_dir = (output_dir / p.relative_to(input_dir)).parent
+            for i in range(n_frames):
+                out = out_dir / f"z{start + i * step_tenths:08.1f}.tif"
+                tasks.append(TileTask(p, out, frame=i))
+        return tasks
     for p in sorted(input_dir.rglob("*")):
         if p.suffix.lower() in extensions and p.is_file():
             rel = p.relative_to(input_dir)
@@ -46,7 +69,7 @@ def collect_tasks(input_dir: Path, output_dir: Path,
 def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                  batch_size: int = 8, resume: bool = False,
                  compression: Optional[str] = None,
-                 workers: int = 8) -> dict:
+                 workers: int = 8, z_step: Optional[float] = None) -> dict:
     """Destripe a whole directory tree (reference batch_filter,
     pystripe/core.py:1806-2050).
 
@@ -55,7 +78,7 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
     compiled program (the reference's per-GPU queue, pystripe/core.py:
     2021-2037, without token passing)."""
     enable_persistent_cache()
-    tasks = collect_tasks(Path(input_dir), Path(output_dir))
+    tasks = collect_tasks(Path(input_dir), Path(output_dir), z_step=z_step)
     if not tasks:
         raise FileNotFoundError(f"no images under {input_dir}")
 
@@ -127,6 +150,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wavelet", "-w", type=str, default="db10")
     p.add_argument("--crossover", "-x", type=float, default=10)
     p.add_argument("--threshold", "-t", type=float, default=None)
+    p.add_argument("--padding-mode", "--padding_mode", dest="padding_mode",
+                   type=str, default="reflect",
+                   help="destripe pad mode (reference CLI default "
+                        "'reflect', pystripe/core.py:2079)")
     p.add_argument("--bidirectional", action="store_true")
     p.add_argument("--dark", "-d", type=float, default=0)
     p.add_argument("--flat", "-f", type=Path, default=None)
@@ -134,48 +161,122 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2D gaussian denoise before destriping")
     p.add_argument("--lightsheet", action="store_true")
     p.add_argument("--artifact-length", type=int, default=150)
-    p.add_argument("--convert-to-16bit", action="store_true")
-    p.add_argument("--convert-to-8bit", action="store_true")
-    p.add_argument("--bit-shift", type=int, default=8)
-    p.add_argument("--down-sample", type=int, nargs=2, default=None)
+    p.add_argument("--background-window-size", type=int, default=200,
+                   help="background estimation window (lightsheet mode)")
+    p.add_argument("--percentile", type=float, default=0.25,
+                   help="background percentile (lightsheet mode)")
+    p.add_argument("--lightsheet-vs-background", type=float, default=2.0)
+    # the reference spells these with underscores AND inverts them via
+    # argparse store_false bugs (pystripe/core.py:2116-2122); the
+    # spellings are accepted, the inversion is not replicated
+    p.add_argument("--convert-to-16bit", "--convert_to_16bit",
+                   dest="convert_to_16bit", action="store_true")
+    p.add_argument("--convert-to-8bit", "--convert_to_8bit",
+                   dest="convert_to_8bit", action="store_true")
+    p.add_argument("--bit-shift", "--bit_shift_to_right", "-bsh",
+                   dest="bit_shift", type=int, default=8)
+    p.add_argument("--down-sample", "--down_sample", "-ds",
+                   dest="down_sample", type=int, nargs="+", default=None,
+                   help="1 int (both axes, the reference form) or 2 ints")
     p.add_argument("--new-size", type=int, nargs=2, default=None)
+    p.add_argument("--size_x", "-sx", type=int, default=None,
+                   help="new x size (reference spelling; pairs with "
+                        "--size_y)")
+    p.add_argument("--size_y", "-sy", type=int, default=None)
     p.add_argument("--rotate", type=int, default=0, choices=[0, 90, 180, 270])
-    p.add_argument("--flip-upside-down", action="store_true")
+    p.add_argument("--flip-upside-down", "--flip_upside_down",
+                   dest="flip_upside_down", action="store_true")
+    p.add_argument("--zstep", "-z", type=float, default=None,
+                   help="z-step in micron; switches the scan to DCIMG "
+                        "mode (one output plane per frame, z-position "
+                        "names — reference process_dc_images)")
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--workers", "-n", type=int, default=8)
+    p.add_argument("--chunks", type=int, default=None,
+                   help="accepted for reference-CLI compatibility; the "
+                        "device batcher sizes its own dispatch batches")
     p.add_argument("--compression", type=str, default=None,
-                   choices=[None, "zlib"])
+                   help="None | zlib | zlib:N")
+    p.add_argument("--compression_method", "-cm", type=str, default=None,
+                   help="reference spelling: ADOBE_DEFLATE/ZLIB/"
+                        "DEFLATE map to zlib; None disables")
+    p.add_argument("--compression_level", "-cl", type=int, default=1)
     p.add_argument("--resume", "--continue", dest="resume",
                    action="store_true")
     return p
 
 
+def _resolve_compression(args) -> Optional[str]:
+    """Fold --compression / --compression_method+--compression_level into
+    the TIFF writer's 'zlib:N' form (reference compression tuple,
+    pystripe/core.py:2092-2095)."""
+    if args.compression_method is not None:
+        method = args.compression_method.upper()
+        if method in ("NONE", "RAW"):
+            return None
+        if method in ("ADOBE_DEFLATE", "ZLIB", "DEFLATE", "ZSTD", "LZW"):
+            if method in ("ZSTD", "LZW"):
+                print(f"compression {method} not supported by the native "
+                      f"TIFF writer; using zlib (deflate)")
+            level = max(1, min(9, args.compression_level))
+            return f"zlib:{level}"
+        raise ValueError(f"unsupported compression method {method!r}")
+    return args.compression
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = Logger()
-    out = args.output or args.input.parent / (args.input.name + "_destriped")
     flat = None
     if args.flat is not None:
         flat = tio.imread(args.flat).astype(np.float32)
         flat /= flat.max()
+    down_sample = None
+    if args.down_sample:
+        ds = list(args.down_sample)
+        if len(ds) == 1:  # the reference's single-factor form
+            ds = [ds[0], ds[0]]
+        down_sample = (ds[0], ds[1])
+    new_size = tuple(args.new_size) if args.new_size else None
+    if new_size is None and args.size_x is not None and args.size_y is not None:
+        new_size = (args.size_y, args.size_x)  # reference order (:2140)
     cfg = ProcessConfig(
         flat=flat,
         gaussian_filter_2d=args.gaussian,
-        down_sample=tuple(args.down_sample) if args.down_sample else None,
-        new_size=tuple(args.new_size) if args.new_size else None,
+        down_sample=down_sample,
+        new_size=new_size,
         sigma=(args.sigma1, args.sigma2),
         level=args.level, wavelet=args.wavelet, crossover=args.crossover,
-        threshold=args.threshold, bidirectional=args.bidirectional,
+        threshold=args.threshold, padding_mode=args.padding_mode,
+        bidirectional=args.bidirectional,
         dark=args.dark, lightsheet=args.lightsheet,
         artifact_length=args.artifact_length,
+        background_window_size=args.background_window_size,
+        percentile=args.percentile,
+        lightsheet_vs_background=args.lightsheet_vs_background,
         rotate=args.rotate, flip_upside_down=args.flip_upside_down,
         convert_to_16bit=args.convert_to_16bit,
         convert_to_8bit=args.convert_to_8bit,
         bit_shift_to_right=args.bit_shift)
+    compression = _resolve_compression(args)
+    if args.input.is_file():
+        # single-image mode (reference main, pystripe/core.py:2150-2161)
+        if args.input.suffix.lower() not in SUPPORTED_EXTENSIONS:
+            log.error(f"unsupported input file {args.input}")
+            return 1
+        out = args.output or args.input.parent / (
+            args.input.stem + "_destriped" + args.input.suffix)
+        img = tio.imread(args.input)
+        result = np.asarray(process_img(img[None], cfg))[0]
+        Path(out).parent.mkdir(parents=True, exist_ok=True)
+        tio.imwrite(out, result, compression=compression)
+        log.info(f"destriped {args.input} -> {out}")
+        return 0
+    out = args.output or args.input.parent / (args.input.name + "_destriped")
     log.info(f"destriping {args.input} -> {out}")
     counters = batch_filter(args.input, out, cfg, batch_size=args.batch_size,
-                            resume=args.resume, compression=args.compression,
-                            workers=args.workers)
+                            resume=args.resume, compression=compression,
+                            workers=args.workers, z_step=args.zstep)
     log.info(f"done: {counters}")
     return 1 if counters["failed"] else 0
 

@@ -186,9 +186,74 @@ def series_to_precomputed(input_dir, output_dir,
     return w.dir
 
 
+def convert_xml_to_2d_tif(xml_path, output_pattern: str,
+                          mipmap_level: int = 0, volume_str: str = "",
+                          compression: int = 4, rotation: int = 0,
+                          ignore_z_offsets: bool = False,
+                          alt_input=None, resume: bool = True,
+                          cosine: bool = False) -> Path:
+    """The tsv/convert.py CLI role: TeraStitcher step-5 XML -> 2D TIFF
+    series (reference convert_to_2D_tif + parse_args,
+    tsv/convert.py:41-115,283-409).
+
+    Deviation: when the XML carries ABS positions (our own step-5 output)
+    they are used directly; otherwise — and always with
+    ignore_z_offsets — positions are chain-propagated from the
+    NORTH/WEST displacements exactly as the reference's make_stacks does
+    (tsv/volume.py:730-797)."""
+    from ..geometry.extent import VExtent
+    from ..geometry.stacks import TileGrid
+    from ..parallel.mesh import default_mesh
+    from ..stitch.merge import merge_to_tif_series
+
+    grid = TileGrid.from_xml(xml_path, alt_stack_dir=alt_input)
+    has_abs = any(s.abs_h or s.abs_v or s.abs_d for s in grid.flattened())
+    if ignore_z_offsets or not has_abs:
+        grid.place_from_neighbor_chain(ignore_z_offsets=ignore_z_offsets)
+    vol = None
+    if volume_str:
+        x0, x1, y0, y1, z0, z1 = map(int, volume_str.split(","))
+        vol = VExtent(x0, x1, y0, y1, z0, z1)
+    level = max(0, min(9, compression))
+    mesh, plane_batch = default_mesh()
+    out, _ = merge_to_tif_series(
+        grid, Path(output_pattern.format(z=0)).parent,
+        cosine_blending=cosine,
+        compression=f"zlib:{level}" if level else None,
+        rotation=rotation,
+        mipmap_level=mipmap_level or None,
+        volume=vol, output_pattern=output_pattern,
+        resume=resume, mesh=mesh, plane_batch=plane_batch)
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="tsv mini tools")
     sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser(
+        "convert", help="TeraStitcher XML -> 2D TIFF series "
+                        "(the tsv/convert.py role)")
+    c.add_argument("--xml-path", required=True, type=Path)
+    c.add_argument("--output-pattern", required=True,
+                   help='e.g. "out/img_{z:04d}.tif"')
+    c.add_argument("--mipmap-level", type=int, default=0,
+                   help="decimation level: 2 = every 4th plane at 1/4 "
+                        "resolution")
+    c.add_argument("--volume", default="",
+                   help='"x0,x1,y0,y1,z0,z1" sub-extent')
+    c.add_argument("--compression", type=int, default=4,
+                   help="zlib level 0-9 (reference default 4)")
+    c.add_argument("--rotation", type=int, default=0,
+                   choices=[0, 90, 180, 270])
+    c.add_argument("--ignore-z-offsets", action="store_true")
+    c.add_argument("--input", default=None,
+                   help="alternative stacks dir (another channel)")
+    c.add_argument("--cosine-blending", action="store_true")
+    c.add_argument("--cpus", type=int, default=None,
+                   help="accepted for reference-CLI compatibility; "
+                        "blending is device-batched")
+    c.add_argument("--silent", action="store_true",
+                   help="accepted for reference-CLI compatibility")
     d = sub.add_parser("downsample")
     d.add_argument("--input", required=True, type=Path)
     d.add_argument("--output", required=True, type=Path)
@@ -213,7 +278,15 @@ def main(argv=None) -> int:
     pc.add_argument("--levels", type=int, default=3)
     args = p.parse_args(argv)
     log = Logger()
-    if args.cmd == "downsample":
+    if args.cmd == "convert":
+        out = convert_xml_to_2d_tif(
+            args.xml_path, args.output_pattern,
+            mipmap_level=args.mipmap_level, volume_str=args.volume,
+            compression=args.compression, rotation=args.rotation,
+            ignore_z_offsets=args.ignore_z_offsets, alt_input=args.input,
+            cosine=args.cosine_blending)
+        log.info(f"converted to {out}")
+    elif args.cmd == "downsample":
         n_out = downsample_series(args.input, args.output, args.factor,
                                   args.method)
         log.info(f"{n_out} planes downsampled")

@@ -57,6 +57,9 @@ def merge_to_tif_series(
     io_threads: int = 8,
     rotation: int = 0,
     flip_ud: bool = False,
+    mipmap_level: Optional[int] = None,
+    volume: Optional[VExtent] = None,
+    output_pattern: Optional[str] = None,
     progress: Optional[ProgressReporter] = None,
     mesh=None,
     plane_batch: int = 1,
@@ -79,11 +82,26 @@ def merge_to_tif_series(
     """
     if rotation not in (0, 90, 180, 270):
         raise ValueError(f"rotation must be 0/90/180/270, got {rotation}")
+    # mipmap preview mode: every 2^level-th plane at 1/2^level resolution
+    # (reference convert_to_2D_tif mipmap_level, tsv/convert.py:59-97:
+    # z stepped by the decimation AND plane[::d, ::d])
+    dec = 1 << mipmap_level if mipmap_level else 1
+    if dec > 1 and target_voxel_um is not None:
+        raise ValueError("mipmap_level is a preview mode; the isotropic "
+                         "downsample needs full-res planes")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     stacks = grid.flattened()
-    bbox = grid.volume
+    # volume: optional sub-extent to merge; output_pattern: reference-style
+    # '{z:...}'-formatted plane paths keyed by ABSOLUTE z (tsv/convert.py
+    # --volume / --output-pattern semantics, :116-127,336-341)
+    bbox = volume if volume is not None else grid.volume
     depth = bbox.z1 - bbox.z0
+
+    def plane_path(zi: int) -> Path:
+        if output_pattern is not None:
+            return Path(output_pattern.format(z=bbox.z0 + zi))
+        return out_dir / f"{tif_prefix}_{zi:06d}.tif"
     blender = PlaneBlender([s.extent for s in stacks], cosine=cosine_blending)
 
     ds_planes: List[np.ndarray] = []
@@ -107,6 +125,8 @@ def merge_to_tif_series(
                 return
             path, img = item
             try:
+                # output_pattern may put z in a directory component
+                path.parent.mkdir(parents=True, exist_ok=True)
                 tio.imwrite(path, img, compression=compression)
             except BaseException as exc:  # noqa: BLE001
                 errors.append(exc)
@@ -167,7 +187,9 @@ def merge_to_tif_series(
     def emit_plane(zi: int, merged: np.ndarray):
         """Post-process + enqueue one blended plane for writing and fold
         it into the isotropic downsample accumulation."""
-        path = out_dir / f"{tif_prefix}_{zi:06d}.tif"
+        path = plane_path(zi)
+        if dec > 1:
+            merged = merged[::dec, ::dec]
         if merged.dtype == np.dtype(dtype) and post_fn is None:
             merged_out = merged  # already converted on device
         else:
@@ -205,12 +227,38 @@ def merge_to_tif_series(
         if progress is not None:
             progress.step()
 
+    if dec > 1:
+        # non-contiguous z: per-plane reads, no batch prefetch
+        for z in range(0, depth, dec):
+            path = plane_path(z)
+            if resume and path.exists():
+                if progress is not None:
+                    progress.step()
+                continue
+            ext1 = batch_ext_of(z, z + 1)
+            futs1 = {(i, inter): read_pool.submit(stacks[i].imread, inter)
+                     for i, inter, _w in blender.weights_for(ext1)}
+            merged = blender.blend_plane(
+                ext1,
+                lambda i, e: (futs1[(i, e)].result() if (i, e) in futs1
+                              else stacks[i].imread(e)),
+                dtype=fetch_dtype)
+            emit_plane(z, merged)
+        for _ in writers:
+            write_q.put(None)
+        for w in writers:
+            w.join()
+        read_pool.shutdown(wait=False)
+        if errors:
+            raise errors[0]
+        return out_dir, None
+
     next_futs = prefetch(0) if depth else {}
     for zi in range(0, depth, batch):
         zj = min(zi + batch, depth)
         futs = next_futs
         next_futs = prefetch(zj)
-        paths = [out_dir / f"{tif_prefix}_{z:06d}.tif" for z in range(zi, zj)]
+        paths = [plane_path(z) for z in range(zi, zj)]
         if (resume and target_voxel_um is None
                 and all(p.exists() for p in paths)):
             continue

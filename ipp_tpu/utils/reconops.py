@@ -86,37 +86,64 @@ def flip_and_scale(df: pd.DataFrame,
 
 
 def sort_swc(df: pd.DataFrame) -> pd.DataFrame:
-    """Topological re-id: BFS from roots so every parent precedes its
-    children and ids are contiguous from 1 (reference sort_swc,
-    supplements/reconops.py:59-102)."""
-    df = df.reset_index(drop=True)
-    children: dict = {}
-    for _, row in df.iterrows():
-        children.setdefault(int(row["parent_id"]), []).append(int(row["id"]))
-    by_id = {int(r["id"]): r for _, r in df.iterrows()}
-    order = []
-    visited = set()
-    roots = [int(r["id"]) for _, r in df.iterrows()
-             if int(r["parent_id"]) not in by_id]
-    queue = list(roots)
-    while queue:
-        nid = queue.pop(0)
-        if nid in visited:
-            continue
-        visited.add(nid)
-        order.append(nid)
-        queue.extend(children.get(nid, []))
-    # orphan cycles: append any unvisited
-    order += [int(i) for i in by_id if int(i) not in visited]
-    new_id = {old: i + 1 for i, old in enumerate(order)}
-    rows = []
-    for old in order:
-        r = by_id[old].copy()
-        pid = int(r["parent_id"])
-        r["parent_id"] = new_id.get(pid, -1) if pid in by_id else -1
-        r["id"] = new_id[old]
-        rows.append(r)
-    return pd.DataFrame(rows).reset_index(drop=True)
+    """Topological re-id so every parent precedes its children and ids are
+    contiguous from 1, matching the reference's traversal EXACTLY
+    (reference sort_swc, supplements/reconops.py:59-102): rows sorted by
+    id and de-duplicated first; roots are parent==-1, falling back to
+    parent==0, falling back to forcing the id==1 row; each tree walks its
+    FIRST child chain depth-first and pushes the remaining children onto
+    the FRONT of the pending-roots list; parents are re-pointed at the
+    first output row carrying the old id.
+
+    Documented deviation: orphan nodes (parent id absent and not a root
+    sentinel) are appended at the tail with parent -1 — the reference
+    silently drops them."""
+    arr = (df[SWC_COLUMNS].sort_values(by=["id"], ascending=True)
+           .drop_duplicates().to_numpy(dtype=float))
+    n = arr.shape[0]
+    ids, parents = arr[:, 0], arr[:, 6]
+    roots = list(np.where(parents == -1)[0])
+    if not roots:
+        roots = list(np.where(parents == 0)[0])
+    if not roots:
+        roots = list(np.where(ids == 1)[0])
+        if roots:
+            arr[roots[0], 6] = -1
+    # first-child DFS with branch children PREPENDED to the pending roots
+    order: list = []
+    visited = np.zeros(n, bool)
+    pending = [int(r) for r in roots]
+    while pending:
+        parent = pending.pop(0)
+        while True:
+            if visited[parent]:
+                break
+            visited[parent] = True
+            order.append(parent)
+            child = list(np.where(parents == ids[parent])[0])
+            child = [int(c) for c in child if not visited[c]]
+            if not child:
+                break
+            pending = child[1:] + pending
+            parent = child[0]
+    order += [i for i in range(n) if not visited[i]]  # orphans (deviation)
+    out = arr[order].copy()
+    # re-point parents at the first output row with the old parent id,
+    # then renumber ids 1..n (reference :86-97)
+    old_ids = out[:, 0].copy()
+    # the reference's loop starts at row 1, so row 0 keeps its sentinel
+    # verbatim (0 stays 0); rows whose parent id no longer exists get -1
+    # (deviation: the reference raises IndexError there)
+    for i in range(1, len(out)):
+        pid = out[i, 6]
+        if pid != -1:
+            hits = np.where(old_ids == pid)[0]
+            out[i, 6] = hits[0] + 1 if hits.size else -1
+    out[:, 0] = np.arange(1, len(out) + 1)
+    res = pd.DataFrame(out, columns=SWC_COLUMNS)
+    for column in ("id", "type", "parent_id"):
+        res[column] = res[column].astype(int)
+    return res
 
 
 def swc_to_seeds(df: pd.DataFrame) -> pd.DataFrame:

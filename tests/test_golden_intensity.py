@@ -43,6 +43,59 @@ def test_convert_to_8bit_matches_reference(shift, rng):
         np.testing.assert_array_equal(ours, ref)
 
 
+def test_butter_lowpass_matches_reference(rng):
+    """filtfilt1 vs the reference's butter_lowpass_filter (scipy
+    sosfiltfilt, pystripe/core.py:493-499) on 1D and 2D float inputs."""
+    core = load_pystripe_core()
+    for shape in [(257,), (40, 257), (1, 31)]:
+        x = rng.random(shape).astype(np.float64) * 9 + 1
+        for freq in (0.005, 0.05, 0.3):
+            ref = core.butter_lowpass_filter(x.copy(), freq)
+            from ipp_tpu.ops.intensity import butter_lowpass_coeffs, filtfilt1
+
+            b, a = butter_lowpass_coeffs(freq)
+            ours = np.asarray(filtfilt1(jnp.asarray(x), b, a))
+            # jax runs f32 (x64 disabled); scipy's sosfiltfilt is f64
+            np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("max_method", [False, True])
+def test_correct_bleaching_matches_reference(max_method, rng):
+    """correct_bleaching vs the reference run verbatim
+    (pystripe/core.py:501-558), both filter modes, incl. the clip_min
+    lower bound and the zero->clip_med substitution."""
+    core = load_pystripe_core()
+    from ipp_tpu.ops.intensity import correct_bleaching
+
+    decay = np.exp(-np.arange(128) / 60.0)[None, :]
+    img = (rng.random((96, 128)) * 800 + 50) * decay
+    img[img < 52] = 0.0  # zero background pixels exercise the clip_med path
+    logged = np.log1p(img).astype(np.float32)
+    lo, med, hi = 0.3, float(np.median(logged[logged > 0])), float(logged.max())
+    freq = 1.0 / 128
+    ref = core.correct_bleaching(logged.copy().astype(np.float64), freq,
+                                 lo, med, hi, max_method=max_method)
+    ours = np.asarray(correct_bleaching(jnp.asarray(logged, jnp.float64),
+                                        freq, lo, med, hi,
+                                        max_method=max_method))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_foreground_fraction_matches_reference(rng):
+    """foreground_fraction vs the reference (pystripe/core.py:586-601):
+    sigmoid((img-threshold)/crossover); the reference's GaussianBlur
+    return value is DISCARDED (its shipped smoothing is a no-op), so the
+    parity point is smoothing=0 — exactly how ops/destripe.py calls it."""
+    core = load_pystripe_core()
+    from ipp_tpu.ops.intensity import foreground_fraction
+
+    img = (rng.random((64, 80)) * 6 - 3).astype(np.float32)
+    ref = core.foreground_fraction(img.copy(), 0.5, 1.2, sigma=3)
+    ours = np.asarray(foreground_fraction(jnp.asarray(img), 0.5, 1.2,
+                                          smoothing=0))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_estimate_bit_shift_matches_reference(rng):
     install_shims()
     install_process_images_shims()

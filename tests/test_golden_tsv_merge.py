@@ -99,3 +99,57 @@ def test_blend_matches_reference_tsv(placed_grid, cosine):
         # relative, up to 2 ulp where its f16 divide saturates — the
         # RuntimeWarning: overflow in divide comes from the REFERENCE)
         np.testing.assert_allclose(ours, ref_plane, atol=4.0, rtol=4e-3)
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")  # reference f16 divide
+def test_convert_planes_match_reference_tsv_convert(placed_grid, tmp_path):
+    """The reference's OWN tsv/convert.py convert_one_plane runs verbatim
+    (mipmap decimation + rotation + sub-volume, tsv/convert.py:116-163)
+    and pins `tsv_tools.convert_xml_to_2d_tif`: same absolute-z file
+    names, same decimate-THEN-rotate order, same blended pixels (within
+    the reference's f16 accumulation rounding)."""
+    grid, xml_path = placed_grid
+    tv = _load_reference_tsv()
+    import tsv.convert as tc
+
+    ref_vol = tv.TSVVolume(str(xml_path), cosine_blending=True)
+    bbox = ref_vol.volume
+    our_bbox = grid.volume
+
+    # identical sub-extent expressed in each frame's own origin
+    rx0, ry0, rz = bbox.x0 + 8, bbox.y0 + 4, bbox.z0 + 1
+    ref_sub = tv.VExtent(rx0, rx0 + 96, ry0, ry0 + 96, rz, rz + 6)
+    ox0, oy0, oz = our_bbox.x0 + 8, our_bbox.y0 + 4, our_bbox.z0 + 1
+    vol_str = f"{ox0},{ox0 + 96},{oy0},{oy0 + 96},{oz},{oz + 6}"
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    for z in range(ref_sub.z0, ref_sub.z1, 2):  # mipmap_level=1
+        tc.convert_one_plane(ref_vol, None, 2, np.uint16,
+                             str(ref_dir / "img_{z:04d}.tif"), ref_sub, z,
+                             90, False)
+
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.pipeline.tsv_tools import convert_xml_to_2d_tif
+
+    our_dir = tmp_path / "ours"
+    convert_xml_to_2d_tif(
+        xml_path, str(our_dir / "img_{z:04d}.tif"), mipmap_level=1,
+        volume_str=vol_str, compression=0, rotation=90, cosine=True)
+
+    ref_planes = sorted(ref_dir.glob("img_*.tif"))
+    our_planes = sorted(our_dir.glob("img_*.tif"))
+    # identical absolute-z names once each frame's z origin is removed
+    assert [p.name for p in ref_planes] == \
+        [f"img_{int(q.stem.split('_')[1]) - oz + rz:04d}.tif"
+         for q in our_planes]
+    assert len(ref_planes) == 3
+    for rp, op in zip(ref_planes, our_planes):
+        ref_img = tio.imread(rp)
+        our_img = tio.imread(op)
+        assert ref_img.shape == our_img.shape == (48, 48)
+        # reference accumulates in f16 (tsv/volume.py:594-600); bound is
+        # its rounding, as in test_blend_matches_reference_tsv
+        np.testing.assert_allclose(our_img.astype(np.float32),
+                                   ref_img.astype(np.float32),
+                                   atol=4.0, rtol=4e-3)

@@ -72,6 +72,37 @@ def test_tiff_zlib_levels(tmp_path, rng):
         tio.write_tiff(tmp_path / "bad.tif", img, compression="zstd")
 
 
+def test_raw_golden_cross_roundtrip(tmp_path, rng):
+    """Golden vs the reference's own pystripe/raw.py (numpy-only, runs
+    verbatim): files written by either side read identically by the other,
+    including the big-endian-payload heuristic branch."""
+    import importlib.util
+
+    from tests.refshims import REF
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_raw", REF / "pystripe" / "raw.py")
+    ref_raw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_raw)
+    from ipp_tpu.io import raw as our_raw
+
+    img = rng.integers(0, 65535, (37, 61)).astype(np.uint16)
+    p_ref, p_ours = tmp_path / "ref.raw", tmp_path / "ours.raw"
+    ref_raw.raw_imsave(p_ref, img)
+    our_raw.raw_imsave(p_ours, img)
+    assert p_ref.read_bytes() == p_ours.read_bytes()
+    np.testing.assert_array_equal(np.asarray(our_raw.raw_imread(p_ref)), img)
+    np.testing.assert_array_equal(np.asarray(ref_raw.raw_imread(p_ours)), img)
+    # big-endian payload: byte-swapped header + pixels, both readers must
+    # flip via the smaller-width heuristic (pystripe/raw.py:33-39)
+    p_be = tmp_path / "be.raw"
+    with open(p_be, "wb") as f:
+        np.array([img.shape[1], img.shape[0]], ">u4").tofile(f)
+        img.astype(">u2").tofile(f)
+    np.testing.assert_array_equal(np.asarray(our_raw.raw_imread(p_be)), img)
+    np.testing.assert_array_equal(np.asarray(ref_raw.raw_imread(p_be)), img)
+
+
 def test_bigtiff_roundtrip(tmp_path, rng):
     img = rng.integers(0, 65535, (128, 200)).astype(np.uint16)
     p = tmp_path / "bt.tif"

@@ -321,6 +321,65 @@ def test_batch_filter_sharded_matches_unsharded(tmp_path, rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_pystripe_cli_reference_surface(tmp_path, rng):
+    """Reference-spelled flags parse and act: --down_sample single-int,
+    --size_x/--size_y, --compression_method/-level, --padding_mode,
+    --bit_shift_to_right; and single-FILE input mode writes one
+    *_destriped image (reference main, pystripe/core.py:2135-2161)."""
+    from ipp_tpu.pipeline import pystripe_cli
+
+    in_dir = tmp_path / "tiles"
+    in_dir.mkdir()
+    for i in range(3):
+        tio.imwrite(in_dir / f"t{i}.tif",
+                    (rng.random((64, 64)) * 3000).astype(np.uint16))
+    rc = pystripe_cli.main([
+        "--input", str(in_dir), "--output", str(tmp_path / "out"),
+        "--sigma1", "16", "--sigma2", "16", "--wavelet", "db3",
+        "--padding_mode", "wrap", "--down_sample", "2",
+        "--size_x", "16", "--size_y", "24",
+        "--compression_method", "ADOBE_DEFLATE", "--compression_level", "3",
+        "--bit_shift_to_right", "8", "--chunks", "4"])
+    assert rc == 0
+    outs = sorted((tmp_path / "out").glob("*.tif"))
+    assert len(outs) == 3
+    img = tio.imread(outs[0])
+    assert img.shape == (24, 16)  # new_size (y, x) wins over down_sample
+    # single-file mode
+    one = in_dir / "t0.tif"
+    rc = pystripe_cli.main(["--input", str(one), "--sigma1", "8",
+                            "--wavelet", "db3"])
+    assert rc == 0
+    assert (in_dir / "t0_destriped.tif").exists()
+
+
+def test_pystripe_cli_dcimg_mode(tmp_path, rng):
+    """--zstep switches the scan to DCIMG mode: every frame becomes one
+    z-position-named output plane (reference process_dc_images,
+    pystripe/core.py:1649-1684: z{start + i*step_tenths:08.1f}.tif with
+    the file name as the starting z in tenths of a micron)."""
+    from ipp_tpu.io.dcimg import DCIMGFile
+    from ipp_tpu.pipeline import pystripe_cli
+
+    in_dir = tmp_path / "cam"
+    in_dir.mkdir()
+    frames = (rng.random((4, 32, 32)) * 2000).astype(np.uint16)
+    DCIMGFile.write(in_dir / "0015250.dcimg", frames)
+    rc = pystripe_cli.main([
+        "--input", str(in_dir), "--output", str(tmp_path / "out"),
+        "--sigma1", "0", "--zstep", "1.5"])
+    assert rc == 0
+    outs = sorted((tmp_path / "out").glob("*.tif"))
+    assert [p.name for p in outs] == [
+        f"z{15250 + i * 15.0:08.1f}.tif" for i in range(4)]
+    got = tio.imread(outs[2])
+    assert got.shape == (32, 32)
+    # row 0's first 4 pixels are camera metadata; the reader substitutes
+    # them from row 1 (the reference dcimg.cpp fixup)
+    np.testing.assert_array_equal(got[1:], frames[2][1:])
+    np.testing.assert_array_equal(got[0, 4:], frames[2][0, 4:])
+
+
 def test_deconvolve_pipeline_destripe_sigma_f32_bricks(tmp_path, rng):
     """The z-destripe fork keeps f32 bricks (no quantization) and still
     produces a sharpened output series."""

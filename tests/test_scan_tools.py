@@ -289,6 +289,59 @@ def test_scan_stitch_cli_dragonfly_tree(tmp_path, rng):
     assert all(np.array_equal(placed[k], placed2[k]) for k in placed)
 
 
+def test_tsv_tools_convert_cli(tmp_path, rng):
+    """The tsv/convert.py role: XML -> 2D series with reference-style
+    output pattern (absolute-z names), --volume sub-extent, and
+    --mipmap-level decimation (every 2^L-th plane at 1/2^L resolution,
+    reference tsv/convert.py:81-97,116-135)."""
+    from ipp_tpu.pipeline import tsv_tools
+    from tests.synth import cut_tiles, make_phantom, write_tile_grid
+
+    vol = make_phantom(rng, (8, 128, 128))
+    tiles, _ = cut_tiles(vol, 2, 2, (80, 80), 32, 0, rng)
+    grid = write_tile_grid(tmp_path / "tiles", tiles, overlap_nominal_px=32)
+    xml = tmp_path / "step5.xml"
+    grid.to_xml(xml)
+
+    out = tmp_path / "out"
+    rc = tsv_tools.main([
+        "convert", "--xml-path", str(xml),
+        "--output-pattern", str(out / "img_{z:04d}.tif"),
+        "--compression", "3", "--cpus", "4"])
+    assert rc == 0
+    planes = sorted(out.glob("img_*.tif"))
+    assert [p.name for p in planes] == [f"img_{z:04d}.tif" for z in range(8)]
+    full_shape = tio.imread(planes[0]).shape
+
+    # mipmap level 1: every 2nd plane at half resolution
+    out2 = tmp_path / "mip"
+    rc = tsv_tools.main([
+        "convert", "--xml-path", str(xml),
+        "--output-pattern", str(out2 / "img_{z:04d}.tif"),
+        "--mipmap-level", "1"])
+    assert rc == 0
+    mips = sorted(out2.glob("img_*.tif"))
+    assert [p.name for p in mips] == [f"img_{z:04d}.tif"
+                                      for z in range(0, 8, 2)]
+    m = tio.imread(mips[0])
+    assert m.shape == ((full_shape[0] + 1) // 2, (full_shape[1] + 1) // 2)
+    np.testing.assert_array_equal(m, tio.imread(planes[0])[::2, ::2])
+
+    # --volume sub-extent: absolute-z plane names, cropped canvas
+    out3 = tmp_path / "sub"
+    rc = tsv_tools.main([
+        "convert", "--xml-path", str(xml),
+        "--output-pattern", str(out3 / "img_{z:04d}.tif"),
+        "--volume", "8,72,4,68,2,6"])
+    assert rc == 0
+    subs = sorted(out3.glob("img_*.tif"))
+    assert [p.name for p in subs] == [f"img_{z:04d}.tif"
+                                      for z in range(2, 6)]
+    s = tio.imread(subs[0])
+    assert s.shape == (64, 64)
+    np.testing.assert_array_equal(s, tio.imread(planes[2])[4:68, 8:72])
+
+
 def test_scanner_composite_fillin_min_support(tmp_path, rng):
     """Adjacent pairs with NO surviving link get their peers' median
     offset when at least min_support same-direction links exist, and
