@@ -100,8 +100,9 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
     # host-only short-circuit: skipped when tracing (shard_map/jit callers
     # handle uniform tiles themselves)
     if isinstance(img, np.ndarray) and is_uniform_2d(img):
-        tile, dt = _out_meta(img.shape, cfg, in_dtype)
-        return np.zeros(tile, dt)
+        # img may carry leading batch dims; the output geometry math is 2D
+        tile, dt = _out_meta(img.shape[-2:], cfg, in_dtype)
+        return np.zeros(img.shape[:-2] + tile, dt)
 
     x = jnp.asarray(img)
 
