@@ -86,6 +86,7 @@ class DCIMGFile:
                 self.shape = (self.nfrms, self.ysize, self.xsize)
                 self.dtype = (np.uint16 if self.byte_depth == 2
                               else np.uint8)
+                self._validate()
                 return
             else:
                 sess = f.read(64)
@@ -103,6 +104,23 @@ class DCIMGFile:
         # the TeraStitcher plugin maps width=ysize, height=xsize
         self.shape = (self.nfrms, self.xsize, self.ysize)
         self.dtype = np.uint16 if self.byte_depth == 2 else np.uint8
+        self._validate()
+
+    def _validate(self) -> None:
+        """Header sanity: a corrupt header must raise here, not trigger a
+        huge allocation or a garbage frame in read_frame (the fuzz-corpus
+        contract shared with the TIFF salvage reader, tests/test_native.py)."""
+        nfrms, h, w = self.shape
+        fsize = self.path.stat().st_size
+        need = self._data_offset + nfrms * (
+            self._bytes_per_img + self._frame_footer)
+        if (nfrms <= 0 or h <= 0 or w <= 0
+                or self.byte_depth not in (1, 2)
+                or self._bytes_per_img < w * self.byte_depth * h
+                or need > fsize):
+            raise ValueError(f"corrupt DCIMG header in {self.path}: "
+                             f"{nfrms} frames of {h}x{w}x{self.byte_depth}B "
+                             f"need {need} bytes, file has {fsize}")
 
     def read_frame(self, z: int) -> np.ndarray:
         nfrms, h, w = self.shape
@@ -118,6 +136,8 @@ class DCIMGFile:
         with open(self.path, "rb") as f:
             f.seek(self._data_offset + z * stride)
             raw = f.read(stride_row * h)
+        if len(raw) < stride_row * h:
+            raise ValueError(f"truncated DCIMG frame {z} in {self.path}")
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride_row)
         img = rows[:, :row_bytes].copy().view(self.dtype).reshape(h, w)
         if self._fixup_first_row and h > 1:

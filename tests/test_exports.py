@@ -234,6 +234,35 @@ def test_dcimg_truncation_fuzz(tmp_path, rng):
                 DCIMGFile(q).read_frame(0)
 
 
+def test_dcimg_corruption_fuzz(tmp_path, rng):
+    """Random byte corruption (the TIFF-fuzz contract, tests/test_native.py):
+    every mutant either parses to the true frame or raises cleanly —
+    never a crash, never a giant allocation from a garbage size field
+    (DCIMGFile._validate bounds frames x stride against the file size)."""
+    frames = (rng.random((3, 12, 20)) * 1000).astype(np.uint16)
+    for fmt in (0x7, 0x2000000):
+        p = tmp_path / f"c{fmt:x}.dcimg"
+        DCIMGFile.write(p, frames, format_version=fmt)
+        data = bytearray(p.read_bytes())
+        for i in range(60):
+            buf = bytearray(data)
+            # bias half the mutations into the headers where size fields
+            # live; the rest anywhere
+            hi = 0x200 if i % 2 else len(buf)
+            for _ in range(4):
+                buf[int(rng.integers(0, min(hi, len(buf))))] = int(
+                    rng.integers(256))
+            q = tmp_path / f"mut{fmt:x}_{i}.dcimg"
+            q.write_bytes(bytes(buf))
+            try:
+                d = DCIMGFile(q)
+                assert d.shape[0] * d.shape[1] * d.shape[2] <= 10 * frames.size
+                got = d.read_frame(0)
+                assert got.shape == d.shape[1:]
+            except Exception:  # noqa: BLE001 - clean failure is correct
+                continue
+
+
 def test_dcimg_intermediate_version_rejected(tmp_path, rng):
     """Format versions in [0x1000000, 0x2000000) still fail loudly —
     misparsing would return garbage pixels silently."""
