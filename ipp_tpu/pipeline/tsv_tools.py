@@ -2,8 +2,10 @@
 
 Equivalents of the reference's small tools:
 - downsample_series: 2x downsample of a TIFF dir (tsv/downsample.py:11-55)
-- fill_blanks: synthesize missing z planes by copying/blank insertion
-  (tsv/fill_blanks.py:12-101)
+- fill_blanks_tree: zero-fill every missing (x, y, z) tile plane of a
+  microscope tree into the destriped dest tree (tsv/fill_blanks.py:32-101)
+- fill_blanks: synthesize missing z planes in a flat series by copying
+  the nearest neighbor (supplements/replace_missing_files.py's role)
 - justified_stitch: overlap-blend two planes with a known offset
   (tsv/stitch.py:16-193)
 - simple_grid_stitch: fixed-offset grid stitch without NCC
@@ -31,9 +33,72 @@ from ..ops.resample import block_reduce
 from ..stitch.blend import PlaneBlender
 from ..utils.log import Logger
 
-__all__ = ["downsample_series", "fill_blanks", "justified_stitch",
-           "simple_grid_stitch", "renumber_series",
+__all__ = ["downsample_series", "fill_blanks", "fill_blanks_tree",
+           "justified_stitch", "simple_grid_stitch", "renumber_series",
            "generate_downsampled_npz", "main"]
+
+
+def fill_blanks_tree(src, dest=None, silent: bool = True) -> int:
+    """Zero-fill missing tile planes of a two-level microscope tree
+    (reference tsv/fill_blanks.py:32-101): discover every X (top dirs),
+    Y ("X_Y" dirs) and Z (plane file names) coordinate under `src`, then
+    write an all-zeros TIFF into `dest` (default src + "_destriped") for
+    every (x, y, z) of the FULL product whose dest plane is missing —
+    the acquisition gaps the stitcher would otherwise trip over.
+
+    Returns the number of blanks written.  Deviation: dest x/y dirs are
+    created only for numeric coordinates (the reference mkdirs a dest
+    dir for any src dir before checking the name parses)."""
+    src = Path(src)
+    dest = Path(dest) if dest is not None else src.parent / (
+        src.name + "_destriped")
+    xs, ys, zs = set(), set(), set()
+    n_digits = z_digits = None
+    blank = None
+    for dx in sorted(src.iterdir()):
+        if not dx.is_dir():
+            continue
+        try:
+            xs.add(int(dx.name))
+        except ValueError:
+            continue
+        n_digits = len(dx.name)
+        for dy in sorted(dx.iterdir()):
+            if not dy.is_dir():
+                continue
+            try:
+                _, y = (int(p) for p in dy.name.split("_"))
+            except ValueError:
+                continue
+            ys.add(y)
+            for f in sorted(dy.iterdir()):
+                try:
+                    zs.add(int(f.stem))
+                except ValueError:
+                    continue
+                if blank is None:
+                    z_digits = len(f.stem)
+                    from ..io.raw import raw_imread
+
+                    img = (raw_imread(f) if f.suffix.lower() == ".raw"
+                           else tio.imread(f))
+                    blank = np.zeros(img.shape, img.dtype)
+    if blank is None:
+        return 0
+    n_filled = 0
+    for x in sorted(xs):
+        for y in sorted(ys):
+            d = dest / f"{x:0{n_digits}d}" / \
+                f"{x:0{n_digits}d}_{y:0{n_digits}d}"
+            d.mkdir(parents=True, exist_ok=True)
+            for z in sorted(zs):
+                p = d / f"{z:0{z_digits}d}.tif"
+                if not p.exists():
+                    tio.imwrite(p, blank, compression="zlib:9")
+                    n_filled += 1
+                    if not silent:
+                        print(f"blank {p}")
+    return n_filled
 
 
 def downsample_series(input_dir, output_dir, factor: int = 2,
@@ -261,6 +326,12 @@ def main(argv=None) -> int:
     d.add_argument("--method", default="mean")
     f = sub.add_parser("fill-blanks")
     f.add_argument("--dir", required=True, type=Path)
+    fb = sub.add_parser("fill-blanks-tree",
+                        help="zero-fill missing tile planes of a "
+                             "microscope tree (tsv/fill_blanks.py flags)")
+    fb.add_argument("--src", required=True, type=Path)
+    fb.add_argument("--dest", type=Path, default=None)
+    fb.add_argument("--silent", action="store_true")
     r = sub.add_parser("renumber")
     r.add_argument("--dir", required=True, type=Path)
     n = sub.add_parser("npz")
@@ -292,6 +363,9 @@ def main(argv=None) -> int:
         log.info(f"{n_out} planes downsampled")
     elif args.cmd == "fill-blanks":
         log.info(f"{fill_blanks(args.dir)} planes filled")
+    elif args.cmd == "fill-blanks-tree":
+        n = fill_blanks_tree(args.src, args.dest, silent=args.silent)
+        log.info(f"{n} blank tile planes written")
     elif args.cmd == "renumber":
         log.info(f"{renumber_series(args.dir)} planes renumbered")
     elif args.cmd == "npz":

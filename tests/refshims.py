@@ -314,6 +314,23 @@ def install_shims() -> None:
 
         tifffile.imread = lambda p, **kw: _our_tiff.imread(p)
         tifffile.imwrite = lambda p, data=None, **kw: _our_tiff.imwrite(p, data)
+
+        def _imsave(target, data=None, compress=None, **kw):
+            """tifffile.imsave, incl. the BytesIO form fill_blanks uses
+            (tsv/fill_blanks.py:88-90)."""
+            if hasattr(target, "write"):
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(suffix=".tif") as tmp:
+                    _our_tiff.imwrite(
+                        tmp.name, data,
+                        compression="zlib" if compress else None)
+                    target.write(Path(tmp.name).read_bytes())
+                return
+            _our_tiff.imwrite(target, data,
+                              compression="zlib" if compress else None)
+
+        tifffile.imsave = _imsave
     tifffile_inner = _ensure_module("tifffile.tifffile")
     if not hasattr(tifffile_inner, "TiffFileError"):
         class TiffFileError(Exception):
