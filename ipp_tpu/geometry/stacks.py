@@ -425,10 +425,13 @@ class TileGrid:
             row_stacks = []
             for c, x in enumerate(col_x):
                 dir_name = f"{x:06d}/{x:06d}_{y:06d}"
+                # the reference TRUNCATES the pixel offset relative to the
+                # first tile (tsv/volume.py:848-856: int((x-x0)/vox/10)) —
+                # match it exactly so simple-mode canvases align
                 row_stacks.append(TileStack(
                     row=r, col=c, dir_name=dir_name, root_dir=str(root_dir),
-                    abs_h=int(round(x / 10.0 / vox_h)),
-                    abs_v=int(round(y / 10.0 / vox_v)),
+                    abs_h=int((x - col_x[0]) / vox_h / 10.0),
+                    abs_v=int((y - row_y[0]) / vox_v / 10.0),
                     abs_d=0))
             stacks.append(row_stacks)
         return cls(stacks, voxel_um=voxel_um, stacks_dir=str(root_dir))

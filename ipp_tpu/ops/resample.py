@@ -47,6 +47,11 @@ def block_reduce(img: jnp.ndarray, block_size, func: str = "max") -> jnp.ndarray
         return jnp.min(x, axis=axes)
     if func == "mean":
         return jnp.mean(x.astype(jnp.float32), axis=axes)
+    if func == "sum":
+        # skimage's default reducer; accumulate wide like np.sum does
+        return jnp.sum(x.astype(jnp.int64 if
+                                jnp.issubdtype(x.dtype, jnp.integer)
+                                else jnp.float32), axis=axes)
     if func == "median":
         return jnp.median(x.astype(jnp.float32), axis=axes)
     raise ValueError(f"unsupported reduce func {func!r}")

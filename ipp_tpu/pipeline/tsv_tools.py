@@ -8,8 +8,9 @@ Equivalents of the reference's small tools:
   the nearest neighbor (supplements/replace_missing_files.py's role)
 - justified_stitch: overlap-blend two planes with a known offset
   (tsv/stitch.py:16-193)
+- simple_stitch: nominal-position stitch of a SmartSPIM tree
+  (tsv/simple.py:66-101, TSVSimpleVolume + convert)
 - simple_grid_stitch: fixed-offset grid stitch without NCC
-  (tsv/simple.py:10-103)
 - renumber_series: renumber plane files to a contiguous 0..N-1 range
   (tsv/renumber*.py)
 - generate_downsampled_npz: standalone npz generator
@@ -34,8 +35,8 @@ from ..stitch.blend import PlaneBlender
 from ..utils.log import Logger
 
 __all__ = ["downsample_series", "fill_blanks", "fill_blanks_tree",
-           "justified_stitch", "simple_grid_stitch", "renumber_series",
-           "generate_downsampled_npz", "main"]
+           "justified_stitch", "simple_grid_stitch", "simple_stitch",
+           "renumber_series", "generate_downsampled_npz", "main"]
 
 
 def fill_blanks_tree(src, dest=None, silent: bool = True) -> int:
@@ -101,20 +102,35 @@ def fill_blanks_tree(src, dest=None, silent: bool = True) -> int:
     return n_filled
 
 
-def downsample_series(input_dir, output_dir, factor: int = 2,
-                      method: str = "mean", skip_z: bool = False) -> int:
-    """Downsample every plane by `factor` (and keep every factor-th plane
-    unless skip_z)."""
-    input_dir, output_dir = Path(input_dir), Path(output_dir)
+def downsample_series(src, output_dir, factor: int = 2,
+                      method: str = "sum", z_factor: int = 1,
+                      compression: int = 4) -> int:
+    """2D-downsample EVERY plane of a series, preserving file names
+    (reference tsv/downsample.py:11-55: block_reduce at skimage's default
+    reducer — SUM — then cast back to the input dtype, wrap-around and
+    all; pass method='mean' for a non-saturating variant).
+
+    `src` is a directory or a glob (the reference's --src form).
+    z_factor > 1 additionally keeps every z_factor-th plane (our
+    extension; the reference tool is 2D-only)."""
+    src = Path(src)
+    if src.is_dir():
+        paths = sorted(p for p in src.iterdir()
+                       if p.suffix.lower() in (".tif", ".tiff"))
+    else:
+        import glob as _glob
+
+        paths = [Path(p) for p in sorted(_glob.glob(str(src)))]
+    output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    paths = sorted(p for p in input_dir.iterdir()
-                   if p.suffix.lower() in (".tif", ".tiff"))
-    kept = paths if skip_z else paths[::factor]
-    for i, p in enumerate(kept):
+    kept = paths[::max(1, z_factor)]
+    level = max(0, min(9, compression))
+    for p in kept:
         img = tio.imread(p)
         small = np.asarray(block_reduce(img, (factor, factor), method))
         small = small.astype(img.dtype)
-        tio.imwrite(output_dir / f"img_{i:06d}.tif", small)
+        tio.imwrite(output_dir / p.name, small,
+                    compression=f"zlib:{level}" if level else None)
     return len(kept)
 
 
@@ -275,6 +291,18 @@ def convert_xml_to_2d_tif(xml_path, output_pattern: str,
     has_abs = any(s.abs_h or s.abs_v or s.abs_d for s in grid.flattened())
     if ignore_z_offsets or not has_abs:
         grid.place_from_neighbor_chain(ignore_z_offsets=ignore_z_offsets)
+    return _merge_grid_to_pattern(grid, output_pattern, mipmap_level,
+                                  volume_str, compression, rotation,
+                                  resume, cosine)
+
+
+def _merge_grid_to_pattern(grid, output_pattern: str, mipmap_level: int,
+                           volume_str: str, compression: int, rotation: int,
+                           resume: bool, cosine: bool) -> Path:
+    from ..geometry.extent import VExtent
+    from ..parallel.mesh import default_mesh
+    from ..stitch.merge import merge_to_tif_series
+
     vol = None
     if volume_str:
         x0, x1, y0, y1, z0, z1 = map(int, volume_str.split(","))
@@ -290,6 +318,24 @@ def convert_xml_to_2d_tif(xml_path, output_pattern: str,
         volume=vol, output_pattern=output_pattern,
         resume=resume, mesh=mesh, plane_batch=plane_batch)
     return out
+
+
+def simple_stitch(path, output_pattern: str, voxel_size_x: float,
+                  voxel_size_y: float, voxel_size_z: float = 1.0,
+                  mipmap_level: int = 0, volume_str: str = "",
+                  compression: int = 4, resume: bool = True,
+                  cosine: bool = False) -> Path:
+    """Simple mode: stitch a SmartSPIM tree at its NOMINAL stage positions
+    (dir names in tenths of micron), no alignment — the reference's
+    tsv/simple.py:66-101 (TSVSimpleVolume + convert_to_2D_tif with
+    ignore_z_offsets)."""
+    from ..geometry.stacks import TileGrid
+
+    grid = TileGrid.from_directory(
+        path, voxel_um=(voxel_size_y, voxel_size_x, voxel_size_z))
+    return _merge_grid_to_pattern(grid, output_pattern, mipmap_level,
+                                  volume_str, compression, rotation=0,
+                                  resume=resume, cosine=cosine)
 
 
 def main(argv=None) -> int:
@@ -320,10 +366,40 @@ def main(argv=None) -> int:
     c.add_argument("--silent", action="store_true",
                    help="accepted for reference-CLI compatibility")
     d = sub.add_parser("downsample")
-    d.add_argument("--input", required=True, type=Path)
-    d.add_argument("--output", required=True, type=Path)
-    d.add_argument("--factor", type=int, default=2)
-    d.add_argument("--method", default="mean")
+    d.add_argument("--input", "--src", dest="input", required=True,
+                   help="input directory or glob (reference --src)")
+    d.add_argument("--output", "--dest", dest="output", required=True,
+                   type=Path)
+    d.add_argument("--factor", "--downsample-factor", dest="factor",
+                   type=int, default=2)
+    d.add_argument("--method", default="sum",
+                   help="sum (reference wrap-cast default) | mean | "
+                        "max | min")
+    d.add_argument("--z-factor", type=int, default=1,
+                   help="keep every Nth plane (extension; reference is "
+                        "2D-only)")
+    d.add_argument("--compression", type=int, default=4)
+    d.add_argument("--n-cores", type=int, default=None,
+                   help="accepted for reference-CLI compatibility")
+    d.add_argument("--silent", action="store_true",
+                   help="accepted for reference-CLI compatibility")
+    sm = sub.add_parser("simple",
+                        help="nominal-position stitch of a SmartSPIM "
+                             "tree (tsv/simple.py flags)")
+    sm.add_argument("--path", required=True, type=Path)
+    sm.add_argument("--voxel-size-xy", type=float, default=None)
+    sm.add_argument("--voxel-size-x", type=float, default=None)
+    sm.add_argument("--voxel-size-y", type=float, default=None)
+    sm.add_argument("--voxel-size-z", type=float, default=1.0)
+    sm.add_argument("--output-pattern", required=True)
+    sm.add_argument("--mipmap-level", type=int, default=0)
+    sm.add_argument("--volume", default="")
+    sm.add_argument("--compression", type=int, default=4)
+    sm.add_argument("--cosine-blending", action="store_true")
+    sm.add_argument("--silent", action="store_true",
+                    help="accepted for reference-CLI compatibility")
+    sm.add_argument("--cpus", type=int, default=None,
+                    help="accepted for reference-CLI compatibility")
     f = sub.add_parser("fill-blanks")
     f.add_argument("--dir", required=True, type=Path)
     fb = sub.add_parser("fill-blanks-tree",
@@ -359,8 +435,25 @@ def main(argv=None) -> int:
         log.info(f"converted to {out}")
     elif args.cmd == "downsample":
         n_out = downsample_series(args.input, args.output, args.factor,
-                                  args.method)
+                                  args.method, z_factor=args.z_factor,
+                                  compression=args.compression)
         log.info(f"{n_out} planes downsampled")
+    elif args.cmd == "simple":
+        if args.voxel_size_xy is not None:
+            if (args.voxel_size_x is not None
+                    or args.voxel_size_y is not None):
+                p.error("--voxel-size-xy conflicts with --voxel-size-x/-y")
+            vx = vy = args.voxel_size_xy
+        elif args.voxel_size_x is not None and args.voxel_size_y is not None:
+            vx, vy = args.voxel_size_x, args.voxel_size_y
+        else:
+            p.error("specify --voxel-size-xy, or both --voxel-size-x "
+                    "and --voxel-size-y (tsv/simple.py:62-79)")
+        out = simple_stitch(
+            args.path, args.output_pattern, vx, vy, args.voxel_size_z,
+            mipmap_level=args.mipmap_level, volume_str=args.volume,
+            compression=args.compression, cosine=args.cosine_blending)
+        log.info(f"stitched to {out}")
     elif args.cmd == "fill-blanks":
         log.info(f"{fill_blanks(args.dir)} planes filled")
     elif args.cmd == "fill-blanks-tree":

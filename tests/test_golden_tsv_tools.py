@@ -51,6 +51,109 @@ def ref_fill_blanks():
     return fb
 
 
+def test_downsample_matches_reference(tmp_path, rng):
+    """The reference's OWN tsv/downsample.py downsample() runs verbatim
+    (skimage default SUM reducer + cast back to the input dtype,
+    tsv/downsample.py:11-14) and pins downsample_series' per-plane math
+    and name preservation."""
+    install_shims()
+    load_pystripe_core()
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    from tests.refshims import _shim_block_reduce
+    import tsv.downsample as td
+
+    td.block_reduce = _shim_block_reduce  # placeholder-proof (see ref_core)
+    src = tmp_path / "src"
+    src.mkdir()
+    # values large enough that the SUM reducer wraps uint16 — the quirk
+    # must match bit-for-bit, not just approximately
+    for z in range(3):
+        img = (rng.random((30, 34)) * 40000).astype(np.uint16)
+        tio.imwrite(src / f"plane_{z:03d}.tif", img)
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    for p in sorted(src.iterdir()):
+        td.downsample(str(p), str(ref_dir / p.name), factor=2, compress=4)
+
+    from ipp_tpu.pipeline.tsv_tools import downsample_series
+
+    our_dir = tmp_path / "ours"
+    n = downsample_series(src, our_dir, factor=2)
+    assert n == 3
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    our_files = sorted(p.name for p in our_dir.iterdir())
+    assert ref_files == our_files
+    for name in ref_files:
+        a = tio.imread(ref_dir / name)
+        b = tio.imread(our_dir / name)
+        assert a.dtype == b.dtype == np.uint16
+        np.testing.assert_array_equal(a, b)
+
+
+def test_simple_stitch_matches_reference(tmp_path, rng):
+    """The reference's OWN TSVSimpleVolume (tsv/volume.py:810-860) +
+    convert_one_plane run verbatim on a SmartSPIM tree and pin our
+    `tsv_tools simple` mode: nominal positions TRUNCATED relative to the
+    first tile (int((x-x0)/vox/10)), max blending, same planes."""
+    install_shims()
+    load_pystripe_core()
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    import tsv.convert as tc
+    import tsv.volume as tv
+
+    # non-integer pixel pitch so truncation != rounding
+    vox_x, vox_y = 1.8, 1.8
+    tile_h, tile_w, nz = 40, 48, 4
+    root = tmp_path / "tree"
+    # stage positions in tenths of micron; spacing 700 -> 700/10/1.8 =
+    # 38.88 px: truncation gives 38, rounding would give 39
+    xs_t = (12000, 12700)
+    ys_t = (30000, 30650)
+    base = (rng.random((nz, tile_h + 80, tile_w + 80)) * 900).astype(
+        np.uint16)
+    for x in xs_t:
+        for y in ys_t:
+            d = root / f"{x:06d}" / f"{x:06d}_{y:06d}"
+            d.mkdir(parents=True)
+            px = int((x - xs_t[0]) / vox_x / 10.0)
+            py = int((y - ys_t[0]) / vox_y / 10.0)
+            for z in range(nz):
+                tio.imwrite(d / f"{z:04d}.tif",
+                            base[z, py:py + tile_h, px:px + tile_w])
+
+    ref_vol = tv.TSVSimpleVolume(str(root), vox_x, vox_y, 2.0)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    for z in range(0, nz):
+        tc.convert_one_plane(ref_vol, None, 1, np.uint16,
+                             str(ref_dir / "img_{z:04d}.tif"),
+                             ref_vol.volume, z, 0, False)
+
+    from ipp_tpu.pipeline import tsv_tools
+
+    our_dir = tmp_path / "ours"
+    rc = tsv_tools.main([
+        "simple", "--path", str(root),
+        "--voxel-size-xy", str(vox_x), "--voxel-size-z", "2.0",
+        "--output-pattern", str(our_dir / "img_{z:04d}.tif"),
+        "--compression", "0"])
+    assert rc == 0
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    our_files = sorted(p.name for p in our_dir.iterdir())
+    assert ref_files == our_files and len(ref_files) == nz
+    for name in ref_files:
+        a = tio.imread(ref_dir / name)
+        b = tio.imread(our_dir / name)
+        assert a.shape == b.shape
+        # same tiles cut from one phantom at the truncated offsets: the
+        # max-blend canvases agree except the reference's f16 rounding
+        np.testing.assert_allclose(b.astype(np.float32),
+                                   a.astype(np.float32), atol=4.0)
+
+
 def test_fill_blanks_tree_matches_reference(ref_fill_blanks, tmp_path, rng):
     missing = {(104, 415, 1), (207, 310, 0), (207, 310, 2)}
     src_ref = tmp_path / "ref_src"

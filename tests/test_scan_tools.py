@@ -66,11 +66,13 @@ def test_tsv_tools(tmp_path, rng):
                     (rng.random((32, 32)) * 100).astype(np.uint16))
     assert fill_blanks(d) == 1
     assert (d / "img_000002.tif").exists()
-    n = downsample_series(d, tmp_path / "small", factor=2)
-    assert n == 3  # 5 planes -> every 2nd
+    n = downsample_series(d, tmp_path / "small", factor=2, method="mean")
+    assert n == 5  # every plane, names preserved (reference tool is 2D)
     img = tio.imread(tmp_path / "small" / "img_000000.tif")
     assert img.shape == (16, 16)
-    assert renumber_series(tmp_path / "small") == 3
+    n = downsample_series(d, tmp_path / "small2", factor=2, z_factor=2)
+    assert n == 3  # z decimation is the opt-in extension
+    assert renumber_series(tmp_path / "small") == 5
 
 
 def test_justified_stitch(rng):
