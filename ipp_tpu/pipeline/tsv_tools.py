@@ -214,6 +214,71 @@ def simple_grid_stitch(tile_dirs: List[List[Path]], out_dir,
     return out
 
 
+def renumber_tree(root, n_digits: int = 6) -> int:
+    """Zero-pad the numeric plane names of a two-level stack hierarchy so
+    alphabetical order == numeric order (reference tsv/renumber.py:23-37:
+    root/*/*/*.tiff, index preserved — NOT renumbered contiguous)."""
+    root = Path(root)
+    n = 0
+    for p in sorted(root.glob("*/*/*.tiff")):
+        try:
+            idx = int(p.name.split(".")[0])
+        except ValueError:
+            continue
+        dest = p.parent / f"{idx:0{n_digits}d}.tiff"
+        if dest != p:
+            p.rename(dest)
+            n += 1
+    return n
+
+
+def renumber_directories(path) -> int:
+    """Shift negative SmartSPIM stage coordinates positive by renaming
+    <X>/<X>_<Y> dirs with a +(-min) offset (reference
+    tsv/renumber_directories.py:20-60; TeraStitcher can't take negative
+    names).  Returns the number of renamed directories."""
+    path = Path(path)
+    coords = []
+    min_x = min_y = 0
+    xdirs = {}
+    for dx in path.iterdir():
+        if not dx.is_dir():
+            continue
+        try:
+            x_of_dir = int(dx.name)
+        except ValueError:
+            continue
+        xdirs[x_of_dir] = dx
+        for dy in dx.iterdir():
+            if dy.is_dir() and "_" in dy.name:
+                try:
+                    x, y = (int(v) for v in dy.name.split("_"))
+                except ValueError:
+                    continue
+                coords.append((dy, x, y))
+                min_x = min(min_x, x)
+                min_y = min(min_y, y)
+    if min_x == 0 and min_y == 0:
+        return 0
+    n = 0
+    for dy, x, y in coords:
+        dest = dy.parent / f"{x - min_x:06d}_{y - min_y:06d}"
+        if dy != dest:
+            dy.rename(dest)
+            n += 1
+    if min_x < 0:
+        # descending target order so an upward shift never collides
+        # (the reference renames in set order and can, tsv/
+        # renumber_directories.py:53-58 — documented fix)
+        for x in sorted(xdirs, reverse=True):
+            src = xdirs[x]
+            dest = path / f"{x - min_x:06d}"
+            if src != dest:
+                src.rename(dest)
+                n += 1
+    return n
+
+
 def renumber_series(directory, prefix: str = "img_") -> int:
     """Renumber plane files to contiguous img_000000..N-1 order."""
     directory = Path(directory)
@@ -410,6 +475,15 @@ def main(argv=None) -> int:
     fb.add_argument("--silent", action="store_true")
     r = sub.add_parser("renumber")
     r.add_argument("--dir", required=True, type=Path)
+    rt = sub.add_parser("renumber-tree",
+                        help="zero-pad plane names in a stack hierarchy "
+                             "(tsv/renumber.py)")
+    rt.add_argument("root", type=Path)
+    rt.add_argument("--n-digits", type=int, default=6)
+    rd = sub.add_parser("renumber-directories",
+                        help="shift negative stage coordinates positive "
+                             "(tsv/renumber_directories.py)")
+    rd.add_argument("--path", required=True, type=Path)
     n = sub.add_parser("npz")
     n.add_argument("--input", required=True, type=Path)
     n.add_argument("--output", required=True, type=Path)
@@ -461,6 +535,11 @@ def main(argv=None) -> int:
         log.info(f"{n} blank tile planes written")
     elif args.cmd == "renumber":
         log.info(f"{renumber_series(args.dir)} planes renumbered")
+    elif args.cmd == "renumber-tree":
+        log.info(f"{renumber_tree(args.root, args.n_digits)} planes "
+                 "zero-padded")
+    elif args.cmd == "renumber-directories":
+        log.info(f"{renumber_directories(args.path)} directories shifted")
     elif args.cmd == "npz":
         log.info(str(generate_downsampled_npz(
             args.input, args.output, tuple(args.voxel), args.target_voxel)))

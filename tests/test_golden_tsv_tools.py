@@ -154,6 +154,63 @@ def test_simple_stitch_matches_reference(tmp_path, rng):
                                    a.astype(np.float32), atol=4.0)
 
 
+def _tree_listing(root):
+    return sorted(str(p.relative_to(root)) for p in root.rglob("*"))
+
+
+def test_renumber_tree_matches_reference(tmp_path, rng):
+    """The reference's OWN tsv/renumber.py runs verbatim: plane names are
+    zero-padded IN PLACE (index preserved, .tiff only)."""
+    install_shims()
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    import tsv.renumber as tr
+
+    def make(root):
+        for x, y in ((10, 20), (30, 20)):
+            d = root / f"{x:06d}" / f"{x:06d}_{y:06d}"
+            d.mkdir(parents=True)
+            for z in (3, 12, 105):
+                (d / f"{z}.tiff").write_bytes(b"x")
+            (d / "notes.txt").write_bytes(b"y")  # untouched
+        return root
+
+    ref_root = make(tmp_path / "ref")
+    our_root = make(tmp_path / "ours")
+    tr.main(["--n-digits", "6", str(ref_root)])
+    from ipp_tpu.pipeline.tsv_tools import renumber_tree
+
+    assert renumber_tree(our_root, 6) == 6
+    assert _tree_listing(ref_root) == _tree_listing(our_root)
+    assert (our_root / "000010" / "000010_000020" / "000105.tiff").exists()
+
+
+def test_renumber_directories_matches_reference(tmp_path):
+    """The reference's OWN tsv/renumber_directories.py runs verbatim:
+    negative stage coordinates shift positive by -min per axis."""
+    install_shims()
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    import tsv.renumber_directories as trd
+
+    def make(root):
+        for x in (-120, 0):
+            for y in (-300, 150):
+                d = root / f"{x:06d}" / f"{x:06d}_{y:06d}"
+                d.mkdir(parents=True)
+                (d / "0000.tif").write_bytes(b"x")
+        return root
+
+    ref_root = make(tmp_path / "ref")
+    our_root = make(tmp_path / "ours")
+    trd.main(["--path", str(ref_root)])
+    from ipp_tpu.pipeline.tsv_tools import renumber_directories
+
+    assert renumber_directories(our_root) > 0
+    assert _tree_listing(ref_root) == _tree_listing(our_root)
+    assert (our_root / "000120" / "000120_000450" / "0000.tif").exists()
+
+
 def test_fill_blanks_tree_matches_reference(ref_fill_blanks, tmp_path, rng):
     missing = {(104, 415, 1), (207, 310, 0), (207, 310, 2)}
     src_ref = tmp_path / "ref_src"
