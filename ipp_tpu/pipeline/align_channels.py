@@ -26,6 +26,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..io import tiff as tio
+from ..ops import intensity
 from ..utils.log import Logger
 
 __all__ = ["get_offsets_ecc", "align_volumes", "write_composite_series",
@@ -283,17 +284,37 @@ def write_composite_series(
     offsets: Optional[Dict[str, Tuple[int, int, int]]] = None,
     dtype=np.uint8,
     log: Optional[Logger] = None,
+    right_bit_shifts: Optional[Dict[str, int]] = None,
 ) -> Path:
-    """Merge per-channel TIFF series into RGB composites, applying integer
-    offsets (reference merge_all_channels / generate_composite_image,
-    process_images.py:860-1000)."""
+    """Merge per-channel TIFF series into multi-plane composites, applying
+    integer offsets (reference merge_all_channels / generate_composite_image,
+    process_images.py:860-1000).
+
+    Colors may be RGB ("r"/"g"/"b" -> 3-plane composite) or CMYK
+    ("c"/"m"/"y"/"k" -> 4-plane, the reference merge_channels.py:76-90
+    surface); mixing the two spaces is an error.  ``right_bit_shifts``
+    maps channel name -> bit shift and converts that channel to 8-bit
+    before compositing (generate_composite_image right_bit_shifts,
+    process_images.py:878-879).  The series length is the FIRST
+    (reference) channel's plane count — shorter channels contribute
+    zeros for their missing planes, as the reference does."""
     log = log or Logger()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     offsets = offsets or {}
     files = {ch: sorted(Path(p).glob("*.tif")) for ch, p in channels.items()}
-    depth = min(len(f) for f in files.values())
-    color_idx = {"r": 0, "g": 1, "b": 2}
+    first = next(iter(files))
+    depth = len(files[first])
+    used = set(colors.get(ch, "g") for ch in channels)
+    if used & set("cmyk"):
+        if used & set("rgb"):
+            raise ValueError("cannot mix RGB and CMYK channel colors")
+        color_idx = {"c": 0, "m": 1, "y": 2, "k": 3}
+    else:
+        color_idx = {"r": 0, "g": 1, "b": 2}
+    n_planes = len(color_idx)
+    if right_bit_shifts:
+        dtype = np.uint8
     info = np.iinfo(dtype)
     # channels can stitch to slightly different plane sizes: center-pad
     # everything to the common max (reference pad_to_max,
@@ -311,13 +332,17 @@ def write_composite_series(
         return img
 
     for z in range(depth):
-        composite = np.zeros((max_h, max_w, 3), np.float32)
+        composite = np.zeros((max_h, max_w, n_planes), np.float32)
         for ch, flist in files.items():
             dz, dy, dx = offsets.get(ch, (0, 0, 0))
             zz = z - dz
             if not 0 <= zz < len(flist):
                 continue
-            img = pad_to_max(tio.imread(flist[zz]).astype(np.float32))
+            img = tio.imread(flist[zz])
+            if right_bit_shifts and ch in right_bit_shifts:
+                img = np.asarray(intensity.convert_to_8bit(
+                    img, right_bit_shifts[ch]))
+            img = pad_to_max(img.astype(np.float32))
             if dy or dx:
                 img = roll_pad(img[None], (0, dy, dx))[0]
             composite[..., color_idx[colors.get(ch, "g")]] += img

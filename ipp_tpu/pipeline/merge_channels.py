@@ -11,6 +11,7 @@ from pathlib import Path
 import numpy as np
 
 from ..io import tiff as tio
+from ..utils.jaxconfig import enable_persistent_cache
 from ..utils.log import Logger
 from .align_channels import align_volumes, write_composite_series
 
@@ -27,24 +28,42 @@ def _load_central_block(tif_dir: Path, max_planes: int = 32) -> np.ndarray:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
-        description="align channels and write RGB composites")
+        description="align channels and write RGB/CMYK composites "
+                    "(reference merge_channels.py surface)")
     p.add_argument("--red", type=Path, default=None)
     p.add_argument("--green", type=Path, default=None)
     p.add_argument("--blue", type=Path, default=None)
-    p.add_argument("--output", "-o", required=True, type=Path)
+    p.add_argument("--cyan", "-c", type=Path, default=None)
+    p.add_argument("--magenta", "-m", type=Path, default=None)
+    p.add_argument("--yellow", "-y", type=Path, default=None)
+    p.add_argument("--black", "-k", type=Path, default=None)
+    p.add_argument("--output", "--output_path", "-o", required=True,
+                   type=Path)
     p.add_argument("--no-align", action="store_true")
+    p.add_argument("--convert-to-8bit", "--convert_to_8bit",
+                   action="store_true",
+                   help="convert each channel to 8-bit before compositing")
+    p.add_argument("--bit-shift", "--bit_shift", type=int, default=8,
+                   help="right bit shift for the 8-bit conversion (0-8)")
     args = p.parse_args(argv)
+    enable_persistent_cache()
     log = Logger()
 
     channels = {}
     colors = {}
-    for name, color in (("red", "r"), ("green", "g"), ("blue", "b")):
+    for name, color in (("red", "r"), ("green", "g"), ("blue", "b"),
+                        ("cyan", "c"), ("magenta", "m"), ("yellow", "y"),
+                        ("black", "k")):
         path = getattr(args, name)
         if path is not None:
             channels[name] = path
             colors[name] = color
     if not channels:
         log.error("no channels given")
+        return 2
+    if {c for c in colors.values()} & set("cmyk") and \
+            {c for c in colors.values()} & set("rgb"):
+        log.error("cannot mix RGB and CMYK channels")
         return 2
 
     offsets = {}
@@ -63,7 +82,10 @@ def main(argv=None) -> int:
                                    block[:hh, :hy, :hx])
             offsets[name] = off
             log.info(f"channel {name} offset {off}")
-    write_composite_series(channels, colors, args.output, offsets)
+    shifts = ({ch: args.bit_shift for ch in channels}
+              if args.convert_to_8bit else None)
+    write_composite_series(channels, colors, args.output, offsets,
+                           right_bit_shifts=shifts)
     return 0
 
 

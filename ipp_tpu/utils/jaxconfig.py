@@ -13,9 +13,26 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/ipp_tpu_xla")
 
 
+def apply_platform_env() -> None:
+    """Honor IPP_TPU_PLATFORM=cpu|tpu|axon even when a sitecustomize
+    pre-imports jax before user code runs (which makes the JAX_PLATFORMS
+    env var too late).  jax.config.update works any time before the first
+    backend query."""
+    platform = os.environ.get("IPP_TPU_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", platform)
+    except RuntimeError:  # pragma: no cover — backend already initialized
+        pass
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
+    apply_platform_env()
     cache_dir = path or os.environ.get("IPP_TPU_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     try:
