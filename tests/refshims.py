@@ -355,6 +355,12 @@ def install_shims() -> None:
             def close(self):
                 pass
 
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *_a):
+                return False
+
         tqdm_mod.tqdm = _Tqdm
 
     _ensure_module("skimage")
