@@ -47,7 +47,30 @@ def main() -> None:
     from ipp_tpu.ops.psf import gaussian_psf
 
     rng = np.random.default_rng(0)
+
+    # Watchdog: a SIGTERM-killed predecessor can wedge the TPU tunnel for
+    # ~10+ minutes, during which jax.devices() (and the first dispatch)
+    # block indefinitely.  Rather than hang the driver forever, abort
+    # (without printing a bogus JSON line) if first contact doesn't
+    # complete inside the deadline.
+    import threading
+
+    _ready = threading.Event()
+
+    def _watchdog():
+        deadline = float(_os.environ.get("IPP_TPU_BENCH_INIT_TIMEOUT",
+                                         "1200"))
+        if not _ready.wait(timeout=deadline):
+            print(f"bench: no device contact within {deadline:.0f}s "
+                  "(wedged TPU tunnel?) — aborting with no JSON line",
+                  file=sys.stderr, flush=True)
+            _os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     dev = jax.devices()[0]
+    # prove a round-trip completes, not just backend registration
+    float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+    _ready.set()
     print(f"device: {dev}", file=sys.stderr)
 
     # --- headline: RL decon, production block config -----------------------
