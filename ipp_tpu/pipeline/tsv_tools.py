@@ -490,6 +490,18 @@ def main(argv=None) -> int:
     n.add_argument("--voxel", type=float, nargs=3, required=True,
                    metavar=("Z", "Y", "X"))
     n.add_argument("--target-voxel", type=float, required=True)
+    ci = sub.add_parser("crop-ims",
+                        help="crop an .ims ROI to 16-bit + 8-bit "
+                             "multi-page TIFFs (supplements/croping.py)")
+    ci.add_argument("--ims", required=True, type=Path)
+    ci.add_argument("--output", required=True, type=Path)
+    ci.add_argument("--roi", type=int, nargs=6, required=True,
+                    metavar=("Z0", "Z1", "Y0", "Y1", "X0", "X1"),
+                    help="half-open bounds")
+    ci.add_argument("--channel", type=int, default=0)
+    ci.add_argument("--resolution-level", type=int, default=0)
+    ci.add_argument("--right-shift", type=int, default=3)
+    ci.add_argument("--no-8bit", action="store_true")
     pc = sub.add_parser("precomputed",
                         help="TIFF series -> neuroglancer precomputed")
     pc.add_argument("--input", required=True, type=Path)
@@ -540,6 +552,14 @@ def main(argv=None) -> int:
                  "zero-padded")
     elif args.cmd == "renumber-directories":
         log.info(f"{renumber_directories(args.path)} directories shifted")
+    elif args.cmd == "crop-ims":
+        z0, z1, y0, y1, x0, x1 = args.roi
+        out = crop_ims(args.ims, args.output, z0, z1, y0, y1, x0, x1,
+                       channel=args.channel,
+                       resolution_level=args.resolution_level,
+                       right_shift=args.right_shift,
+                       write_8bit=not args.no_8bit)
+        log.info(f"cropped to {out}")
     elif args.cmd == "npz":
         log.info(str(generate_downsampled_npz(
             args.input, args.output, tuple(args.voxel), args.target_voxel)))
@@ -547,10 +567,6 @@ def main(argv=None) -> int:
         log.info(str(series_to_precomputed(
             args.input, args.output, tuple(args.voxel_nm), args.levels)))
     return 0
-
-
-if __name__ == "__main__":
-    sys.exit(main())
 
 
 def crop_series(input_dir, output_dir, y0: int, y1: int, x0: int, x1: int,
@@ -565,6 +581,37 @@ def crop_series(input_dir, output_dir, y0: int, y1: int, x0: int, x1: int,
         img = tio.imread(p)
         tio.imwrite(output_dir / f"img_{i:06d}.tif", img[y0:y1, x0:x1])
     return len(paths)
+
+
+def crop_ims(ims_path, output_dir, z0: int, z1: int, y0: int, y1: int,
+             x0: int, x1: int, channel: int = 0,
+             resolution_level: int = 0, right_shift: int = 3,
+             write_8bit: bool = True) -> Path:
+    """Crop an .ims ROI to multi-page TIFFs: a 16-bit crop plus an 8-bit
+    right-shifted companion (reference supplements/croping.py crop_imaris
+    :125-188; the ROI naming zmin_zmax_..._16bit.tif is preserved).
+
+    The 8-bit conversion here matches croping.py's own
+    convert_16bit_to_8bit_fun (:23-39): plain ``img >> right_shift`` with
+    a 255 clip — deliberately WITHOUT pystripe's nonzero->1 mapping,
+    because the reference's crop tool doesn't apply it either."""
+    from ..io.ims import ImarisReader
+
+    ims_path, output_dir = Path(ims_path), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    with ImarisReader(ims_path, channel=channel,
+                      resolution_level=resolution_level) as r:
+        vol = np.asarray(r[z0:z1])[:, y0:y1, x0:x1]
+    roi = f"{z0}_{z1 - 1}_{y0}_{y1 - 1}_{x0}_{x1 - 1}"
+    base = ims_path.stem
+    path16 = output_dir / f"{base}_{roi}_16bit.tif"
+    tio.write_tiff_stack(path16, vol)
+    if write_8bit:
+        if not 0 <= right_shift <= 8:
+            raise ValueError("right shift should be between 0 and 8")
+        v8 = np.minimum(vol >> right_shift, 255).astype(np.uint8)
+        tio.write_tiff_stack(output_dir / f"{base}_{roi}_8bit.tif", v8)
+    return path16
 
 
 def resize3d_series(input_dir, output_dir,
@@ -587,3 +634,7 @@ def resize3d_series(input_dir, output_dir,
     for z in range(out.shape[0]):
         tio.imwrite(output_dir / f"img_{z:06d}.tif", out[z])
     return output_dir
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -273,6 +273,16 @@ def install_shims() -> None:
     numexpr = _ensure_module("numexpr")
     if not hasattr(numexpr, "evaluate"):
         numexpr.evaluate = _shim_evaluate
+        # real pandas probes the optional numexpr's version at import;
+        # give it one, but keep pandas from routing real computations
+        # through the caller-frame shim
+        numexpr.__version__ = "2.10.2"
+        try:
+            import pandas as _pd
+
+            _pd.set_option("compute.use_numexpr", False)
+        except Exception:
+            pass
 
     pywt = _ensure_module("pywt")
     pywt.Wavelet = _ShimWavelet
