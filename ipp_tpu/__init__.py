@@ -20,3 +20,15 @@ Richardson-Lucy deconvolution), built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Honor IPP_TPU_PLATFORM=cpu|tpu|axon as early as possible: environments
+# whose sitecustomize pre-imports jax make the JAX_PLATFORMS env var
+# ineffective, and config must land before the first backend query.
+import os as _os
+
+if _os.environ.get("IPP_TPU_PLATFORM"):
+    from .utils.jaxconfig import apply_platform_env as _ape
+
+    _ape()
+    del _ape
+del _os

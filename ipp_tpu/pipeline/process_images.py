@@ -135,6 +135,7 @@ def process_channel(
     bit_shift: Optional[int] = 8,
     dark: float = 0.0,
     auto_params: bool = False,
+    bleach_correction: bool = False,
     resume: bool = False,
     mesh=None,
     log: Optional[Logger] = None,
@@ -217,9 +218,12 @@ def process_channel(
     grid.to_xml(xml_path)
     log.info(f"placement written to {xml_path}")
 
-    if auto_params:
+    cmin = cmed = cmax = None
+    if auto_params or bleach_correction:
         # sample the 25/50/75% merged planes to estimate dark + bit shift
-        # (reference estimate_img_related_params, process_images.py:594-655)
+        # (reference estimate_img_related_params, process_images.py:594-655;
+        # the reference runs it whenever 8-bit conversion OR bleach
+        # correction is requested, :599)
         timer.start("estimate params")
         from ..ops.stats import estimate_image_params
         from ..stitch.blend import PlaneBlender
@@ -244,7 +248,33 @@ def process_channel(
 
     timer.start("merge (step 6)")
     post_fn = None
-    if convert_to_8bit or dark > 0:
+    if bleach_correction:
+        # the reference's merge-stage process_img: dual-band destriping at
+        # sigma = 2*min(tile) with coif15, bidirectional, threshold =
+        # clip_med, dark = expm1(clip_min) — evening out per-tile
+        # brightness/bleaching seams in the stitched planes
+        # (process_images.py:696-727; its bleach_correction_frequency is
+        # always None there, :634 commented out — so no Butterworth flat)
+        from ..ops.process import ProcessConfig as PC, process_img as pimg
+
+        flat_stacks = grid.flattened()
+        if flat_stacks:
+            t0 = flat_stacks[0].extent
+            sig = int(min(t0.y1 - t0.y0, t0.x1 - t0.x0))
+        else:
+            sig = int(min(tile_size))
+        merge_cfg = PC(
+            sigma=(2 * sig, 2 * sig), wavelet="coif15", bidirectional=True,
+            threshold=cmed, bleach_correction_clip_min=cmin,
+            bleach_correction_clip_med=cmed, bleach_correction_clip_max=cmax,
+            dark=dark, convert_to_8bit=convert_to_8bit,
+            bit_shift_to_right=(bit_shift if bit_shift is not None else 8),
+            d_type="uint16")
+
+        def post_fn(plane):
+            return np.asarray(pimg(
+                np.clip(plane, 0, 65535).astype(np.uint16), merge_cfg))
+    elif convert_to_8bit or dark > 0:
         from ..ops.intensity import convert_to_8bit as to8, subtract_dark
 
         import jax.numpy as jnp
@@ -375,6 +405,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
                         "auto when --auto-params, else 8")
+    p.add_argument("--bleach-correction", "--bleach_correction",
+                   action="store_true",
+                   help="dual-band destripe the merged planes at "
+                        "sigma=2*tile with auto-estimated clips (the "
+                        "reference's merge-stage bleach correction)")
     p.add_argument("--auto-params", action="store_true",
                    help="estimate dark level and bit shift from sample "
                         "planes (multi-Otsu)")
@@ -449,6 +484,7 @@ def main(argv=None) -> int:
             convert_to_8bit=args.convert_to_8bit, bit_shift=args.bit_shift,
             dark=args.dark if args.no_preprocess else 0.0,
             auto_params=args.auto_params,
+            bleach_correction=args.bleach_correction,
             resume=args.resume, log=log)
         # exports (reference: TeraFly via paraconverter, Imaris via wine
         # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)
