@@ -136,6 +136,7 @@ def process_channel(
     dark: float = 0.0,
     auto_params: bool = False,
     bleach_correction: bool = False,
+    rotation: int = 0,
     resume: bool = False,
     mesh=None,
     log: Optional[Logger] = None,
@@ -290,7 +291,7 @@ def process_channel(
     out_dir, ds_vol = merge_to_tif_series(
         grid, stitched_path, cosine_blending=cosine_blending,
         post_fn=post_fn, dtype=np.uint8 if convert_to_8bit else np.uint16,
-        target_voxel_um=target_voxel_um, resume=resume,
+        target_voxel_um=target_voxel_um, resume=resume, rotation=rotation,
         mesh=mesh if use_mesh else None, plane_batch=plane_batch)
 
     if target_voxel_um is not None and ds_vol is not None:
@@ -405,6 +406,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
                         "auto when --auto-params, else 8")
+    p.add_argument("--rot90", action="store_true",
+                   help="rotate stitched planes 90 degrees (the reference "
+                        "rotates by default; here opt-in)")
     p.add_argument("--bleach-correction", "--bleach_correction",
                    action="store_true",
                    help="dual-band destripe the merged planes at "
@@ -485,6 +489,7 @@ def main(argv=None) -> int:
             dark=args.dark if args.no_preprocess else 0.0,
             auto_params=args.auto_params,
             bleach_correction=args.bleach_correction,
+            rotation=90 if args.rot90 else 0,
             resume=args.resume, log=log)
         # exports (reference: TeraFly via paraconverter, Imaris via wine
         # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)

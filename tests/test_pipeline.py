@@ -462,3 +462,27 @@ def test_process_images_bleach_correction_merge(tmp_path, rng):
     # isolation; db9 unidirectional would reach ~0.002x but the
     # reference's merge stage uses the former)
     assert stripe_power(outs["bleach"]) < 0.6 * stripe_power(outs["plain"])
+
+
+def test_process_images_rot90(tmp_path, rng):
+    """--rot90 rotates the stitched planes 90 degrees (reference
+    need_rotation_stitched_tif, process_images.py:731,1695)."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (3, 140, 180), smooth=8.0)
+    tiles, _ = cut_tiles(vol, 2, 2, (90, 110), 40, jitter=2, rng=rng)
+    ch_dir = tmp_path / "raw" / "Ex_488_Em_525"
+    ch_dir.mkdir(parents=True)
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=40,
+                    voxel_um=(0.41, 0.41, 0.1))
+    common = ["--input", str(tmp_path / "raw"), "--objective", "15x",
+              "--no-preprocess", "--search-radius", "6",
+              "--subvol-dim", "3"]
+    assert main(common + ["--stitched", str(tmp_path / "a")]) == 0
+    assert main(common + ["--stitched", str(tmp_path / "b"),
+                          "--rot90"]) == 0
+    a = np.asarray(tio.imread(sorted(
+        (tmp_path / "a" / "Ex_488_Em_525").glob("img_*.tif"))[1]))
+    b = np.asarray(tio.imread(sorted(
+        (tmp_path / "b" / "Ex_488_Em_525").glob("img_*.tif"))[1]))
+    np.testing.assert_array_equal(b, np.rot90(a))
