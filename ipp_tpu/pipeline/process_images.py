@@ -137,6 +137,7 @@ def process_channel(
     auto_params: bool = False,
     bleach_correction: bool = False,
     rotation: int = 0,
+    placement_from: Optional[Path] = None,
     resume: bool = False,
     mesh=None,
     log: Optional[Logger] = None,
@@ -172,6 +173,30 @@ def process_channel(
                                 preprocess_cfg, resume=resume)
         log.info(f"preprocess counters: {counters}")
         source_for_stitch = preprocessed_path
+
+    if placement_from is not None:
+        # reuse another (reference) channel's step-5 placement for this
+        # channel's tiles (reference
+        # --stitch_based_on_reference_channel_alignment,
+        # process_images.py:1293-1308,1643-1648): same acquisition ->
+        # same stage grid, so its solved offsets transfer verbatim
+        timer.start("import")
+        grid = TileGrid.from_xml(placement_from,
+                                 alt_stack_dir=str(source_for_stitch))
+        xml_path = (stitched_path.parent /
+                    f"{channel_path.name}_placement.xml")
+        stitched_path.mkdir(parents=True, exist_ok=True)
+        grid.to_xml(xml_path)
+        log.info(f"placement reused from {placement_from} -> {xml_path}")
+        return _merge_stage(
+            grid, channel_path, stitched_path, timer, log,
+            cosine_blending=cosine_blending,
+            target_voxel_um=target_voxel_um, voxel_um=voxel_um,
+            tile_size=tile_size, convert_to_8bit=convert_to_8bit,
+            bit_shift=bit_shift, dark=dark, auto_params=auto_params,
+            bleach_correction=bleach_correction, rotation=rotation,
+            resume=resume, mesh=mesh, use_mesh=use_mesh,
+            plane_batch=plane_batch)
 
     timer.start("import")
     grid = TileGrid.from_directory(source_for_stitch,
@@ -219,6 +244,25 @@ def process_channel(
     grid.to_xml(xml_path)
     log.info(f"placement written to {xml_path}")
 
+    return _merge_stage(
+        grid, channel_path, stitched_path, timer, log,
+        cosine_blending=cosine_blending, target_voxel_um=target_voxel_um,
+        voxel_um=voxel_um, tile_size=tile_size,
+        convert_to_8bit=convert_to_8bit, bit_shift=bit_shift, dark=dark,
+        auto_params=auto_params, bleach_correction=bleach_correction,
+        rotation=rotation, resume=resume, mesh=mesh, use_mesh=use_mesh,
+        plane_batch=plane_batch)
+
+
+def _merge_stage(
+    grid, channel_path, stitched_path, timer, log, *, cosine_blending,
+    target_voxel_um, voxel_um, tile_size, convert_to_8bit, bit_shift,
+    dark, auto_params, bleach_correction, rotation, resume, mesh,
+    use_mesh, plane_batch,
+) -> Path:
+    """Steps after placement: parameter estimation, merge (step 6) and
+    the downsampled npz — shared by the computed-placement path and the
+    reused-reference-placement path."""
     cmin = cmed = cmax = None
     if auto_params or bleach_correction:
         # sample the 25/50/75% merged planes to estimate dark + bit shift
@@ -406,6 +450,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
                         "auto when --auto-params, else 8")
+    p.add_argument("--reference-channel", "--reference_channel",
+                   type=str, default="",
+                   help="reference channel name (composite + "
+                        "reference-based stitching)")
+    p.add_argument("--stitch-on-reference-alignment",
+                   "--stitch_based_on_reference_channel_alignment",
+                   action="store_true",
+                   help="apply the reference channel's placement to the "
+                        "other channels (same-acquisition datasets)")
     p.add_argument("--rot90", action="store_true",
                    help="rotate stitched planes 90 degrees (the reference "
                         "rotates by default; here opt-in)")
@@ -463,6 +516,15 @@ def main(argv=None) -> int:
 
         flat = _tio.imread(args.flat).astype(np.float32)
         flat = flat / max(float(flat.mean()), 1e-6)
+    reference_channel = args.reference_channel or channels[0]
+    if args.stitch_on_reference_alignment:
+        if reference_channel not in channels:
+            log.error(f"--reference-channel must be one of {channels}")
+            return 2
+        # reference channel first so its placement exists for the rest
+        # (reference reorder_list, process_images.py:1293-1294)
+        channels = ([reference_channel]
+                    + [c for c in channels if c != reference_channel])
     for ch in channels:
         ch_path = args.input / ch
         vx, vy, vz, tile_size = get_voxel_sizes(args.objective, ch_path)
@@ -490,6 +552,10 @@ def main(argv=None) -> int:
             auto_params=args.auto_params,
             bleach_correction=args.bleach_correction,
             rotation=90 if args.rot90 else 0,
+            placement_from=(
+                stitched_root / f"{reference_channel}_placement.xml"
+                if args.stitch_on_reference_alignment
+                and ch != reference_channel else None),
             resume=args.resume, log=log)
         # exports (reference: TeraFly via paraconverter, Imaris via wine
         # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)

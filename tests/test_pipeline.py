@@ -486,3 +486,50 @@ def test_process_images_rot90(tmp_path, rng):
     b = np.asarray(tio.imread(sorted(
         (tmp_path / "b" / "Ex_488_Em_525").glob("img_*.tif"))[1]))
     np.testing.assert_array_equal(b, np.rot90(a))
+
+
+def test_process_images_stitch_on_reference_alignment(tmp_path, rng):
+    """--stitch-on-reference-alignment reuses the reference channel's
+    placement for the other channels (reference
+    --stitch_based_on_reference_channel_alignment,
+    process_images.py:1293-1308): identical tile offsets, per-channel
+    pixel content."""
+    from ipp_tpu.geometry.stacks import TileGrid
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (3, 160, 160), smooth=6.0)
+    tiles_a, _ = cut_tiles(vol, 2, 2, (100, 100), 40, jitter=2, rng=rng)
+    # second channel: same geometry (cut with the same rng state NOT
+    # required — same nominal grid), scaled content
+    tiles_b = [[np.clip(t.astype(np.float32) * 0.5, 0, 65535)
+                .astype(np.uint16) for t in row] for row in tiles_a]
+    for ch, tiles in (("Ex_488_Em_525", tiles_a), ("Ex_561_Em_600",
+                                                   tiles_b)):
+        ch_dir = tmp_path / "raw" / ch
+        ch_dir.mkdir(parents=True)
+        write_tile_grid(ch_dir, tiles, overlap_nominal_px=40,
+                        voxel_um=(0.41, 0.41, 0.1))
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess",
+        "--search-radius", "6", "--subvol-dim", "3",
+        "--stitch-on-reference-alignment",
+        "--reference-channel", "Ex_488_Em_525",
+    ])
+    assert rc == 0
+    ga = TileGrid.from_xml(tmp_path / "stitched" /
+                           "Ex_488_Em_525_placement.xml")
+    gb = TileGrid.from_xml(tmp_path / "stitched" /
+                           "Ex_561_Em_600_placement.xml")
+    offs_a = [(s.abs_v, s.abs_h, s.abs_d) for s in ga.flattened()]
+    offs_b = [(s.abs_v, s.abs_h, s.abs_d) for s in gb.flattened()]
+    assert offs_a == offs_b
+    # each channel merged its OWN pixels
+    pa = np.asarray(tio.imread(sorted(
+        (tmp_path / "stitched" / "Ex_488_Em_525").glob("img_*.tif"))[1]))
+    pb = np.asarray(tio.imread(sorted(
+        (tmp_path / "stitched" / "Ex_561_Em_600").glob("img_*.tif"))[1]))
+    assert pa.shape == pb.shape
+    ratio = pb[pa > 200].astype(float) / pa[pa > 200].astype(float)
+    assert abs(np.median(ratio) - 0.5) < 0.05
