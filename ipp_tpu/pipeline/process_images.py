@@ -136,6 +136,7 @@ def process_channel(
     dark: float = 0.0,
     auto_params: bool = False,
     bleach_correction: bool = False,
+    background_subtraction: bool = False,
     rotation: int = 0,
     placement_from: Optional[Path] = None,
     resume: bool = False,
@@ -194,9 +195,10 @@ def process_channel(
             target_voxel_um=target_voxel_um, voxel_um=voxel_um,
             tile_size=tile_size, convert_to_8bit=convert_to_8bit,
             bit_shift=bit_shift, dark=dark, auto_params=auto_params,
-            bleach_correction=bleach_correction, rotation=rotation,
-            resume=resume, mesh=mesh, use_mesh=use_mesh,
-            plane_batch=plane_batch)
+            bleach_correction=bleach_correction,
+            background_subtraction=background_subtraction,
+            rotation=rotation, resume=resume, mesh=mesh,
+            use_mesh=use_mesh, plane_batch=plane_batch)
 
     timer.start("import")
     grid = TileGrid.from_directory(source_for_stitch,
@@ -250,6 +252,7 @@ def process_channel(
         voxel_um=voxel_um, tile_size=tile_size,
         convert_to_8bit=convert_to_8bit, bit_shift=bit_shift, dark=dark,
         auto_params=auto_params, bleach_correction=bleach_correction,
+        background_subtraction=background_subtraction,
         rotation=rotation, resume=resume, mesh=mesh, use_mesh=use_mesh,
         plane_batch=plane_batch)
 
@@ -257,8 +260,8 @@ def process_channel(
 def _merge_stage(
     grid, channel_path, stitched_path, timer, log, *, cosine_blending,
     target_voxel_um, voxel_um, tile_size, convert_to_8bit, bit_shift,
-    dark, auto_params, bleach_correction, rotation, resume, mesh,
-    use_mesh, plane_batch,
+    dark, auto_params, bleach_correction, background_subtraction,
+    rotation, resume, mesh, use_mesh, plane_batch,
 ) -> Path:
     """Steps after placement: parameter estimation, merge (step 6) and
     the downsampled npz — shared by the computed-placement path and the
@@ -293,13 +296,16 @@ def _merge_stage(
 
     timer.start("merge (step 6)")
     post_fn = None
-    if bleach_correction:
-        # the reference's merge-stage process_img: dual-band destriping at
+    if bleach_correction or background_subtraction:
+        # the reference's merge-stage process_img (process_images.py:
+        # 696-727): with bleach correction, dual-band destriping at
         # sigma = 2*min(tile) with coif15, bidirectional, threshold =
         # clip_med, dark = expm1(clip_min) — evening out per-tile
-        # brightness/bleaching seams in the stitched planes
-        # (process_images.py:696-727; its bleach_correction_frequency is
-        # always None there, :634 commented out — so no Butterworth flat)
+        # brightness/bleaching seams (its bleach_correction_frequency is
+        # always None there, :634 commented out — so no Butterworth
+        # flat); with background subtraction, the lightsheet local-
+        # percentile cleaning runs on the merged plane
+        # ("lightsheet": need_lightsheet_cleaning, :720)
         from ..ops.process import ProcessConfig as PC, process_img as pimg
 
         flat_stacks = grid.flattened()
@@ -308,11 +314,14 @@ def _merge_stage(
             sig = int(min(t0.y1 - t0.y0, t0.x1 - t0.x0))
         else:
             sig = int(min(tile_size))
+        if not bleach_correction:
+            sig = 0
         merge_cfg = PC(
             sigma=(2 * sig, 2 * sig), wavelet="coif15", bidirectional=True,
             threshold=cmed, bleach_correction_clip_min=cmin,
             bleach_correction_clip_med=cmed, bleach_correction_clip_max=cmax,
-            dark=dark, convert_to_8bit=convert_to_8bit,
+            dark=dark, lightsheet=background_subtraction, percentile=0.25,
+            convert_to_8bit=convert_to_8bit,
             bit_shift_to_right=(bit_shift if bit_shift is not None else 8),
             d_type="uint16")
 
@@ -450,6 +459,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
                         "auto when --auto-params, else 8")
+    p.add_argument("--background-subtraction", "--background_subtraction",
+                   action="store_true",
+                   help="lightsheet local-percentile background cleaning "
+                        "on the merged planes (the reference's "
+                        "postprocessing background subtraction)")
+    p.add_argument("--background-subtraction-channels",
+                   "--background_subtraction_channels", nargs="+",
+                   default=[],
+                   help="restrict background subtraction to these "
+                        "channels (default: all when enabled)")
     p.add_argument("--reference-channel", "--reference_channel",
                    type=str, default="",
                    help="reference channel name (composite + "
@@ -516,6 +535,19 @@ def main(argv=None) -> int:
 
         flat = _tio.imread(args.flat).astype(np.float32)
         flat = flat / max(float(flat.mean()), 1e-6)
+    bg_channels: List[str] = []
+    if args.background_subtraction:
+        # reference select_channels (process_images.py:1192-1207): an
+        # explicit list restricts; unknown names are an error
+        if args.background_subtraction_channels:
+            for c in args.background_subtraction_channels:
+                if c not in channels:
+                    log.error(f"background subtraction channel {c} not "
+                              f"among {channels}")
+                    return 2
+                bg_channels.append(c)
+        else:
+            bg_channels = list(channels)
     reference_channel = args.reference_channel or channels[0]
     if args.stitch_on_reference_alignment:
         if reference_channel not in channels:
@@ -551,6 +583,7 @@ def main(argv=None) -> int:
             dark=args.dark if args.no_preprocess else 0.0,
             auto_params=args.auto_params,
             bleach_correction=args.bleach_correction,
+            background_subtraction=ch in bg_channels,
             rotation=90 if args.rot90 else 0,
             placement_from=(
                 stitched_root / f"{reference_channel}_placement.xml"

@@ -533,3 +533,45 @@ def test_process_images_stitch_on_reference_alignment(tmp_path, rng):
     assert pa.shape == pb.shape
     ratio = pb[pa > 200].astype(float) / pa[pa > 200].astype(float)
     assert abs(np.median(ratio) - 0.5) < 0.05
+
+
+def test_process_images_background_subtraction(tmp_path, rng):
+    """--background-subtraction runs lightsheet local-percentile cleaning
+    on the merged planes (reference "lightsheet": need_lightsheet_cleaning
+    at the merge stage, process_images.py:720,1212-1213); the channel
+    list restricts it."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (3, 150, 150), smooth=6.0)
+    # add a smooth additive background gradient the cleaning removes
+    yy = np.linspace(0, 3000, 150, dtype=np.float32)[None, :, None]
+    vol = np.clip(vol.astype(np.float32) + yy, 0, 65535).astype(np.uint16)
+    tiles, _ = cut_tiles(vol, 2, 2, (95, 95), 40, jitter=2, rng=rng)
+    for ch in ("Ex_488_Em_525", "Ex_561_Em_600"):
+        ch_dir = tmp_path / "raw" / ch
+        ch_dir.mkdir(parents=True)
+        write_tile_grid(ch_dir, tiles, overlap_nominal_px=40,
+                        voxel_um=(0.41, 0.41, 0.1))
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess",
+        "--search-radius", "6", "--subvol-dim", "3",
+        "--background-subtraction",
+        "--background-subtraction-channels", "Ex_488_Em_525",
+    ])
+    assert rc == 0
+    cleaned = np.asarray(tio.imread(sorted(
+        (tmp_path / "stitched" / "Ex_488_Em_525").glob("img_*.tif"))[1]))
+    untouched = np.asarray(tio.imread(sorted(
+        (tmp_path / "stitched" / "Ex_561_Em_600").glob("img_*.tif"))[1]))
+    # the cleaned channel's background level drops well below the other's
+    assert np.percentile(cleaned, 20) < 0.5 * np.percentile(untouched, 20)
+    # and an unknown channel errors out
+    assert main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched2"),
+        "--objective", "15x", "--no-preprocess",
+        "--background-subtraction",
+        "--background-subtraction-channels", "Ex_000_Em_000",
+    ]) == 2
