@@ -34,7 +34,7 @@ from ..stitch.place import (place_tiles_mst, project_displacements,
 from ..utils.jaxconfig import enable_persistent_cache
 from ..utils.log import Logger
 from ..utils.progress import StageTimer
-from .pystripe_cli import batch_filter
+from .pystripe_cli import _resolve_compression, batch_filter
 
 __all__ = ["ALL_CHANNELS", "get_voxel_sizes", "process_channel", "main"]
 
@@ -139,6 +139,7 @@ def process_channel(
     background_subtraction: bool = False,
     rotation: int = 0,
     placement_from: Optional[Path] = None,
+    compression: Optional[str] = None,
     resume: bool = False,
     mesh=None,
     log: Optional[Logger] = None,
@@ -197,8 +198,8 @@ def process_channel(
             bit_shift=bit_shift, dark=dark, auto_params=auto_params,
             bleach_correction=bleach_correction,
             background_subtraction=background_subtraction,
-            rotation=rotation, resume=resume, mesh=mesh,
-            use_mesh=use_mesh, plane_batch=plane_batch)
+            rotation=rotation, compression=compression, resume=resume,
+            mesh=mesh, use_mesh=use_mesh, plane_batch=plane_batch)
 
     timer.start("import")
     grid = TileGrid.from_directory(source_for_stitch,
@@ -253,15 +254,15 @@ def process_channel(
         convert_to_8bit=convert_to_8bit, bit_shift=bit_shift, dark=dark,
         auto_params=auto_params, bleach_correction=bleach_correction,
         background_subtraction=background_subtraction,
-        rotation=rotation, resume=resume, mesh=mesh, use_mesh=use_mesh,
-        plane_batch=plane_batch)
+        rotation=rotation, compression=compression, resume=resume,
+        mesh=mesh, use_mesh=use_mesh, plane_batch=plane_batch)
 
 
 def _merge_stage(
     grid, channel_path, stitched_path, timer, log, *, cosine_blending,
     target_voxel_um, voxel_um, tile_size, convert_to_8bit, bit_shift,
     dark, auto_params, bleach_correction, background_subtraction,
-    rotation, resume, mesh, use_mesh, plane_batch,
+    rotation, compression, resume, mesh, use_mesh, plane_batch,
 ) -> Path:
     """Steps after placement: parameter estimation, merge (step 6) and
     the downsampled npz — shared by the computed-placement path and the
@@ -345,6 +346,7 @@ def _merge_stage(
         grid, stitched_path, cosine_blending=cosine_blending,
         post_fn=post_fn, dtype=np.uint8 if convert_to_8bit else np.uint16,
         target_voxel_um=target_voxel_um, resume=resume, rotation=rotation,
+        compression=compression,
         mesh=mesh if use_mesh else None, plane_batch=plane_batch)
 
     if target_voxel_um is not None and ds_vol is not None:
@@ -459,6 +461,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
                         "auto when --auto-params, else 8")
+    p.add_argument("--compression", type=str, default=None,
+                   help="output TIFF compression ('zlib:N' or None)")
+    p.add_argument("--compression_method", "-cm", type=str, default=None,
+                   help="reference-style method name (ADOBE_DEFLATE, ...)")
+    p.add_argument("--compression_level", "-cl", type=int, default=1)
     p.add_argument("--background-subtraction", "--background_subtraction",
                    action="store_true",
                    help="lightsheet local-percentile background cleaning "
@@ -585,6 +592,7 @@ def main(argv=None) -> int:
             bleach_correction=args.bleach_correction,
             background_subtraction=ch in bg_channels,
             rotation=90 if args.rot90 else 0,
+            compression=_resolve_compression(args),
             placement_from=(
                 stitched_root / f"{reference_channel}_placement.xml"
                 if args.stitch_on_reference_alignment
