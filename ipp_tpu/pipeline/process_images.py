@@ -140,6 +140,7 @@ def process_channel(
     rotation: int = 0,
     placement_from: Optional[Path] = None,
     compression: Optional[str] = None,
+    read_timeout: Optional[float] = None,
     resume: bool = False,
     mesh=None,
     log: Optional[Logger] = None,
@@ -172,7 +173,8 @@ def process_channel(
         timer.start("preprocess")
         log.info(f"preprocessing {channel_path} -> {preprocessed_path}")
         counters = batch_filter(channel_path, preprocessed_path,
-                                preprocess_cfg, resume=resume)
+                                preprocess_cfg, resume=resume,
+                                read_timeout=read_timeout or 300.0)
         log.info(f"preprocess counters: {counters}")
         source_for_stitch = preprocessed_path
 
@@ -455,8 +457,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subvol-dim", type=int, default=100)
     p.add_argument("--threshold", type=float, default=0.65,
                    help="displacement reliability threshold (step 4)")
-    p.add_argument("--downsampled-voxel", type=float, default=None,
+    p.add_argument("--downsampled-voxel", "--voxel_size_target",
+                   type=float, default=None,
                    help="isotropic target voxel (um) for npz export")
+    p.add_argument("--isotropic", action="store_true",
+                   help="resize tiles in-plane during preprocessing so "
+                        "voxels become isotropic (x = y = z)")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="per-tile read timeout in seconds during "
+                        "preprocessing (hung/corrupt reads become zero "
+                        "tiles)")
     p.add_argument("--convert-to-8bit", action="store_true")
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
@@ -568,6 +578,27 @@ def main(argv=None) -> int:
         ch_path = args.input / ch
         vx, vy, vz, tile_size = get_voxel_sizes(args.objective, ch_path)
         log.info(f"channel {ch}: voxel ({vx}, {vy}, {vz}) um")
+        new_tile = None
+        if args.isotropic and not (vx == vy == vz):
+            if args.no_preprocess:
+                log.error("--isotropic needs the preprocessing stage "
+                          "(it resizes tiles in-plane); drop "
+                          "--no-preprocess")
+                return 2
+            # resize tiles so in-plane voxels land on the z pitch
+            # (reference need_up_sizing/need_down_sampling,
+            # process_images.py:1163-1186 — it scales the preset
+            # tile_size; the ACTUAL tile shape is used here so datasets
+            # whose tiles differ from the preset resize correctly)
+            sample = next(iter(sorted(
+                (args.input / ch).glob("*/*/*.tif*"))), None)
+            actual = (tio.imread(sample).shape if sample is not None
+                      else tile_size)
+            new_tile = (int(round(actual[0] * vy / vz)),
+                        int(round(actual[1] * vx / vz)))
+            log.info(f"isotropic resize: tile {tuple(actual)} -> "
+                     f"{new_tile}, voxel xy -> {vz} um")
+            vx = vy = vz
         cfg = None
         if not args.no_preprocess:
             cfg = ProcessConfig(
@@ -578,7 +609,8 @@ def main(argv=None) -> int:
                 gaussian_filter_2d=args.gaussian,
                 lightsheet=args.lightsheet,
                 artifact_length=args.artifact_length,
-                lightsheet_vs_background=args.lightsheet_vs_background)
+                lightsheet_vs_background=args.lightsheet_vs_background,
+                new_size=new_tile)
         out_dir = process_channel(
             ch_path, preproc_root / ch, stitched_root / ch,
             (vx, vy, vz), tile_size, cfg,
@@ -593,6 +625,7 @@ def main(argv=None) -> int:
             background_subtraction=ch in bg_channels,
             rotation=90 if args.rot90 else 0,
             compression=_resolve_compression(args),
+            read_timeout=args.timeout,
             placement_from=(
                 stitched_root / f"{reference_channel}_placement.xml"
                 if args.stitch_on_reference_alignment

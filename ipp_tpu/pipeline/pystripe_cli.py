@@ -69,7 +69,8 @@ def collect_tasks(input_dir: Path, output_dir: Path,
 def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                  batch_size: int = 8, resume: bool = False,
                  compression: Optional[str] = None,
-                 workers: int = 8, z_step: Optional[float] = None) -> dict:
+                 workers: int = 8, z_step: Optional[float] = None,
+                 read_timeout: float = 300.0) -> dict:
     """Destripe a whole directory tree (reference batch_filter,
     pystripe/core.py:1806-2050).
 
@@ -134,6 +135,7 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                              batch_size=batch_size, resume=resume,
                              compression=compression,
                              reader_threads=workers,
+                             read_timeout=read_timeout,
                              progress_desc="destripe")
 
 

@@ -575,3 +575,47 @@ def test_process_images_background_subtraction(tmp_path, rng):
         "--background-subtraction",
         "--background-subtraction-channels", "Ex_000_Em_000",
     ]) == 2
+
+
+def test_process_images_isotropic_resize(tmp_path, rng):
+    """--isotropic resizes tiles in-plane during preprocessing so voxels
+    become isotropic (reference need_up_sizing/need_down_sampling,
+    process_images.py:1163-1186): stitched planes shrink by vxy/vz."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (3, 160, 160), smooth=6.0)
+    tiles, _ = cut_tiles(vol, 2, 2, (100, 100), 40, jitter=2, rng=rng)
+    ch_dir = tmp_path / "raw" / "Ex_488_Em_525"
+    ch_dir.mkdir(parents=True)
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=40,
+                    voxel_um=(0.41, 0.41, 1.0))
+    # synth writes plane names as the z index; re-step them to 1.0 um
+    # (10 tenths) so get_voxel_sizes reads vz=1.0 > vxy=0.41 ->
+    # down-sizing tiles by 0.41
+    for p in ch_dir.glob("*/*/*.tif"):
+        p.rename(p.parent / f"{int(p.stem) * 10:06d}.tif")
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--preprocessed", str(tmp_path / "pre"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x",
+        "--sigma1", "0", "--sigma2", "0",  # preprocess = resize only
+        "--isotropic",
+        "--search-radius", "4", "--subvol-dim", "3",
+    ])
+    assert rc == 0
+    pre = sorted((tmp_path / "pre" / "Ex_488_Em_525").rglob("*.tif"))
+    assert pre
+    t = np.asarray(tio.imread(pre[0]))
+    assert t.shape == (41, 41)  # round(100 * 0.41 / 1.0)
+    outs = sorted((tmp_path / "stitched" / "Ex_488_Em_525")
+                  .glob("img_*.tif"))
+    assert len(outs) == 3
+    merged = np.asarray(tio.imread(outs[1]))
+    assert merged.max() > 0 and max(merged.shape) < 100
+    # --isotropic without preprocessing is an error
+    assert main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "s2"),
+        "--objective", "15x", "--no-preprocess", "--isotropic",
+    ]) == 2
