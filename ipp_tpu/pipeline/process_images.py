@@ -141,6 +141,8 @@ def process_channel(
     placement_from: Optional[Path] = None,
     compression: Optional[str] = None,
     read_timeout: Optional[float] = None,
+    skip_inspection: bool = False,
+    io_workers: int = 8,
     resume: bool = False,
     mesh=None,
     log: Optional[Logger] = None,
@@ -166,7 +168,8 @@ def process_channel(
         log.info(f"device mesh for steps 2/6: {dict(mesh.shape)}")
 
     timer.start("inspect")
-    inspect_for_missing_tiles(channel_path, log)
+    if not skip_inspection:
+        inspect_for_missing_tiles(channel_path, log)
 
     source_for_stitch = channel_path
     if preprocess_cfg is not None:
@@ -174,6 +177,7 @@ def process_channel(
         log.info(f"preprocessing {channel_path} -> {preprocessed_path}")
         counters = batch_filter(channel_path, preprocessed_path,
                                 preprocess_cfg, resume=resume,
+                                workers=io_workers,
                                 read_timeout=read_timeout or 300.0)
         log.info(f"preprocess counters: {counters}")
         source_for_stitch = preprocessed_path
@@ -495,6 +499,18 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="apply the reference channel's placement to the "
                         "other channels (same-acquisition datasets)")
+    p.add_argument("--skip-inspection", "--skip_inspection",
+                   action="store_true",
+                   help="skip the missing-tile scan/dummy substitution")
+    p.add_argument("--terafly-path", "--terafly_path", type=Path,
+                   default=None,
+                   help="TeraFly export destination (default: "
+                        "STITCHED/<channel>_terafly)")
+    p.add_argument("--terafly-channels", "--terafly_channels", nargs="+",
+                   default=[],
+                   help="restrict TeraFly export to these channels")
+    p.add_argument("--nthreads", "-n", type=int, default=8,
+                   help="host IO worker threads for preprocessing")
     p.add_argument("--rot90", action="store_true",
                    help="rotate stitched planes 90 degrees (the reference "
                         "rotates by default; here opt-in)")
@@ -626,6 +642,8 @@ def main(argv=None) -> int:
             rotation=90 if args.rot90 else 0,
             compression=_resolve_compression(args),
             read_timeout=args.timeout,
+            skip_inspection=args.skip_inspection,
+            io_workers=args.nthreads,
             placement_from=(
                 stitched_root / f"{reference_channel}_placement.xml"
                 if args.stitch_on_reference_alignment
@@ -634,11 +652,13 @@ def main(argv=None) -> int:
         # exports (reference: TeraFly via paraconverter, Imaris via wine
         # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)
         color = dict(ALL_CHANNELS).get(ch, "g")
-        if args.terafly:
+        if args.terafly and (not args.terafly_channels
+                             or ch in args.terafly_channels):
             from ..io.terafly import tif_series_to_terafly
 
+            tf_root = args.terafly_path or stitched_root
             log.info(f"TeraFly export for {ch} ...")
-            tif_series_to_terafly(out_dir, stitched_root / f"{ch}_terafly",
+            tif_series_to_terafly(out_dir, tf_root / f"{ch}_terafly",
                                   voxel_um=(vz, vy, vx))
         if args.imaris:
             from ..io.ims import tif_series_to_imaris
