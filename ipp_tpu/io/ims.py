@@ -64,6 +64,19 @@ class ImarisReader:
             return np.stack([self[zi] for zi in range(*z.indices(len(self)))])
         return np.asarray(self._ds[z, :self.shape[1], :self.shape[2]])
 
+    def read_roi(self, z0: int, z1: int, y0: int, y1: int,
+                 x0: int, x1: int) -> np.ndarray:
+        """Read a sub-box directly from the HDF5 dataset — only the ROI's
+        chunks are touched (the reference's read_direct source_sel,
+        supplements/croping.py:89-90), never whole planes."""
+        nz, ny, nx = self.shape
+        if not (0 <= z0 <= z1 <= nz and 0 <= y0 <= y1 <= ny
+                and 0 <= x0 <= x1 <= nx):
+            raise ValueError(
+                f"ROI {(z0, z1, y0, y1, x0, x1)} outside volume "
+                f"{self.shape}")
+        return np.asarray(self._ds[z0:z1, y0:y1, x0:x1])
+
     def close(self):
         self._f.close()
 

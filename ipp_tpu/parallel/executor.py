@@ -58,7 +58,7 @@ def run_tile_pipeline(
     compression: Optional[str] = None,
     progress_desc: str = "tiles",
     reader: Optional[Callable[[Path], np.ndarray]] = None,
-    read_timeout: float = 300.0,
+    read_timeout: Optional[float] = 300.0,
     expected_shape: Optional[Tuple[int, int]] = None,
     expected_dtype=np.uint16,
 ) -> Dict[str, int]:
@@ -119,7 +119,9 @@ def run_tile_pipeline(
 
                     fut = timeout_pool.submit(dcimg_imread, t.input_path,
                                               t.frame)
-                img = np.asarray(fut.result(timeout=read_timeout))
+                img = np.asarray(fut.result(
+                    timeout=read_timeout if read_timeout and
+                    read_timeout > 0 else None))
             except _FTimeout:
                 print(f"read timeout, substituting zeros: {t.input_path}")
                 img = None

@@ -310,10 +310,21 @@ def write_composite_series(
         if used & set("rgb"):
             raise ValueError("cannot mix RGB and CMYK channel colors")
         color_idx = {"c": 0, "m": 1, "y": 2, "k": 3}
+        # the reference emits 3 planes for <=3 stacks and 4 only with a
+        # key channel (generate_composite_image, process_images.py:894-903)
+        n_planes = 4 if "k" in used else 3
     else:
         color_idx = {"r": 0, "g": 1, "b": 2}
-    n_planes = len(color_idx)
+        n_planes = 3
     if right_bit_shifts:
+        # the reference's right_bit_shifts is a tuple zipped over ALL
+        # channels (process_images.py:878) — a partial dict would blow
+        # unconverted u16 channels out against the u8 clip
+        missing = set(channels) - set(right_bit_shifts)
+        if missing:
+            raise ValueError(
+                f"right_bit_shifts must cover every channel; missing "
+                f"{sorted(missing)}")
         dtype = np.uint8
     info = np.iinfo(dtype)
     # channels can stitch to slightly different plane sizes: center-pad

@@ -33,7 +33,8 @@ def flip_series(input_dir: Path, output_dir: Optional[Path] = None,
     """Flip a TIFF series; ``output_dir=None`` flips in place.  Returns
     the number of planes processed."""
     input_dir = Path(input_dir)
-    in_place = output_dir is None or Path(output_dir) == input_dir
+    in_place = (output_dir is None
+                or Path(output_dir).resolve() == input_dir.resolve())
     if not in_place:
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)

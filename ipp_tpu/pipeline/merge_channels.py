@@ -84,8 +84,14 @@ def main(argv=None) -> int:
             log.info(f"channel {name} offset {off}")
     shifts = ({ch: args.bit_shift for ch in channels}
               if args.convert_to_8bit else None)
+    # preserve the input dtype unless converting (the reference keeps
+    # images[0].dtype, process_images.py:881)
+    first_dir = next(iter(channels.values()))
+    first_tif = sorted(Path(first_dir).glob("*.tif"))
+    dtype = (np.uint8 if args.convert_to_8bit else
+             (tio.imread(first_tif[0]).dtype if first_tif else np.uint16))
     write_composite_series(channels, colors, args.output, offsets,
-                           right_bit_shifts=shifts)
+                           dtype=dtype, right_bit_shifts=shifts)
     return 0
 
 

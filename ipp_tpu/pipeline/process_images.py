@@ -178,7 +178,10 @@ def process_channel(
         counters = batch_filter(channel_path, preprocessed_path,
                                 preprocess_cfg, resume=resume,
                                 workers=io_workers,
-                                read_timeout=read_timeout or 300.0)
+                                read_timeout=(300.0 if read_timeout is None
+                                              else read_timeout))
+        # (--timeout 0 disables the read sandbox: executor treats
+        # non-positive as no timeout)
         log.info(f"preprocess counters: {counters}")
         source_for_stitch = preprocessed_path
 
@@ -581,6 +584,10 @@ def main(argv=None) -> int:
                 bg_channels.append(c)
         else:
             bg_channels = list(channels)
+    for c in args.terafly_channels:
+        if c not in channels:
+            log.error(f"--terafly-channels entry {c} not among {channels}")
+            return 2
     reference_channel = args.reference_channel or channels[0]
     if args.stitch_on_reference_alignment:
         if reference_channel not in channels:

@@ -70,7 +70,7 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                  batch_size: int = 8, resume: bool = False,
                  compression: Optional[str] = None,
                  workers: int = 8, z_step: Optional[float] = None,
-                 read_timeout: float = 300.0) -> dict:
+                 read_timeout: Optional[float] = 300.0) -> dict:
     """Destripe a whole directory tree (reference batch_filter,
     pystripe/core.py:1806-2050).
 

@@ -261,7 +261,9 @@ def renumber_directories(path) -> int:
     if min_x == 0 and min_y == 0:
         return 0
     n = 0
-    for dy, x, y in coords:
+    # descending y so an upward shift never renames onto a sibling that
+    # has not moved yet (same collision class as the x loop below)
+    for dy, x, y in sorted(coords, key=lambda t: -t[2]):
         dest = dy.parent / f"{x - min_x:06d}_{y - min_y:06d}"
         if dy != dest:
             dy.rename(dest)
@@ -601,7 +603,7 @@ def crop_ims(ims_path, output_dir, z0: int, z1: int, y0: int, y1: int,
     output_dir.mkdir(parents=True, exist_ok=True)
     with ImarisReader(ims_path, channel=channel,
                       resolution_level=resolution_level) as r:
-        vol = np.asarray(r[z0:z1])[:, y0:y1, x0:x1]
+        vol = r.read_roi(z0, z1, y0, y1, x0, x1)
     roi = f"{z0}_{z1 - 1}_{y0}_{y1 - 1}_{x0}_{x1 - 1}"
     base = ims_path.stem
     path16 = output_dir / f"{base}_{roi}_16bit.tif"

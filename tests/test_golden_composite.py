@@ -140,3 +140,27 @@ def test_mixed_color_spaces_rejected(tmp_path, rng):
         write_composite_series({"ch0": d0, "ch1": d1},
                                {"ch0": "r", "ch1": "k"},
                                tmp_path / "ours")
+
+
+def test_three_channel_cmy_matches_reference(ref_pi, tmp_path, rng):
+    """3 CMYK-space channels -> the reference emits THREE planes
+    (available_colors = order_of_colors[:3], process_images.py:894-898);
+    ours matches (4 planes only when a key channel exists)."""
+    dirs = [_write_channel(tmp_path / f"ch{i}", rng, nz=2)
+            for i in range(3)]
+    ref_files = _run_reference(ref_pi, dirs, tmp_path / "ref", "cmyk")
+    our = write_composite_series(
+        {f"ch{i}": d for i, d in enumerate(dirs)},
+        {"ch0": "c", "ch1": "m", "ch2": "y"},
+        tmp_path / "ours", dtype=np.uint16)
+    _compare(ref_files, our, 2)
+    assert tio.imread(sorted(our.glob("*.tif"))[0]).shape[-1] == 3
+
+
+def test_partial_bit_shifts_rejected(tmp_path, rng):
+    d0 = _write_channel(tmp_path / "c0", rng, nz=1)
+    d1 = _write_channel(tmp_path / "c1", rng, nz=1)
+    with pytest.raises(ValueError, match="cover every channel"):
+        write_composite_series({"c0": d0, "c1": d1},
+                               {"c0": "r", "c1": "g"}, tmp_path / "o",
+                               right_bit_shifts={"c0": 8})

@@ -248,3 +248,21 @@ def test_fill_blanks_tree_matches_reference(ref_fill_blanks, tmp_path, rng):
     assert (kept == 7).all()
     blank = tio.imread(our_dest / "000104" / "000104_000310" / "0001.tif")
     assert not blank.any() and blank.shape == (12, 16)
+
+
+def test_renumber_directories_y_shift_collision_safe(tmp_path):
+    """min_x == 0 with negative y: shifting y upward renames onto sibling
+    names that exist before their own rename — descending-y order makes
+    this safe (the reference renames in set order and can collide;
+    documented fix)."""
+    from ipp_tpu.pipeline.tsv_tools import renumber_directories
+
+    root = tmp_path / "tree"
+    for y in (-300, 0, 300):
+        d = root / "000000" / f"000000_{y:06d}"
+        d.mkdir(parents=True)
+        (d / "data.tif").write_bytes(str(y).encode())
+    assert renumber_directories(root) == 3
+    for old_y, new_y in ((-300, 0), (0, 300), (300, 600)):
+        p = root / "000000" / f"000000_{new_y:06d}" / "data.tif"
+        assert p.read_bytes() == str(old_y).encode()
