@@ -114,7 +114,7 @@ def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
     return movie_path
 
 
-def _open_source(src: Path):
+def _open_source(src: Path, channel: int = 0):
     """Return (reader(z)->plane, nz) for any supported volume source —
     the generic-source half of the reference teraconverter
     (TeraStitcher utils/volumeconverter: 2D TIFF series, 3D TIFF,
@@ -129,7 +129,7 @@ def _open_source(src: Path):
     """
     suffix = src.suffix.lower()
     if suffix == ".ims":
-        r = ImarisReader(src)
+        r = ImarisReader(src, channel=channel)
         return (lambda z: r[z]), r.shape[0]
     if suffix in (".xml", ".h5"):
         from ..io.bdv import BDVReader
@@ -175,11 +175,34 @@ def convert(
     movie_fps: int = 60,
     halve: str = "mean",
     resume: bool = False,
+    channel: int = 0,
+    read_timeout: Optional[float] = None,
     log: Optional[Logger] = None,
 ) -> Path:
     enable_persistent_cache()
     log = log or Logger()
-    reader, nz = _open_source(Path(source))
+    reader, nz = _open_source(Path(source), channel=channel)
+    if read_timeout and read_timeout > 0:
+        # hung/corrupt plane reads become zero planes after the deadline
+        # (reference convert.py --timeout, :386-390)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        from concurrent.futures import TimeoutError as _FTimeout
+
+        _pool = _TPE(max_workers=1)
+        _raw_reader = reader
+        _shape0 = None
+
+        def reader(z, _rr=_raw_reader):
+            nonlocal _shape0
+            try:
+                plane = _pool.submit(_rr, z).result(timeout=read_timeout)
+                _shape0 = plane.shape
+                return plane
+            except (_FTimeout, Exception):
+                if _shape0 is None:
+                    raise
+                log.warn(f"plane {z} read failed/timed out; zeros")
+                return np.zeros(_shape0, np.uint16)
     tif_dir = Path(destination)
     tif_dir.mkdir(parents=True, exist_ok=True)
     prog = ProgressReporter(nz, desc="convert")
@@ -253,6 +276,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--movie", type=Path, default=None,
                    help="render the series to this .mp4/.avi")
     p.add_argument("--movie-fps", type=int, default=60)
+    p.add_argument("--channel", "-c", type=int, default=0,
+                   help="IMS channel to convert")
+    p.add_argument("--rotation", "-r", type=int, default=0,
+                   choices=[0, 90, 180, 270])
+    p.add_argument("--flip-upside-down", "--flip_upside_down",
+                   action="store_true")
+    p.add_argument("--gaussian", "-g", action="store_true")
+    p.add_argument("--padding-mode", "--padding_mode", default="reflect")
+    p.add_argument("--timeout", type=float, default=None,
+                   help="per-plane read timeout (s); failed reads "
+                        "become zero planes")
+    p.add_argument("--rename", action="store_true",
+                   help="accepted for reference compatibility (outputs "
+                        "are always renumbered img_%%06d)")
     p.add_argument("--resume", action="store_true")
     return p
 
@@ -261,17 +298,22 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = None
     if (args.convert_to_8bit or args.dark or args.sigma1 or args.sigma2
-            or args.new_size):
+            or args.new_size or args.rotation or args.flip_upside_down
+            or args.gaussian):
         cfg = ProcessConfig(
             sigma=(args.sigma1, args.sigma2), wavelet=args.wavelet,
+            padding_mode=args.padding_mode,
             dark=args.dark, convert_to_8bit=args.convert_to_8bit,
             bit_shift_to_right=args.bit_shift,
+            gaussian_filter_2d=args.gaussian,
+            rotate=args.rotation, flip_upside_down=args.flip_upside_down,
             new_size=tuple(args.new_size) if args.new_size else None)
     convert(args.input, args.output, cfg, voxel_um=tuple(args.voxel),
             to_terafly=args.terafly, to_imaris=args.imaris,
             to_bdv=args.bdv, to_precomputed=args.precomputed,
             to_fnt=args.fnt, to_movie=args.movie, fnt_cube=args.fnt_cube,
-            movie_fps=args.movie_fps, halve=args.halve, resume=args.resume)
+            movie_fps=args.movie_fps, halve=args.halve, resume=args.resume,
+            channel=args.channel, read_timeout=args.timeout)
     return 0
 
 
