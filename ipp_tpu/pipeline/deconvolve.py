@@ -338,6 +338,10 @@ def deconvolve_volume(
     classic_rl: bool = True,
     mesh=None,
     strict_accuracy: bool = True,
+    adaptive_psf: bool = False,
+    cache_dir=None,
+    start_block: int = 0,
+    dry_run: bool = False,
     log: Optional[Logger] = None,
 ) -> Path:
     """End-to-end volume deconvolution (the LsDeconv CLI semantics:
@@ -358,15 +362,35 @@ def deconvolve_volume(
     log = log or Logger()
     vol = TiffDirVolume(input_dir)
     output_dir = Path(output_dir)
-    brick_dir = output_dir / "bricks"
+    brick_dir = (Path(cache_dir) if cache_dir is not None
+                 else output_dir / "bricks")
     brick_dir.mkdir(parents=True, exist_ok=True)
+    output_dir.mkdir(parents=True, exist_ok=True)
     plans, halo, planned = autosplit(vol.shape, psf.shape, max_block_elems,
                                      strict_accuracy=strict_accuracy)
+    if dry_run:
+        # plan-only mode (reference decwrap --dry-run)
+        log.info(f"DRY RUN: volume {vol.shape}, {len(plans)} blocks, "
+                 f"halo {halo}, work shape {planned}")
+        for p_ in plans:
+            log.info(f"  block {p_.index:05d}: core {p_.core}")
+        return output_dir
+    if adaptive_psf and mesh is None:
+        # blind Wiener PSF re-estimation runs the unbatched per-block
+        # path (reference deconFFT_Wiener, decon.m:206-321)
+        import jax as _jax
+
+        if len(_jax.devices()) > 1:
+            log.warn("--adaptive-psf runs blocks sequentially on one "
+                     "device (per-block PSF state)")
+        mesh = False
 
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh()
+    if mesh is False:
+        mesh = None
     use_mesh = mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1
     n_data = int(mesh.shape["data"]) if use_mesh else 1
     log.info(f"volume {vol.shape} -> {len(plans)} blocks, halo {halo}, "
@@ -386,7 +410,9 @@ def deconvolve_volume(
     from concurrent.futures import ThreadPoolExecutor
 
     todo = [p_ for p_ in plans
-            if not (resume and (brick_dir / f"block_{p_.index:05d}.npy").exists())]
+            if p_.index >= max(0, start_block)
+            and not (resume and
+                     (brick_dir / f"block_{p_.index:05d}.npy").exists())]
     n_skipped = len(plans) - len(todo)
     for _ in range(n_skipped):
         prog.step()
@@ -577,11 +603,20 @@ def deconvolve_volume(
                 x = jnp.maximum(x - dark, 0.0)
             # single-block path: the 3D rfftn executable is ~1.8x faster
             # than the batched 4D variant at B=1 (measured on v5e)
-            dec = richardson_lucy(
-                x, psf_j, niter=niter, lam=lam,
-                stop_criterion=stop_criterion,
-                regularize_interval=regularize_interval, fft_shape=fft_shape,
-                classic=classic_rl)
+            if adaptive_psf:
+                from ..ops.deconv import richardson_lucy_wiener
+
+                dec, _psf_est = richardson_lucy_wiener(
+                    x, psf_j, niter=niter, lam=lam,
+                    regularize_interval=regularize_interval,
+                    fft_shape=fft_shape)
+            else:
+                dec = richardson_lucy(
+                    x, psf_j, niter=niter, lam=lam,
+                    stop_criterion=stop_criterion,
+                    regularize_interval=regularize_interval,
+                    fft_shape=fft_shape,
+                    classic=classic_rl)
             pending.append((plan,) + tuple(finish(dec)))
             if len(pending) > 1:
                 drain(pending.pop(0))
@@ -592,6 +627,16 @@ def deconvolve_volume(
     # streamed reassembly: one output plane in RAM at a time, bricks
     # memory-mapped; global percentile rescale (reference postprocess_save,
     # LsDeconv.m:950-1180)
+    missing = [p_.index for p_ in plans
+               if not (brick_dir / f"block_{p_.index:05d}.npy").exists()]
+    if missing:
+        # start_block / partial runs: reassemble once every brick exists
+        # (the reference's postprocess_save equally needs all blocks,
+        # LsDeconv.m:950)
+        log.warn(f"{len(missing)} brick(s) missing (e.g. block "
+                 f"{missing[0]:05d}); skipping reassembly — re-run with "
+                 "--resume once all blocks are done")
+        return output_dir
     log.info(f"reassembling, global stats {stats}")
     info = np.iinfo(out_dtype)
     deconvmin, deconvmax = stats["min"], stats["max"]
@@ -700,6 +745,16 @@ def build_parser():
                         "highest (bit-conservative)")
     p.add_argument("--batch-blocks", type=int, default=None,
                    help="blocks per device batch on a multi-device mesh")
+    p.add_argument("--adaptive-psf", action="store_true",
+                   help="blind Wiener PSF re-estimation per iteration "
+                        "(reference deconFFT_Wiener)")
+    p.add_argument("--cache-drive", "--cache-dir", type=Path, default=None,
+                   help="brick cache location (default OUTPUT/bricks)")
+    p.add_argument("--start-block", type=int, default=0,
+                   help="skip blocks below this index (reference "
+                        "starting_block)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the block plan and exit")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-strict-accuracy", action="store_true",
                    help="proceed (with a warning) when the block budget "
@@ -741,6 +796,10 @@ def main(argv=None) -> int:
         resume=args.resume,
         classic_rl=not args.reference_scheme,
         strict_accuracy=not args.no_strict_accuracy,
+        adaptive_psf=args.adaptive_psf,
+        cache_dir=args.cache_drive,
+        start_block=args.start_block,
+        dry_run=args.dry_run,
         log=log)
     return 0
 
