@@ -2,10 +2,19 @@
 
 (reference fnt_cube_processor.py:30-388: deconvolve FNT .nrrd cubes with
 pycudadecon GPU RL, PSF from the LsDeconv optics model, padding to
-2,3,5,7-smooth FFT dims, optional destriping, GPU semaphore queue.)
+2,3,5,7-smooth FFT dims, optional destriping/gaussian, GPU semaphore
+queue.)
 
 Here: cubes stream through the batched TPU RL kernel; the PSF comes from
 ipp_tpu.ops.psf.make_psf; FFT dims are already smooth via fft_shape_for.
+The reference surface carries over: --gaussian sigma (pre-filter, and —
+via --dg-iteration — re-applied every N RL iterations, its
+num_gaussian_decons cadence), --background (number or 'auto'),
+--contrast-enhancement-factor (pre-division), --destripe (the rot90
+axial destripe, fnt_cube_processor.py:245-251), --no-deconvolution, and
+the optics flags (--nimm, --wavelength-ex/-em, --f-cylinder-lens,
+--slit-width).  The reference's --doubled_psf selects a special
+pre-built OTF file; pass the equivalent PSF volume via --psf-file.
 """
 
 from __future__ import annotations
@@ -13,7 +22,7 @@ from __future__ import annotations
 import argparse
 import sys
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -33,17 +42,27 @@ def process_cubes(
     output_dir,
     voxel_um: Tuple[float, float, float] = (1.0, 0.4, 0.4),
     na: float = 0.4,
-    refractive_index: float = 1.45,
+    refractive_index: float = 1.42,
     lambda_ex: float = 488.0,
     lambda_em: float = 525.0,
+    fcyl: float = 80000.0,
+    slitwidth: float = 12000.0,
     niter: int = 10,
     destripe_sigma: float = 0.0,
-    dark: float = 0.0,
+    axial_destripe: bool = False,
+    dark: Union[float, str] = 0.0,
+    gaussian_sigma: float = 0.0,
+    dg_iteration: int = 0,
+    contrast_enhancement_factor: float = 1.0,
+    deconvolve: bool = True,
+    psf_file: Optional[Path] = None,
     resume: bool = False,
     log: Optional[Logger] = None,
 ) -> int:
     enable_persistent_cache()
     import jax.numpy as jnp
+
+    from ..ops.deconv import gauss3d
 
     log = log or Logger()
     input_dir = Path(input_dir)
@@ -52,16 +71,33 @@ def process_cubes(
     cubes = sorted(input_dir.rglob("*.nrrd"))
     if not cubes:
         raise FileNotFoundError(f"no .nrrd cubes under {input_dir}")
-    # sample at the cube's own voxel pitch: our RL convolves the PSF
-    # directly on the data grid, which is what pycudadecon's internal
-    # OTF-to-data-grid resampling achieves for the reference
-    # (fnt_cube_processor.py:201-222 passes dxpsf separately from dxdata)
-    psf, fwhm_xy, fwhm_z = make_psf(
-        dxy=voxel_um[1] * 1000.0, dz=voxel_um[0] * 1000.0, NA=na,
-        n=refractive_index, lambda_ex=lambda_ex, lambda_em=lambda_em,
-        sample_at_data_pitch=True)
-    psf_zyx = np.transpose(psf, (2, 1, 0))
-    log.info(f"PSF {psf_zyx.shape}, FWHM xy {fwhm_xy:.0f} nm z {fwhm_z:.0f} nm")
+    psf_zyx = None
+    if deconvolve:
+        if psf_file is not None:
+            # custom PSF volume (the reference's --doubled_psf picks a
+            # pre-built OTF file the same way)
+            p = Path(psf_file)
+            psf_zyx = (np.load(p) if p.suffix == ".npy"
+                       else np.asarray(__import__(
+                           "ipp_tpu.io.tiff", fromlist=["read_tiff_stack"]
+                       ).read_tiff_stack(p)))
+            psf_zyx = psf_zyx.astype(np.float32)
+            psf_zyx /= psf_zyx.sum()
+            log.info(f"custom PSF {psf_zyx.shape} from {p}")
+        else:
+            # sample at the cube's own voxel pitch: our RL convolves the
+            # PSF directly on the data grid, which is what pycudadecon's
+            # internal OTF-to-data-grid resampling achieves for the
+            # reference (fnt_cube_processor.py:201-222 passes dxpsf
+            # separately from dxdata)
+            psf, fwhm_xy, fwhm_z = make_psf(
+                dxy=voxel_um[1] * 1000.0, dz=voxel_um[0] * 1000.0, NA=na,
+                n=refractive_index, lambda_ex=lambda_ex,
+                lambda_em=lambda_em, fcyl=fcyl, slitwidth=slitwidth,
+                sample_at_data_pitch=True)
+            psf_zyx = np.transpose(psf, (2, 1, 0))
+            log.info(f"PSF {psf_zyx.shape}, FWHM xy {fwhm_xy:.0f} nm "
+                     f"z {fwhm_z:.0f} nm")
     prog = ProgressReporter(len(cubes), desc="cubes")
     done = 0
     for cube_path in cubes:
@@ -73,16 +109,35 @@ def process_cubes(
         vol, header = read_nrrd(cube_path)
         in_dtype = vol.dtype
         x = jnp.asarray(vol, jnp.float32)
-        if dark > 0:
-            x = jnp.maximum(x - dark, 0.0)
-        if destripe_sigma > 0:
-            x = jnp.asarray(np.stack([
-                np.asarray(filter_streaks(np.asarray(x[z]),
-                                          sigma=(destripe_sigma,) * 2))
-                for z in range(x.shape[0])]))
-        fft_shape = fft_shape_for(x.shape, psf_zyx.shape)
-        dec = richardson_lucy(x, jnp.asarray(psf_zyx), niter=niter,
-                              fft_shape=fft_shape)
+        dark_val = dark
+        if isinstance(dark, str):
+            # 'auto' background (reference --background auto): the cube's
+            # modal/low-end intensity
+            dark_val = float(np.percentile(vol, 1.0))
+        if dark_val and dark_val > 0:
+            x = jnp.maximum(x - dark_val, 0.0)
+        if contrast_enhancement_factor and contrast_enhancement_factor != 1:
+            x = x / contrast_enhancement_factor
+        if gaussian_sigma > 0:
+            x = gauss3d(x, gaussian_sigma)
+        if axial_destripe:
+            # the reference's axial destripe: rot90 on (y, x), per-plane
+            # db9 bidirectional sigma (1,1), rot90 back
+            # (fnt_cube_processor.py:245-251)
+            xr = jnp.rot90(x, k=1, axes=(1, 2))
+            xr = filter_streaks(xr, sigma=(1.0, 1.0), wavelet="db9",
+                                bidirectional=True)
+            x = jnp.rot90(xr, k=-1, axes=(1, 2))
+        elif destripe_sigma > 0:
+            x = filter_streaks(x, sigma=(destripe_sigma,) * 2)
+        if deconvolve:
+            fft_shape = fft_shape_for(x.shape, psf_zyx.shape)
+            dec = richardson_lucy(
+                x, jnp.asarray(psf_zyx), niter=niter, fft_shape=fft_shape,
+                regularize_interval=(dg_iteration
+                                     if gaussian_sigma > 0 else 0))
+        else:
+            dec = x
         dec = np.asarray(dec)
         if np.issubdtype(in_dtype, np.integer):
             info = np.iinfo(in_dtype)
@@ -102,15 +157,65 @@ def main(argv=None) -> int:
     p.add_argument("--output", "-o", required=True, type=Path)
     p.add_argument("--voxel", type=float, nargs=3, default=(1.0, 0.4, 0.4),
                    metavar=("Z", "Y", "X"))
+    p.add_argument("--dxy", type=float, default=None,
+                   help="xy pitch in um (reference flag; overrides "
+                        "--voxel y/x)")
+    p.add_argument("--dz", type=float, default=None,
+                   help="z pitch in um (reference flag)")
     p.add_argument("--na", type=float, default=0.4)
-    p.add_argument("--niter", type=int, default=10)
-    p.add_argument("--dark", type=float, default=0.0)
-    p.add_argument("--destripe-sigma", type=float, default=0.0)
+    p.add_argument("--nimm", "-im", "--rf", dest="nimm", type=float,
+                   default=1.42, help="immersion refractive index")
+    p.add_argument("--wavelength-ex", "--wavelength_ex", type=float,
+                   default=488.0)
+    p.add_argument("--wavelength-em", "--wavelength_em", type=float,
+                   default=525.0)
+    p.add_argument("--f-cylinder-lens", "--f_cylinder_lens", type=float,
+                   default=80000.0)
+    p.add_argument("--slit-width", "--slit_width", type=float,
+                   default=12000.0)
+    p.add_argument("--niter", "--n_iters", "-it", dest="niter", type=int,
+                   default=10)
+    p.add_argument("--dark", "--background", "-b", dest="dark",
+                   default="0",
+                   help="background to subtract (number, or 'auto')")
+    p.add_argument("--gaussian", "-g", type=float, default=0.0,
+                   help="3D gaussian sigma; 0 disables")
+    p.add_argument("--dg-iteration", "--dg_interation", "-dgi",
+                   dest="dg_iteration", type=int, default=0,
+                   help="re-apply the gaussian every N RL iterations")
+    p.add_argument("--contrast-enhancement-factor",
+                   "--contrast_enhancement_factor", "-cef", type=float,
+                   default=1.0)
+    p.add_argument("--destripe", action="store_true",
+                   help="axial destripe (rot90 + db9 sigma 1, the "
+                        "reference semantics)")
+    p.add_argument("--destripe-sigma", type=float, default=0.0,
+                   help="plain per-plane destripe at this sigma")
+    p.add_argument("--no-deconvolution", action="store_true")
+    p.add_argument("--psf-file", type=Path, default=None,
+                   help="custom PSF volume (.npy or multi-page .tif) — "
+                        "the reference's --doubled_psf OTF role")
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
-    process_cubes(args.input, args.output, tuple(args.voxel), na=args.na,
-                  niter=args.niter, dark=args.dark,
-                  destripe_sigma=args.destripe_sigma, resume=args.resume)
+    voxel = list(args.voxel)
+    if args.dz is not None:
+        voxel[0] = args.dz
+    if args.dxy is not None:
+        voxel[1] = voxel[2] = args.dxy
+    dark: Union[float, str] = args.dark
+    if isinstance(dark, str) and dark.lower() != "auto":
+        dark = float(dark)
+    process_cubes(
+        args.input, args.output, tuple(voxel), na=args.na,
+        refractive_index=args.nimm, lambda_ex=args.wavelength_ex,
+        lambda_em=args.wavelength_em, fcyl=args.f_cylinder_lens,
+        slitwidth=args.slit_width, niter=args.niter, dark=dark,
+        gaussian_sigma=args.gaussian, dg_iteration=args.dg_iteration,
+        contrast_enhancement_factor=args.contrast_enhancement_factor,
+        axial_destripe=args.destripe,
+        destripe_sigma=args.destripe_sigma,
+        deconvolve=not args.no_deconvolution,
+        psf_file=args.psf_file, resume=args.resume)
     return 0
 
 
