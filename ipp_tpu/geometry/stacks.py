@@ -415,15 +415,28 @@ class TileGrid:
         if not xdirs:
             raise FileNotFoundError(f"no tile column dirs under {root_dir}")
         col_x = [int(d.name) for d in xdirs]
-        ydirs0 = sorted([d for d in xdirs[0].iterdir()
-                         if d.is_dir() and re.fullmatch(r"\d+_\d+", d.name)],
-                        key=lambda d: int(d.name.split("_")[1]))
-        row_y = [int(d.name.split("_")[1]) for d in ydirs0]
+        # union of y coordinates across ALL columns: sparse acquisitions
+        # can miss whole stacks in any column (the reference's
+        # --sparse_data role, vmStackedVolume sparse support); missing
+        # (x, y) cells become None stacks, which every downstream step
+        # (steps 2-6, to_xml) already tolerates
+        ys = set()
+        present = set()
+        for d in xdirs:
+            for dy in d.iterdir():
+                if dy.is_dir() and re.fullmatch(r"\d+_\d+", dy.name):
+                    y = int(dy.name.split("_")[1])
+                    ys.add(y)
+                    present.add((int(d.name), y))
+        row_y = sorted(ys)
         vox_v, vox_h, vox_d = voxel_um
-        stacks: List[List[TileStack]] = []
+        stacks: List[List[Optional[TileStack]]] = []
         for r, y in enumerate(row_y):
-            row_stacks = []
+            row_stacks: List[Optional[TileStack]] = []
             for c, x in enumerate(col_x):
+                if (x, y) not in present:
+                    row_stacks.append(None)
+                    continue
                 dir_name = f"{x:06d}/{x:06d}_{y:06d}"
                 # the reference TRUNCATES the pixel offset relative to the
                 # first tile (tsv/volume.py:848-856: int((x-x0)/vox/10)) —

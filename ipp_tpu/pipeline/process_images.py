@@ -221,7 +221,8 @@ def process_channel(
     # that implies a non-positive (or full-tile) overlap means the voxel
     # size / objective flag doesn't match the directory names — warn and
     # fall back to the nominal fraction instead of slicing empty overlaps
-    if grid.n_cols > 1:
+    if grid.n_cols > 1 and grid.stacks[0][0] is not None \
+            and grid.stacks[0][1] is not None:
         oh = tw - (grid.stacks[0][1].abs_h - grid.stacks[0][0].abs_h)
         if 0 < oh < tw:
             overlap_h = oh
@@ -229,7 +230,8 @@ def process_channel(
             log.warn(f"stage-step x overlap {oh} px implausible (check "
                      "--objective / voxel size); using "
                      f"{overlap_fraction:.0%} of tile width")
-    if grid.n_rows > 1:
+    if grid.n_rows > 1 and grid.stacks[0][0] is not None \
+            and grid.stacks[1][0] is not None:
         ov = th - (grid.stacks[1][0].abs_v - grid.stacks[0][0].abs_v)
         if 0 < ov < th:
             overlap_v = ov
@@ -502,6 +504,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="apply the reference channel's placement to the "
                         "other channels (same-acquisition datasets)")
+    p.add_argument("--sparse-data", "--sparse_data", action="store_true",
+                   help="accepted for reference compatibility; sparse "
+                        "grids (missing stacks) are always tolerated")
     p.add_argument("--skip-inspection", "--skip_inspection",
                    action="store_true",
                    help="skip the missing-tile scan/dummy substitution")

@@ -124,10 +124,12 @@ def compute_displacements(
     pairs: List[Tuple[TileStack, TileStack, str, Tuple[int, int]]] = []
     for r in range(rows):
         for c in range(cols):
-            if r + 1 < rows:
+            if grid.stacks[r][c] is None:
+                continue  # sparse cell: no pairs (nominal fill in step 3)
+            if r + 1 < rows and grid.stacks[r + 1][c] is not None:
                 pairs.append((grid.stacks[r][c], grid.stacks[r + 1][c], "ns",
                               (r + 1, c)))
-            if c + 1 < cols:
+            if c + 1 < cols and grid.stacks[r][c + 1] is not None:
                 pairs.append((grid.stacks[r][c], grid.stacks[r][c + 1], "we",
                               (r, c + 1)))
 

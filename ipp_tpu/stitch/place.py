@@ -76,6 +76,8 @@ def project_displacements(
     for r in range(grid.n_rows):
         for c in range(grid.n_cols):
             s = grid.stacks[r][c]
+            if s is None:
+                continue
             if r > 0:
                 cands = candidates.get((r, c, "north"), [])
                 if cands:
@@ -115,6 +117,8 @@ def threshold_displacements(grid: TileGrid, reliability_threshold: float) -> Non
     for r in range(rows):
         for c in range(cols):
             s = grid.stacks[r][c]
+            if s is None:
+                continue
             if s.north is not None:
                 s.north = threshold_one(s.north)
             if s.west is not None:
@@ -123,10 +127,12 @@ def threshold_displacements(grid: TileGrid, reliability_threshold: float) -> Non
     for r in range(rows):
         for c in range(cols):
             s = grid.stacks[r][c]
+            if s is None:
+                continue
             links = [s.north, s.west]
-            if r + 1 < rows:
+            if r + 1 < rows and grid.stacks[r + 1][c] is not None:
                 links.append(grid.stacks[r + 1][c].north)
-            if c + 1 < cols:
+            if c + 1 < cols and grid.stacks[r][c + 1] is not None:
                 links.append(grid.stacks[r][c + 1].west)
             s.stitchable = any(
                 d is not None and max(d.reliability) >= reliability_threshold
@@ -151,7 +157,8 @@ def place_tiles_mst(grid: TileGrid) -> None:
     best = math.inf
     for r in range(rows):
         for c in range(cols):
-            if grid.stacks[r][c].stitchable and math.hypot(r, c) < best:
+            if grid.stacks[r][c] is not None and \
+                    grid.stacks[r][c].stitchable and math.hypot(r, c) < best:
                 best = math.hypot(r, c)
                 src = (r, c)
 
@@ -163,12 +170,14 @@ def place_tiles_mst(grid: TileGrid) -> None:
     links = []
     for r in range(rows):
         for c in range(cols):
-            if r + 1 < rows:
+            if grid.stacks[r][c] is None:
+                continue  # sparse cell: contributes no graph edges
+            if r + 1 < rows and grid.stacks[r + 1][c] is not None:
                 d = grid.stacks[r + 1][c].north
                 links.append((node(r, c), node(r + 1, c),
                               d.displ if d else (0, 0, 0),
                               d.reliability if d else (0.0, 0.0, 0.0)))
-            if c + 1 < cols:
+            if c + 1 < cols and grid.stacks[r][c + 1] is not None:
                 d = grid.stacks[r][c + 1].west
                 links.append((node(r, c), node(r, c + 1),
                               d.displ if d else (0, 0, 0),
@@ -208,10 +217,15 @@ def place_tiles_mst(grid: TileGrid) -> None:
 
     # rebase to non-negative (reference TPAlgoMST step 5 rebases to [0][0];
     # we rebase to the min like the TSV consumer, tsv/volume.py:775-790)
-    abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
+    real = np.array([[grid.stacks[r][c] is not None for c in range(cols)]
+                     for r in range(rows)])
+    mins = abs_coord[real].min(axis=0) if real.any() else np.zeros(3, int)
+    abs_coord -= mins.reshape(1, 1, 3)
     for r in range(rows):
         for c in range(cols):
             s = grid.stacks[r][c]
+            if s is None:
+                continue
             s.abs_v = int(abs_coord[r, c, 0])
             s.abs_h = int(abs_coord[r, c, 1])
             s.abs_d = int(abs_coord[r, c, 2])
@@ -248,6 +262,8 @@ def place_tiles_lqp(grid: TileGrid) -> None:
         for r in range(rows):
             for c in range(cols):
                 s = grid.stacks[r][c]
+                if s is None:
+                    continue
                 # NORTH link: p[r,c] = p[r-1,c] - displ_k
                 if r > 0 and s.north is not None:
                     d = s.north
@@ -273,10 +289,15 @@ def place_tiles_lqp(grid: TileGrid) -> None:
         pos = _integer_refine(pos, us, vs, ds, ws, dflt, delays)
         abs_coord[:, :, k] = pos.reshape(rows, cols)
 
-    abs_coord -= abs_coord.min(axis=(0, 1), keepdims=True)
+    real = np.array([[grid.stacks[r][c] is not None for c in range(cols)]
+                     for r in range(rows)])
+    mins = abs_coord[real].min(axis=0) if real.any() else np.zeros(3, int)
+    abs_coord -= mins.reshape(1, 1, 3)
     for r in range(rows):
         for c in range(cols):
             s = grid.stacks[r][c]
+            if s is None:
+                continue
             s.abs_v = int(abs_coord[r, c, 0])
             s.abs_h = int(abs_coord[r, c, 1])
             s.abs_d = int(abs_coord[r, c, 2])

@@ -669,3 +669,43 @@ def test_deconvolve_wiener_dryrun_cache_startblock(tmp_path, rng):
                       strict_accuracy=False,
                       cache_dir=tmp_path / "cache2", start_block=10 ** 6)
     assert not list((tmp_path / "cache2").glob("block_*.npy"))
+
+
+def test_process_images_sparse_grid(tmp_path, rng):
+    """A grid missing an entire stack (sparse acquisition, the reference's
+    --sparse_data role) still stitches: the missing cell is a None stack,
+    the remaining tiles align/place/merge normally."""
+    import shutil
+
+    from ipp_tpu.geometry.stacks import TileGrid
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (3, 220, 220), smooth=8.0)
+    tiles, _ = cut_tiles(vol, 3, 3, (90, 90), 40, jitter=2, rng=rng)
+    ch_dir = tmp_path / "raw" / "Ex_488_Em_525"
+    ch_dir.mkdir(parents=True)
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=40,
+                    voxel_um=(0.41, 0.41, 0.1))
+    # remove a CORNER stack entirely
+    victims = sorted(ch_dir.glob("*/*"))
+    shutil.rmtree(victims[0])
+    grid = TileGrid.from_directory(ch_dir, voxel_um=(0.41, 0.41, 0.1))
+    assert grid.n_rows == 3 and grid.n_cols == 3
+    assert sum(s is None for row in grid.stacks for s in row) == 1
+
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess", "--skip-inspection",
+        "--search-radius", "6", "--subvol-dim", "3",
+    ])
+    assert rc == 0
+    outs = sorted((tmp_path / "stitched" / "Ex_488_Em_525")
+                  .glob("img_*.tif"))
+    assert len(outs) == 3
+    img = np.asarray(tio.imread(outs[1]))
+    assert img.max() > 0
+    # the placement XML round-trips with 8 stacks
+    g2 = TileGrid.from_xml(tmp_path / "stitched" /
+                           "Ex_488_Em_525_placement.xml")
+    assert len(g2.flattened()) == 8
