@@ -225,3 +225,33 @@ def test_multipage_tiff_stack_roundtrip(tmp_path, rng):
     p2 = tmp_path / "stackz.tif"
     write_tiff_stack(p2, vol, compression="zlib")
     np.testing.assert_array_equal(read_tiff_stack(p2), vol)
+
+
+def test_nrrd_truncation_fuzz(tmp_path, rng):
+    """Corrupt/truncated NRRD files raise cleanly (never return silently
+    wrong arrays) — same fuzz contract as the TIFF/DCIMG/IMS corpora."""
+    from ipp_tpu.io.nrrd import read_nrrd, write_nrrd
+
+    vol = rng.integers(0, 65535, (6, 12, 10)).astype(np.uint16)
+    src = tmp_path / "ok.nrrd"
+    write_nrrd(src, vol)
+    blob = src.read_bytes()
+    back, _ = read_nrrd(src)
+    np.testing.assert_array_equal(back, vol)
+
+    for frac in (0.05, 0.3, 0.6, 0.95):
+        bad = tmp_path / f"cut_{int(frac * 100)}.nrrd"
+        bad.write_bytes(blob[: int(len(blob) * frac)])
+        try:
+            out, _ = read_nrrd(bad)
+        except Exception:
+            continue  # clean failure
+        # a permissive parse must still return exactly the right prefix
+        np.testing.assert_array_equal(out, vol)
+
+    scrambled = bytearray(blob)
+    scrambled[:4] = b"XXXX"
+    bad = tmp_path / "magic.nrrd"
+    bad.write_bytes(bytes(scrambled))
+    with pytest.raises(ValueError, match="not a NRRD"):
+        read_nrrd(bad)
