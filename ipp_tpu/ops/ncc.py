@@ -336,9 +336,26 @@ def _ncc_maps_sharded(ma: np.ndarray, mb: np.ndarray, du: int, dv: int,
     from ..parallel.mesh import data_sharding
 
     sh = data_sharding(mesh, 3)
-    ma_d = jax.device_put(jnp.asarray(ma), sh)
-    mb_d = jax.device_put(jnp.asarray(mb), sh)
-    out = np.asarray(ncc_maps_batched(ma_d, mb_d, du, dv), np.float64)
+    if jax.process_count() > 1:
+        # multi-process (the actual Parastitcher rank fan-out): each
+        # process reads the same logical batch and contributes its
+        # contiguous row block; maps come back to every host via
+        # process_allgather (tiny vs the MIP inputs)
+        from ..parallel.distributed import device_put_global, process_slice
+
+        lo, hi = process_slice(ma.shape[0])
+        ma_d = device_put_global(np.ascontiguousarray(ma[lo:hi]), sh)
+        mb_d = device_put_global(np.ascontiguousarray(mb[lo:hi]), sh)
+        out_dev = ncc_maps_batched(ma_d, mb_d, du, dv)
+        from jax.experimental import multihost_utils
+
+        out = np.asarray(
+            multihost_utils.process_allgather(out_dev, tiled=True),
+            np.float64)
+    else:
+        ma_d = jax.device_put(jnp.asarray(ma), sh)
+        mb_d = jax.device_put(jnp.asarray(mb), sh)
+        out = np.asarray(ncc_maps_batched(ma_d, mb_d, du, dv), np.float64)
     return out[:B]
 
 

@@ -86,6 +86,47 @@ def main() -> int:
     striped = destripe_step(g_tiles)
     stripe_total = int(np.uint64(jnp.sum(striped.astype(jnp.uint64))))
 
+    # --- stitch step 2: sharded NCC maps over the 2-process mesh ---------
+    # (the actual Parastitcher master_step2 role; _ncc_maps_sharded takes
+    # the multi-process branch: per-rank row blocks + process_allgather)
+    from ipp_tpu.ops.ncc import _ncc_maps_sharded
+
+    mips_a = rng.random((n_dev, 48, 40)).astype(np.float32)
+    mips_b = np.roll(mips_a, (2, -1), axis=(1, 2)) \
+        + rng.normal(0, 0.01, (n_dev, 48, 40)).astype(np.float32)
+    maps = _ncc_maps_sharded(mips_a, mips_b, 5, 5, mesh)
+
+    # --- stitch step 6: z-slab partitioned merge --------------------------
+    # each process blends/writes its own contiguous z range (the
+    # master_step6 output-slab fan-out, Parastitcher.py:519-620)
+    from pathlib import Path
+
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+    from tests.synth import cut_tiles, make_phantom, write_tile_grid
+
+    shared = Path(args.out).parent
+    raw = shared / "raw"
+    if args.rank == 0:
+        vol_m = make_phantom(np.random.default_rng(1), (6, 120, 120),
+                             smooth=6.0)
+        tiles_m, _ = cut_tiles(vol_m, 2, 2, (80, 80), 40, jitter=2,
+                               rng=np.random.default_rng(1))
+        raw.mkdir(parents=True, exist_ok=True)
+        write_tile_grid(raw, tiles_m, overlap_nominal_px=40)
+        (shared / "raw_ready").write_text("ok")
+    else:
+        import time as _time
+
+        for _ in range(600):
+            if (shared / "raw_ready").exists():
+                break
+            _time.sleep(0.1)
+    from ipp_tpu.geometry.stacks import TileGrid
+
+    grid_m = TileGrid.from_directory(raw)
+    merged_dir, _ = merge_to_tif_series(grid_m, shared / "merged",
+                                        cosine_blending=True)
+
     # local shards back to host, ordered by their global batch index
     def local_rows(arr):
         shards = sorted(arr.addressable_shards,
@@ -98,7 +139,7 @@ def main() -> int:
     np.savez(args.out, decon=dec_rows, decon_idx=np.asarray(dec_idx),
              destripe=des_rows, destripe_idx=np.asarray(des_idx),
              total=np.float64(total), stripe_total=np.uint64(stripe_total),
-             lo=lo, hi=hi)
+             ncc_maps=maps, lo=lo, hi=hi)
     return 0
 
 

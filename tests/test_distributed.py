@@ -83,3 +83,31 @@ def test_two_process_jax_distributed(tmp_path):
     got_des = np.concatenate([d0["destripe"], d1["destripe"]])
     np.testing.assert_allclose(got_dec, dec, rtol=2e-5, atol=2e-3)
     np.testing.assert_array_equal(got_des, des)
+
+    # --- stitch step 2: the sharded NCC maps match a local run ------------
+    from ipp_tpu.ops.ncc import ncc_maps_batched
+
+    mips_a = rng.random((4, 48, 40)).astype(np.float32)
+    mips_b = np.roll(mips_a, (2, -1), axis=(1, 2)) \
+        + rng.normal(0, 0.01, (4, 48, 40)).astype(np.float32)
+    ref_maps = np.asarray(ncc_maps_batched(jnp.asarray(mips_a),
+                                           jnp.asarray(mips_b), 5, 5),
+                          np.float64)
+    np.testing.assert_allclose(d0["ncc_maps"], ref_maps, atol=1e-5)
+    np.testing.assert_allclose(d1["ncc_maps"], ref_maps, atol=1e-5)
+
+    # --- stitch step 6: the two ranks' z slabs assemble the full series ---
+    from ipp_tpu.geometry.stacks import TileGrid
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+    from tests.synth import cut_tiles, make_phantom, write_tile_grid
+
+    merged = sorted((tmp_path / "merged").glob("img_*.tif"))
+    assert len(merged) == 6  # both slabs written
+    golden_dir = tmp_path / "merged_single"
+    grid_m = TileGrid.from_directory(tmp_path / "raw")
+    merge_to_tif_series(grid_m, golden_dir, cosine_blending=True)
+    for p2 in merged:
+        np.testing.assert_array_equal(
+            np.asarray(tio.imread(p2)),
+            np.asarray(tio.imread(golden_dir / p2.name)))
