@@ -184,25 +184,35 @@ def convert(
     reader, nz = _open_source(Path(source), channel=channel)
     if read_timeout and read_timeout > 0:
         # hung/corrupt plane reads become zero planes after the deadline
-        # (reference convert.py --timeout, :386-390)
+        # (reference convert.py --timeout, :386-390).  A genuinely hung
+        # read permanently occupies its worker thread, so the pool is
+        # ABANDONED on timeout and a fresh one takes over (the reference
+        # kills a whole worker process for the same reason,
+        # pystripe/core.py:1730-1755)
         from concurrent.futures import ThreadPoolExecutor as _TPE
         from concurrent.futures import TimeoutError as _FTimeout
 
-        _pool = _TPE(max_workers=1)
+        _state = {"pool": _TPE(max_workers=1), "meta": None}
         _raw_reader = reader
-        _shape0 = None
 
         def reader(z, _rr=_raw_reader):
-            nonlocal _shape0
             try:
-                plane = _pool.submit(_rr, z).result(timeout=read_timeout)
-                _shape0 = plane.shape
+                plane = _state["pool"].submit(_rr, z).result(
+                    timeout=read_timeout)
+                _state["meta"] = (plane.shape, plane.dtype)
                 return plane
-            except (_FTimeout, Exception):
-                if _shape0 is None:
+            except _FTimeout:
+                _state["pool"].shutdown(wait=False)
+                _state["pool"] = _TPE(max_workers=1)
+                if _state["meta"] is None:
                     raise
-                log.warn(f"plane {z} read failed/timed out; zeros")
-                return np.zeros(_shape0, np.uint16)
+                log.warn(f"plane {z} read timed out; zeros")
+                return np.zeros(*_state["meta"])
+            except Exception:
+                if _state["meta"] is None:
+                    raise
+                log.warn(f"plane {z} read failed; zeros")
+                return np.zeros(*_state["meta"])
     tif_dir = Path(destination)
     tif_dir.mkdir(parents=True, exist_ok=True)
     prog = ProgressReporter(nz, desc="convert")

@@ -375,6 +375,10 @@ def deconvolve_volume(
         for p_ in plans:
             log.info(f"  block {p_.index:05d}: core {p_.core}")
         return output_dir
+    if adaptive_psf and mesh is not None and mesh is not False:
+        raise ValueError(
+            "adaptive_psf runs the per-block blind-Wiener path and cannot "
+            "combine with an explicit multi-device mesh; pass mesh=None")
     if adaptive_psf and mesh is None:
         # blind Wiener PSF re-estimation runs the unbatched per-block
         # path (reference deconFFT_Wiener, decon.m:206-321)
@@ -399,7 +403,10 @@ def deconvolve_volume(
     manifest_path = output_dir / "blocks_manifest.json"
     stats = {"min": float("inf"), "max": float("-inf")}
     quant = {}  # brick index -> [qmin, qmax] for u16-quantized bricks
-    if resume and manifest_path.exists():
+    if (resume or start_block > 0) and manifest_path.exists():
+        # start_block implies earlier blocks came from a previous run
+        # (the reference's split-across-machines workflow): their
+        # stats/quant entries must survive this run's manifest writes
         old = json.loads(manifest_path.read_text())
         stats = old.get("stats", stats)
         quant = old.get("quant", quant)

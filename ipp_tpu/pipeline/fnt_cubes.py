@@ -132,10 +132,24 @@ def process_cubes(
             x = filter_streaks(x, sigma=(destripe_sigma,) * 2)
         if deconvolve:
             fft_shape = fft_shape_for(x.shape, psf_zyx.shape)
-            dec = richardson_lucy(
-                x, jnp.asarray(psf_zyx), niter=niter, fft_shape=fft_shape,
-                regularize_interval=(dg_iteration
-                                     if gaussian_sigma > 0 else 0))
+            psf_j = jnp.asarray(psf_zyx)
+            if gaussian_sigma > 0 and 0 < dg_iteration < niter:
+                # the reference's cadence: deconvolve in dg_iteration
+                # chunks with the USER's gaussian applied between chunks
+                # (apply_deconvolution n_iters//num_gaussian_decons +
+                # gaussian(img, sigma), fnt_cube_processor.py:202-251)
+                dec = x
+                remaining = niter
+                while remaining > 0:
+                    step_n = min(dg_iteration, remaining)
+                    dec = richardson_lucy(dec, psf_j, niter=step_n,
+                                          fft_shape=fft_shape)
+                    remaining -= step_n
+                    if remaining > 0:
+                        dec = gauss3d(dec, gaussian_sigma)
+            else:
+                dec = richardson_lucy(x, psf_j, niter=niter,
+                                      fft_shape=fft_shape)
         else:
             dec = x
         dec = np.asarray(dec)

@@ -221,18 +221,28 @@ def process_channel(
     # that implies a non-positive (or full-tile) overlap means the voxel
     # size / objective flag doesn't match the directory names — warn and
     # fall back to the nominal fraction instead of slicing empty overlaps
-    if grid.n_cols > 1 and grid.stacks[0][0] is not None \
-            and grid.stacks[0][1] is not None:
-        oh = tw - (grid.stacks[0][1].abs_h - grid.stacks[0][0].abs_h)
+    def _first_adjacent(dr, dc):
+        # first present adjacent pair in the given direction (sparse
+        # grids can miss corner stacks)
+        for r in range(grid.n_rows - dr):
+            for c in range(grid.n_cols - dc):
+                a, b = grid.stacks[r][c], grid.stacks[r + dr][c + dc]
+                if a is not None and b is not None:
+                    return a, b
+        return None
+
+    pair_h = _first_adjacent(0, 1)
+    if pair_h is not None:
+        oh = tw - (pair_h[1].abs_h - pair_h[0].abs_h)
         if 0 < oh < tw:
             overlap_h = oh
         else:
             log.warn(f"stage-step x overlap {oh} px implausible (check "
                      "--objective / voxel size); using "
                      f"{overlap_fraction:.0%} of tile width")
-    if grid.n_rows > 1 and grid.stacks[0][0] is not None \
-            and grid.stacks[1][0] is not None:
-        ov = th - (grid.stacks[1][0].abs_v - grid.stacks[0][0].abs_v)
+    pair_v = _first_adjacent(1, 0)
+    if pair_v is not None:
+        ov = th - (pair_v[1].abs_v - pair_v[0].abs_v)
         if 0 < ov < th:
             overlap_v = ov
         else:

@@ -97,11 +97,14 @@ def merge_to_tif_series(
     # master_step6 output-slab rank fan-out (Parastitcher.py:519-620)
     # without collectives; the global mesh path stays for single-process
     # multi-device runs
+    from ..parallel.distributed import is_multihost
+
     n_procs = 1
     try:
         import jax as _jax
 
-        n_procs = _jax.process_count()
+        if is_multihost():
+            n_procs = _jax.process_count()
     except Exception:
         pass
     if n_procs > 1:
@@ -385,25 +388,6 @@ def make_diag_stack(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     stacks = grid.flattened()
-    # multi-process (jax.distributed): each process merges a contiguous
-    # z slab with its LOCAL devices — the reference's Parastitcher
-    # master_step6 output-slab rank fan-out (Parastitcher.py:519-620)
-    # without collectives; the global mesh path stays for single-process
-    # multi-device runs
-    n_procs = 1
-    try:
-        import jax as _jax
-
-        n_procs = _jax.process_count()
-    except Exception:
-        pass
-    if n_procs > 1:
-        if target_voxel_um is not None:
-            raise ValueError(
-                "multi-process merge partitions z across ranks; the "
-                "isotropic downsample needs the full z sequence — run "
-                "it single-process")
-        mesh = None
     bbox = grid.volume
     dec = 1 if mipmap_level is None else (1 << mipmap_level)
     info = np.iinfo(dtype) if np.issubdtype(np.dtype(dtype), np.integer) else None

@@ -78,7 +78,7 @@ def project_displacements(
             s = grid.stacks[r][c]
             if s is None:
                 continue
-            if r > 0:
+            if r > 0 and grid.stacks[r - 1][c] is not None:
                 cands = candidates.get((r, c, "north"), [])
                 if cands:
                     d = cands[0]
@@ -87,7 +87,7 @@ def project_displacements(
                     s.north = d
                 else:
                     s.north = _nominal(grid, "north", overlap_v, overlap_h)
-            if c > 0:
+            if c > 0 and grid.stacks[r][c - 1] is not None:
                 cands = candidates.get((r, c, "west"), [])
                 if cands:
                     d = cands[0]
@@ -192,6 +192,7 @@ def place_tiles_mst(grid: TileGrid) -> None:
     rel = np.array([e[3] for e in links], dtype=np.float64)
 
     abs_coord = np.zeros((rows, cols, 3), dtype=np.int64)
+    reachable = None
     for k in range(3):
         w = np.where(rel[:, k] > 1e-9, 1.0 / np.maximum(rel[:, k], 1e-9),
                      S_UNRELIABLE_WEIGHT)
@@ -199,6 +200,8 @@ def place_tiles_mst(grid: TileGrid) -> None:
         g = coo_matrix((w, (us, vs)), shape=(n, n))
         dist, pred = dijkstra(g, directed=False, indices=node(*src),
                               return_predecessors=True)
+        if reachable is None:
+            reachable = np.isfinite(dist)
         # displacement lookup per (parent, child) pair: child = parent - displ
         edge_d = {}
         for (u, v, d) in zip(us, vs, displ[:, k]):
@@ -219,12 +222,21 @@ def place_tiles_mst(grid: TileGrid) -> None:
     # we rebase to the min like the TSV consumer, tsv/volume.py:775-790)
     real = np.array([[grid.stacks[r][c] is not None for c in range(cols)]
                      for r in range(rows)])
-    mins = abs_coord[real].min(axis=0) if real.any() else np.zeros(3, int)
+    reach_grid = (reachable.reshape(rows, cols)
+                  if reachable is not None else np.ones_like(real))
+    placed_mask = real & reach_grid
+    mins = (abs_coord[placed_mask].min(axis=0) if placed_mask.any()
+            else np.zeros(3, int))
     abs_coord -= mins.reshape(1, 1, 3)
     for r in range(rows):
         for c in range(cols):
             s = grid.stacks[r][c]
             if s is None:
+                continue
+            if not reach_grid[r, c]:
+                # disconnected in a sparse grid: keep the nominal stage
+                # position (the reference leaves such tiles at defaults
+                # and marks them NON-STITCHABLE)
                 continue
             s.abs_v = int(abs_coord[r, c, 0])
             s.abs_h = int(abs_coord[r, c, 1])
