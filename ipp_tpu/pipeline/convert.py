@@ -184,35 +184,40 @@ def convert(
     reader, nz = _open_source(Path(source), channel=channel)
     if read_timeout and read_timeout > 0:
         # hung/corrupt plane reads become zero planes after the deadline
-        # (reference convert.py --timeout, :386-390).  A genuinely hung
-        # read permanently occupies its worker thread, so the pool is
-        # ABANDONED on timeout and a fresh one takes over (the reference
-        # kills a whole worker process for the same reason,
-        # pystripe/core.py:1730-1755)
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-        from concurrent.futures import TimeoutError as _FTimeout
+        # (reference convert.py --timeout, :386-390).  Each read runs on
+        # its own DAEMON thread: a genuinely hung read is simply
+        # abandoned — it can neither poison later reads nor block
+        # interpreter exit (the reference kills a whole worker process
+        # for the same reason, pystripe/core.py:1730-1755)
+        import threading as _threading
 
-        _state = {"pool": _TPE(max_workers=1), "meta": None}
+        _state = {"meta": None}
         _raw_reader = reader
 
         def reader(z, _rr=_raw_reader):
-            try:
-                plane = _state["pool"].submit(_rr, z).result(
-                    timeout=read_timeout)
+            box = {}
+            done = _threading.Event()
+
+            def run():
+                try:
+                    box["v"] = _rr(z)
+                except BaseException as exc:  # noqa: BLE001
+                    box["e"] = exc
+                done.set()
+
+            _threading.Thread(target=run, daemon=True).start()
+            if done.wait(read_timeout) and "v" in box:
+                plane = box["v"]
                 _state["meta"] = (plane.shape, plane.dtype)
                 return plane
-            except _FTimeout:
-                _state["pool"].shutdown(wait=False)
-                _state["pool"] = _TPE(max_workers=1)
-                if _state["meta"] is None:
-                    raise
-                log.warn(f"plane {z} read timed out; zeros")
-                return np.zeros(*_state["meta"])
-            except Exception:
-                if _state["meta"] is None:
-                    raise
-                log.warn(f"plane {z} read failed; zeros")
-                return np.zeros(*_state["meta"])
+            if _state["meta"] is None:
+                if "e" in box:
+                    raise box["e"]
+                raise TimeoutError(f"plane {z} read timed out with no "
+                                   "prior plane to infer shape/dtype from")
+            log.warn(f"plane {z} read "
+                     f"{'failed' if 'e' in box else 'timed out'}; zeros")
+            return np.zeros(*_state["meta"])
     tif_dir = Path(destination)
     tif_dir.mkdir(parents=True, exist_ok=True)
     prog = ProgressReporter(nz, desc="convert")

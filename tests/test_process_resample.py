@@ -2,6 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from ipp_tpu.io import tiff as tio
 from ipp_tpu.ops import resample as rs
 from ipp_tpu.ops.process import ProcessConfig, is_uniform_2d, process_img
 
@@ -131,3 +132,36 @@ def test_lightsheet_correction_removes_streak(rng):
     band_in = img[60:68].mean() - img[:50].mean()
     band_out = out[60:68].mean() - out[:50].mean()
     assert band_out < 0.75 * band_in
+
+
+def test_convert_read_timeout_abandons_hung_worker(tmp_path, monkeypatch,
+                                                   rng):
+    """A single genuinely hung plane read must not poison later reads:
+    the timeout pool is abandoned and recreated, the bad plane becomes
+    zeros OF THE SOURCE DTYPE, and all other planes convert intact."""
+    import threading
+
+    from ipp_tpu.pipeline import convert as conv_mod
+
+    planes = rng.integers(0, 250, (5, 10, 12)).astype(np.uint8)
+    hang_forever = threading.Event()  # never set
+
+    def fake_open_source(src, channel=0):
+        def reader(z):
+            if z == 2:
+                hang_forever.wait()  # a stuck NFS read
+            return planes[z]
+
+        return reader, planes.shape[0]
+
+    monkeypatch.setattr(conv_mod, "_open_source", fake_open_source)
+    out = conv_mod.convert("ignored", tmp_path / "out", read_timeout=0.5)
+    files = sorted(out.glob("img_*.tif"))
+    assert len(files) == 5
+    for z, f in enumerate(files):
+        img = np.asarray(tio.imread(f))
+        assert img.dtype == np.uint8, (z, img.dtype)
+        if z == 2:
+            assert img.max() == 0  # zero substitute
+        else:
+            np.testing.assert_array_equal(img, planes[z])
