@@ -96,10 +96,30 @@ def run_tile_pipeline(
     task_iter = iter(tasks)
     iter_lock = threading.Lock()
 
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-    from concurrent.futures import TimeoutError as _FTimeout
+    def _read_with_deadline(fn, *args):
+        """Run one decode on a DAEMON thread with a deadline: a genuinely
+        hung read (stuck NFS, kernel D-state) is abandoned — it cannot
+        occupy a pool worker forever nor block interpreter exit (the
+        reference kills the whole 1-task worker process for this,
+        pystripe/core.py:1710-1755)."""
+        if not (read_timeout and read_timeout > 0):
+            return fn(*args)
+        box = {}
+        done = threading.Event()
 
-    timeout_pool = _TPE(max_workers=reader_threads)
+        def run():
+            try:
+                box["v"] = fn(*args)
+            except BaseException as exc:  # noqa: BLE001
+                box["e"] = exc
+            done.set()
+
+        threading.Thread(target=run, daemon=True).start()
+        if not done.wait(read_timeout):
+            raise TimeoutError
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
 
     def read_worker():
         while True:
@@ -110,19 +130,15 @@ def run_tile_pipeline(
                 return
             try:
                 # timeout sandbox: a hung/corrupt read becomes a zero tile
-                # (reference 1-task inner pool with timeout,
-                # pystripe/core.py:1710-1755)
                 if t.frame is None:
-                    fut = timeout_pool.submit(read_fn, t.input_path)
+                    img = np.asarray(_read_with_deadline(
+                        read_fn, t.input_path))
                 else:
                     from ..io.dcimg import dcimg_imread
 
-                    fut = timeout_pool.submit(dcimg_imread, t.input_path,
-                                              t.frame)
-                img = np.asarray(fut.result(
-                    timeout=read_timeout if read_timeout and
-                    read_timeout > 0 else None))
-            except _FTimeout:
+                    img = np.asarray(_read_with_deadline(
+                        dcimg_imread, t.input_path, t.frame))
+            except TimeoutError:
                 print(f"read timeout, substituting zeros: {t.input_path}")
                 img = None
             except Exception:
@@ -229,6 +245,5 @@ def run_tile_pipeline(
         out_q.put(None)
     for th in writers:
         th.join()
-    timeout_pool.shutdown(wait=False)
     prog.close()
     return counters
