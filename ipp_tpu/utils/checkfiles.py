@@ -9,9 +9,10 @@ used here: this tool's job is to find files that need re-acquisition.
 
 from __future__ import annotations
 
+import queue as _queue
 import re
+import threading
 import time
-from concurrent.futures import ThreadPoolExecutor, TimeoutError as FTimeout
 from pathlib import Path
 from typing import List, Optional
 
@@ -55,63 +56,73 @@ def check_files(source, delete: bool = False, timeout: float = 200.0,
     files = [p for p in source.rglob("*") if _PATTERN.search(p.name)]
     bad: List[Path] = []
     unchecked: List[Path] = []
-    pool = ThreadPoolExecutor(max_workers=workers)
-    # the timeout must measure DECODE time, not queue wait: a clogged
-    # pool would otherwise mark (and with delete=True destroy) perfectly
-    # healthy files that never got a worker.  Each task records its own
-    # start time; a file only times out `timeout` seconds after its
-    # decode actually began.
+    # DAEMON worker threads (not a ThreadPoolExecutor): permanently-hung
+    # decodes (the NFS-stall scenario this tool exists for) can neither
+    # pin pool workers past shutdown nor block interpreter exit via the
+    # executor's atexit join.  The timeout measures DECODE time, not
+    # queue wait: a clogged pool must not mark (and with delete=True
+    # destroy) healthy files that never got a worker.
     started = {}
+    finished = {}  # path -> exception or None
+    events = {p: threading.Event() for p in files}
+    work: "_queue.Queue[Optional[Path]]" = _queue.Queue()
+    for p in files:
+        work.put(p)
 
-    def timed_decode(p: Path):
-        started[p] = time.monotonic()
-        _decode(p)
+    def worker():
+        while True:
+            try:
+                p = work.get_nowait()
+            except _queue.Empty:
+                return
+            started[p] = time.monotonic()
+            try:
+                _decode(p)
+                finished[p] = None
+            except BaseException as exc:  # noqa: BLE001
+                finished[p] = exc
+            events[p].set()
 
-    # Overall deadline: if every worker is wedged in a permanently-hung
-    # decode (the NFS-stall scenario the timeout exists for), queued files
-    # never start and the per-file decode clock never begins — without a
-    # global bound check_files would poll forever.  Budget = one `timeout`
-    # per batch of `workers` files, plus one spare round.
+    for _ in range(max(1, workers)):
+        threading.Thread(target=worker, daemon=True).start()
+
+    # Overall deadline: if every worker is wedged, queued files never
+    # start and the per-file decode clock never begins — without a
+    # global bound check_files would poll forever.  Budget = one
+    # `timeout` per batch of `workers` files, plus one spare round.
     import math
 
     deadline = time.monotonic() + timeout * (
         math.ceil(len(files) / max(1, workers)) + 1)
 
-    futs = {pool.submit(timed_decode, p): p for p in files}
-    for fut, p in futs.items():
-        while True:
+    def mark_bad(p, why):
+        log.info(f"damaged: {p} ({why})")
+        bad.append(p)
+        if delete:
             try:
-                fut.result(timeout=min(timeout, 5.0))
+                p.unlink()
+            except OSError:
+                pass
+
+    for p in files:
+        while True:
+            if events[p].wait(timeout=min(timeout, 5.0)):
+                exc = finished[p]
+                if exc is not None:
+                    mark_bad(p, f"{type(exc).__name__}: {exc}")
                 break
-            except FTimeout:
-                t0 = started.get(p)
-                if t0 is not None and time.monotonic() - t0 > timeout:
-                    log.info(f"damaged: {p} (decode timeout)")
-                    bad.append(p)
-                    if delete:
-                        try:
-                            p.unlink()
-                        except OSError:
-                            pass
-                    break
-                if t0 is None and time.monotonic() > deadline:
-                    # never started and the pool has been stalled past the
-                    # whole-run budget: report it (so the caller knows it
-                    # was NOT verified) but never delete — it may be fine.
-                    log.info(f"unchecked: {p} (worker pool stalled)")
-                    unchecked.append(p)
-                    break
-                # not started yet (pool busy) or still within budget
-            except Exception as exc:  # noqa: BLE001
-                log.info(f"damaged: {p} ({type(exc).__name__}: {exc})")
-                bad.append(p)
-                if delete:
-                    try:
-                        p.unlink()
-                    except OSError:
-                        pass
+            t0 = started.get(p)
+            if t0 is not None and time.monotonic() - t0 > timeout:
+                mark_bad(p, "decode timeout")
                 break
-    pool.shutdown(wait=False)
+            if t0 is None and time.monotonic() > deadline:
+                # never started and the pool has been stalled past the
+                # whole-run budget: report it (so the caller knows it
+                # was NOT verified) but never delete — it may be fine.
+                log.info(f"unchecked: {p} (worker pool stalled)")
+                unchecked.append(p)
+                break
+            # not started yet (pool busy) or still within budget
     log.info(f"checked {len(files)} files, {len(bad)} damaged"
              + (f", {len(unchecked)} unchecked (pool stalled)"
                 if unchecked else ""))
