@@ -514,6 +514,10 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="apply the reference channel's placement to the "
                         "other channels (same-acquisition datasets)")
+    p.add_argument("--noprogressbar", action="store_true",
+                   help="silence progress bars")
+    p.add_argument("--logprogress", action="store_true",
+                   help="newline progress lines (for log files)")
     p.add_argument("--sparse-data", "--sparse_data", action="store_true",
                    help="accepted for reference compatibility; sparse "
                         "grids (missing stacks) are always tolerated")
@@ -567,6 +571,11 @@ def discover_channels(input_dir: Path) -> List[str]:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.noprogressbar or args.logprogress:
+        import os as _os
+
+        _os.environ["IPP_TPU_PROGRESS"] = (
+            "off" if args.noprogressbar else "log")
     log = Logger(args.input / "ipp_tpu_log.txt"
                  if args.input.exists() else None)
     channels = args.channel or discover_channels(args.input)

@@ -17,8 +17,17 @@ __all__ = ["ProgressReporter", "StageTimer"]
 
 
 class ProgressReporter:
+    """Carriage-return progress bar.  IPP_TPU_PROGRESS=off silences the
+    bar entirely; IPP_TPU_PROGRESS=log switches to one newline-terminated
+    line every ~10 s (the reference --noprogressbar / --logprogress pair,
+    process_images.py argparse)."""
+
     def __init__(self, total: int, desc: str = "", unit: str = "it",
                  stream=None, min_interval: float = 0.5):
+        import os
+
+        mode = os.environ.get("IPP_TPU_PROGRESS", "bar").lower()
+        self._mode = mode if mode in ("bar", "log", "off") else "bar"
         self.total = total
         self.desc = desc
         self.unit = unit
@@ -27,7 +36,7 @@ class ProgressReporter:
         self._start = time.time()
         self._last_print = 0.0
         self._stream = stream if stream is not None else sys.stderr
-        self._min_interval = min_interval
+        self._min_interval = 10.0 if self._mode == "log" else min_interval
 
     def step(self, n: int = 1) -> None:
         with self._lock:
@@ -43,11 +52,14 @@ class ProgressReporter:
         rate = self.count / elapsed if elapsed > 0 else 0.0
         remaining = (self.total - self.count) / rate if rate > 0 else float("inf")
         pct = 100.0 * self.count / self.total if self.total else 100.0
-        msg = (f"\r{self.desc}: {self.count}/{self.total} ({pct:5.1f}%) "
-               f"{rate:8.2f} {self.unit}/s ETA {remaining:6.0f}s")
+        if self._mode == "off":
+            return
+        head, tail = ("\r", "") if self._mode == "bar" else ("", "\n")
+        msg = (f"{head}{self.desc}: {self.count}/{self.total} ({pct:5.1f}%) "
+               f"{rate:8.2f} {self.unit}/s ETA {remaining:6.0f}s{tail}")
         try:
             self._stream.write(msg)
-            if self.count >= self.total:
+            if self.count >= self.total and self._mode == "bar":
                 self._stream.write("\n")
             self._stream.flush()
         except Exception:
