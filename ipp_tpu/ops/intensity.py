@@ -231,13 +231,15 @@ def hist_match(source: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     t = template.reshape(-1).astype(jnp.float32)
     s_sorted = jnp.sort(s)
     t_sorted = jnp.sort(t)
-    # quantile of each source pixel
+    # right-edge ECDF quantile of each source pixel — identical to the
+    # reference's cumsum(s_counts)/N at that pixel's unique value
     ranks = jnp.searchsorted(s_sorted, s, side="right").astype(jnp.float32)
     q = ranks / s.shape[0]
-    # corresponding template value
-    idx = jnp.clip(q * t.shape[0] - 0.5, 0.0, t.shape[0] - 1.0)
-    lo = jnp.floor(idx).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, t.shape[0] - 1)
-    frac = idx - lo
-    matched = t_sorted[lo] * (1.0 - frac) + t_sorted[hi] * frac
+    # template right-edge ECDF sampled at every sorted sample: duplicate
+    # (tq, value) pairs collapse onto the tie group's last entry, so
+    # jnp.interp(q, tq, t_sorted) reproduces the reference's
+    # interp(quantile, t_quantiles, t_values) over UNIQUE template values
+    tq = jnp.searchsorted(t_sorted, t_sorted,
+                          side="right").astype(jnp.float32) / t.shape[0]
+    matched = jnp.interp(q, tq, t_sorted)
     return matched.reshape(shape)

@@ -110,3 +110,21 @@ def test_estimate_bit_shift_matches_reference(rng):
         ref = rp.estimate_bit_shift(img, thr)
         ours = estimate_bit_shift(img, thr)
         assert ref == ours, (peak, thr, ref, ours)
+
+
+def test_hist_match_matches_reference(rng):
+    """The reference's OWN hist_match (pystripe/core.py:426-470, the
+    unique/ECDF/interp formulation) vs ours on integer images with
+    repeated values and different template shapes."""
+    core = load_pystripe_core()
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.intensity import hist_match
+
+    src = rng.integers(0, 4000, (64, 80)).astype(np.uint16)
+    tmpl = rng.integers(1000, 60000, (50, 30)).astype(np.uint16)
+    ref = core.hist_match(src, tmpl)
+    ours = np.asarray(hist_match(jnp.asarray(src), jnp.asarray(tmpl)))
+    assert ours.shape == src.shape
+    np.testing.assert_allclose(ours, np.asarray(ref, np.float64),
+                               rtol=0, atol=1.0)
