@@ -303,22 +303,30 @@ class TileGrid:
             for c in range(cols):
                 if r == 0 and c == 0:
                     continue
+                s = self.stacks[r][c]
+                # sparse cells still get a chain offset (zero displacement
+                # pass-through) so cells beyond them stay positioned
                 if r > 0:
                     prev = offs[r - 1][c]
-                    disp = self.stacks[r][c].north
+                    disp = s.north if s is not None else None
                 else:
                     prev = offs[r][c - 1]
-                    disp = self.stacks[r][c].west
+                    disp = s.west if s is not None else None
                 dv, dh, dd = disp.displ if disp else (0, 0, 0)
                 dd = 0 if ignore_z_offsets else dd
                 offs[r][c] = (prev[0] - dh, prev[1] - dv, prev[2] - dd)
-        mx = min(o[0] for row in offs for o in row)
-        my = min(o[1] for row in offs for o in row)
-        mz = min(o[2] for row in offs for o in row)
+        present = [(offs[r][c], self.stacks[r][c] is not None)
+                   for r in range(rows) for c in range(cols)]
+        anchor = [o for o, real in present if real] or [o for o, _ in present]
+        mx = min(o[0] for o in anchor)
+        my = min(o[1] for o in anchor)
+        mz = min(o[2] for o in anchor)
         for r in range(rows):
             for c in range(cols):
-                x, y, z = offs[r][c]
                 s = self.stacks[r][c]
+                if s is None:
+                    continue
+                x, y, z = offs[r][c]
                 s.abs_h, s.abs_v, s.abs_d = x - mx, y - my, z - mz
 
     # -- XML interop --------------------------------------------------------
