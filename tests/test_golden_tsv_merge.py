@@ -19,6 +19,7 @@ import numpy as np
 import pytest
 
 from ipp_tpu.geometry.extent import VExtent as OurExtent
+from ipp_tpu.io import tiff as tio
 from ipp_tpu.stitch.align import compute_displacements
 from ipp_tpu.stitch.blend import PlaneBlender
 from ipp_tpu.stitch.place import (place_tiles_mst, project_displacements,
@@ -153,3 +154,47 @@ def test_convert_planes_match_reference_tsv_convert(placed_grid, tmp_path):
         np.testing.assert_allclose(our_img.astype(np.float32),
                                    ref_img.astype(np.float32),
                                    atol=4.0, rtol=4e-3)
+
+
+def test_diag_plane_matches_reference(tmp_path, rng):
+    """The reference's OWN make_diag_plane (tsv/convert.py:268-280 +
+    TSVVolume.make_diagnostic_img, tsv/volume.py:649-668) vs our
+    make_diag_stack on a 1x3 grid, where both render each intersecting
+    stack into its own RGB channel in row-major order.  (On >3
+    intersecting stacks the reference silently DROPS channels 4+ while
+    ours cycles mod 3 — a documented deviation, so the golden pins the
+    <=3 case.)"""
+    tv = _load_reference_tsv()
+    import tsv.convert as tc
+
+    vol = make_phantom(rng, (4, 140, 400), smooth=8.0)
+    tiles, _ = cut_tiles(vol, 1, 3, (120, 150), 40, jitter=2, rng=rng)
+    grid = write_tile_grid(tmp_path / "ch", tiles, overlap_nominal_px=40)
+    cands = compute_displacements(grid, overlap_v=40, overlap_h=40,
+                                  displ_max_v=6, displ_max_h=6,
+                                  displ_max_d=2, subvol_dim=4)
+    project_displacements(grid, cands, 40, 40)
+    threshold_displacements(grid, reliability_threshold=0.6)
+    place_tiles_mst(grid)
+    xml_path = tmp_path / "placement.xml"
+    grid.to_xml(xml_path)
+
+    ref_vol = tv.TSVVolume(str(xml_path))
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    volume = ref_vol.volume
+    for z in range(volume.z0, volume.z1):
+        tc.make_diag_plane(ref_vol, 4, 1, np.uint16, None,
+                           str(ref_dir / "d_{z:04d}.tif"), volume, z)
+
+    from ipp_tpu.stitch.merge import make_diag_stack
+
+    our_dir = make_diag_stack(grid, tmp_path / "ours", dtype=np.uint16)
+    ref_files = sorted(ref_dir.glob("*.tif"))
+    our_files = sorted(Path(our_dir).glob("*.tif"))
+    assert len(ref_files) == len(our_files) == 4
+    for rf, of in zip(ref_files, our_files):
+        a = np.asarray(tio.imread(rf))
+        b = np.asarray(tio.imread(of))
+        assert a.shape == b.shape and a.shape[2] == 3
+        np.testing.assert_array_equal(a, b)
