@@ -270,3 +270,28 @@ def test_pallas_kernels_inside_shard_map_trace_first(rng, monkeypatch):
     ref = np.asarray(plan.convolve(jnp.asarray(x[0]),
                                    plan.otf_packed(jnp.asarray(k))))
     np.testing.assert_allclose(out[0], ref, rtol=1e-5, atol=1e-4)
+
+
+def test_progress_modes(monkeypatch):
+    """IPP_TPU_PROGRESS=off silences the bar; =log emits newline lines
+    (the reference --noprogressbar/--logprogress pair)."""
+    import io
+
+    from ipp_tpu.utils.progress import ProgressReporter
+
+    monkeypatch.setenv("IPP_TPU_PROGRESS", "off")
+    s = io.StringIO()
+    p = ProgressReporter(3, desc="x", stream=s)
+    for _ in range(3):
+        p.step()
+    p.close()
+    assert s.getvalue() == ""
+
+    monkeypatch.setenv("IPP_TPU_PROGRESS", "log")
+    s = io.StringIO()
+    p = ProgressReporter(3, desc="x", stream=s)
+    for _ in range(3):
+        p.step()
+    p.close()
+    v = s.getvalue()
+    assert "\r" not in v and v.endswith("\n") and "3/3" in v
