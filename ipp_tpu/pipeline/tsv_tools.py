@@ -492,6 +492,22 @@ def main(argv=None) -> int:
     n.add_argument("--voxel", type=float, nargs=3, required=True,
                    metavar=("Z", "Y", "X"))
     n.add_argument("--target-voxel", type=float, required=True)
+    cs = sub.add_parser("crop-series",
+                        help="crop a TIFF series to a sub-box "
+                             "(supplements/croping.py role)")
+    cs.add_argument("--input", required=True, type=Path)
+    cs.add_argument("--output", required=True, type=Path)
+    cs.add_argument("--roi", type=int, nargs=4, required=True,
+                    metavar=("Y0", "Y1", "X0", "X1"))
+    cs.add_argument("--z", type=int, nargs=2, default=(0, None),
+                    metavar=("Z0", "Z1"))
+    rz = sub.add_parser("resize3d",
+                        help="resize a series volume to a target shape "
+                             "(supplements/resize3D.py)")
+    rz.add_argument("--input", required=True, type=Path)
+    rz.add_argument("--output", required=True, type=Path)
+    rz.add_argument("--shape", type=int, nargs=3, required=True,
+                    metavar=("Z", "Y", "X"))
     ci = sub.add_parser("crop-ims",
                         help="crop an .ims ROI to 16-bit + 8-bit "
                              "multi-page TIFFs (supplements/croping.py)")
@@ -554,6 +570,14 @@ def main(argv=None) -> int:
                  "zero-padded")
     elif args.cmd == "renumber-directories":
         log.info(f"{renumber_directories(args.path)} directories shifted")
+    elif args.cmd == "crop-series":
+        y0, y1, x0, x1 = args.roi
+        n = crop_series(args.input, args.output, y0, y1, x0, x1,
+                        z0=args.z[0], z1=args.z[1])
+        log.info(f"{n} planes cropped")
+    elif args.cmd == "resize3d":
+        out = resize3d_series(args.input, args.output, tuple(args.shape))
+        log.info(f"resized to {out}")
     elif args.cmd == "crop-ims":
         z0, z1, y0, y1, x0, x1 = args.roi
         out = crop_ims(args.ims, args.output, z0, z1, y0, y1, x0, x1,
