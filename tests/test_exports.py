@@ -437,3 +437,40 @@ def test_bdv_u16_bit_pattern_lossless(tmp_path, rng):
     np.testing.assert_array_equal(r[0], vol[0])
     np.testing.assert_array_equal(r[1], vol[1])
     r.close()
+
+
+def test_all_export_formats_agree_at_level0(tmp_path, rng):
+    """Cross-format consistency: the SAME volume written as .ims, BDV,
+    TeraFly and neuroglancer precomputed reads back bit-identical at
+    level 0 from every format (one dataset, four writers, four
+    readers)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.io.bdv import BDVReader, tif_series_to_bdv
+    from ipp_tpu.io.ims import ImarisReader, tif_series_to_imaris
+    from ipp_tpu.io.precomputed import read_precomputed
+    from ipp_tpu.io.terafly import TeraFlyVolume, tif_series_to_terafly
+    from ipp_tpu.pipeline.tsv_tools import series_to_precomputed
+
+    vol = rng.integers(0, 65535, (6, 40, 48)).astype(np.uint16)
+    src = tmp_path / "src"
+    src.mkdir()
+    for z in range(vol.shape[0]):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+
+    tif_series_to_imaris(src, tmp_path / "v.ims", voxel_um=(2, 1, 1))
+    with ImarisReader(tmp_path / "v.ims") as r:
+        np.testing.assert_array_equal(r[0:len(r)], vol)
+
+    tif_series_to_bdv(src, tmp_path / "v_bdv.xml", voxel_um=(2, 1, 1))
+    b = BDVReader(tmp_path / "v_bdv.xml")
+    np.testing.assert_array_equal(
+        np.stack([b[z] for z in range(len(b))]), vol)
+
+    tif_series_to_terafly(src, tmp_path / "tf", voxel_um=(2, 1, 1))
+    t = TeraFlyVolume(tmp_path / "tf")
+    np.testing.assert_array_equal(
+        np.stack([t[z] for z in range(len(t))]), vol)
+
+    series_to_precomputed(src, tmp_path / "pc",
+                          voxel_nm=(2000, 1000, 1000), n_levels=1)
+    np.testing.assert_array_equal(read_precomputed(tmp_path / "pc"), vol)
