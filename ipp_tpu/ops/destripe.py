@@ -22,7 +22,8 @@ Deviations by design (documented):
 from __future__ import annotations
 
 import math
-from functools import partial
+import os
+from functools import lru_cache, partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -73,6 +74,41 @@ def calculate_pad_size(shape: Tuple[int, int], sigma: int, rise: float = 0.5) ->
     return notch_rise_point(sigma, rise)
 
 
+# Notch backend: 'matmul' evaluates irfft(rfft(x) * g) as ONE circulant
+# matmul on the MXU — measured 2.26 ms vs 5.59 ms for the rfft/irfft pair
+# at the level-1 coefficient shape (16, 832, 832) on a v5e (the XLA TPU FFT
+# runs on the VPU), max abs err 1.1e-4 on unit-normal coefficients at HIGH
+# precision (golden destripe tolerance is 8e-3 interior NRMSE).  'auto'
+# uses matmul on TPU up to _NOTCH_MM_MAX_N lanes (the n^2 matrix loses to
+# n log n upstream of ~4k) and the rfft path elsewhere.
+_NOTCH_BACKEND = os.environ.get("IPP_TPU_NOTCH", "auto")
+_NOTCH_MM_MAX_N = 4096
+_NOTCH_PREC = jax.lax.Precision.HIGH
+
+
+@lru_cache(maxsize=64)
+def _notch_circulant(n: int, sigma: float) -> np.ndarray:
+    """(n, n) circulant K with x @ K == irfft(rfft(x) * notch(sigma/2))."""
+    g = notch(n // 2 + 1, 0.5 * sigma).astype(np.float64)
+    col = np.fft.irfft(g, n=n)
+    idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) % n
+    return col[idx].astype(np.float32).T
+
+
+def _notch_use_matmul(n: int) -> bool:
+    if _NOTCH_BACKEND == "matmul":
+        return True
+    if _NOTCH_BACKEND != "auto":
+        return False
+    if n > _NOTCH_MM_MAX_N:
+        return False
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:  # pragma: no cover
+        plat = "cpu"
+    return "tpu" in plat or "axon" in plat
+
+
 def filter_coefficient(coef: jnp.ndarray, width_frac: float, axis: int = -1) -> jnp.ndarray:
     """rFFT-notch-irFFT a detail-coefficient array along `axis`
     (reference np_filter_coefficient, pystripe/core.py:749-754: the notch
@@ -95,6 +131,15 @@ def filter_coefficient(coef: jnp.ndarray, width_frac: float, axis: int = -1) -> 
     else:
         raise ValueError("axis must be -1 or -2")
     n = coef.shape[axis]
+    if _notch_use_matmul(n):
+        K = jnp.asarray(_notch_circulant(n, float(sigma)))
+        if axis == -1:
+            return jnp.matmul(coef, K, precision=_NOTCH_PREC)
+        # axis == -2: contract the sublane axis in place (the MXU rhs
+        # contracts over sublanes natively — no transpose materializes;
+        # measured in scripts/dwt_experiments.py)
+        return jnp.einsum("kh,...kw->...hw", K, coef,
+                          precision=_NOTCH_PREC)
     f = jnp.fft.rfft(coef, axis=axis)
     g = jnp.asarray(notch(f.shape[axis], 0.5 * sigma))
     shape = [1] * f.ndim

@@ -137,3 +137,38 @@ def test_dual_band_nonpositive_threshold_routes_single_band(rng):
         use_thresholding=True))
     single = np.asarray(ds.filter_streaks(img, sigma=(24, 24), wavelet="db3"))
     np.testing.assert_array_equal(got, single)
+
+
+def test_notch_matmul_backend_matches_fft(rng, monkeypatch):
+    """The circulant-matmul notch (TPU fast path) equals the rfft/irfft
+    form: K = F_r^H diag(g) F_r is the exact circulant of the same
+    filter, so any difference is matmul rounding."""
+    import jax.numpy as jnp
+
+    coef = rng.standard_normal((3, 96, 160)).astype(np.float32)
+    for axis in (-1, -2):
+        width_frac = 0.4
+        monkeypatch.setattr(ds, "_NOTCH_BACKEND", "fft")
+        ref = np.asarray(ds.filter_coefficient(jnp.asarray(coef), width_frac, axis=axis))
+        monkeypatch.setattr(ds, "_NOTCH_BACKEND", "matmul")
+        out = np.asarray(ds.filter_coefficient(jnp.asarray(coef), width_frac, axis=axis))
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_filter_streaks_matmul_notch_end_to_end(rng, monkeypatch):
+    """Full destripe chain with the matmul notch stays within the golden
+    interior tolerance of the fft-notch chain."""
+    img, _ = make_striped_tile(rng)
+    # the backend switch is not part of the jit cache key: clear between
+    # runs so the second call really retraces with the matmul notch
+    monkeypatch.setattr(ds, "_NOTCH_BACKEND", "fft")
+    ds._filter_streaks_impl.clear_cache()
+    ref = np.asarray(ds.filter_streaks(img, sigma=(64, 64), wavelet="db9"))
+    monkeypatch.setattr(ds, "_NOTCH_BACKEND", "matmul")
+    ds._filter_streaks_impl.clear_cache()
+    out = np.asarray(ds.filter_streaks(img, sigma=(64, 64), wavelet="db9"))
+    ds._filter_streaks_impl.clear_cache()
+    diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+    # u16 outputs: rounding may flip the last bit on a few pixels
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
