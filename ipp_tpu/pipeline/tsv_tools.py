@@ -36,7 +36,8 @@ from ..utils.log import Logger
 
 __all__ = ["downsample_series", "fill_blanks", "fill_blanks_tree",
            "justified_stitch", "simple_grid_stitch", "simple_stitch",
-           "renumber_series", "generate_downsampled_npz", "main"]
+           "renumber_series", "generate_downsampled_npz", "pfc_to_ls",
+           "main"]
 
 
 def fill_blanks_tree(src, dest=None, silent: bool = True) -> int:
@@ -212,6 +213,62 @@ def simple_grid_stitch(tile_dirs: List[List[Path]], out_dir,
     out, _ = merge_to_tif_series(grid, out_dir, cosine_blending=cosine,
                                  mesh=mesh, plane_batch=plane_batch)
     return out
+
+
+def pfc_to_ls(root, target, xy_step: int, z_step: int,
+              frame_shape: Tuple[int, int] = (2048, 2048)) -> int:
+    """Restructure a PFC plane tree into the SmartSPIM/TeraStitcher
+    two-level column/row layout (reference supplements/PFC_to_LS.m:27-80).
+
+    Source layout: root/Z*/Y*/{Z}_{Y}_{X}.tif — one 2D plane per file,
+    X encoded as the trailing token of the stem (the reference slices
+    fixed character positions 17:23 of its site's names; the trailing
+    '_'-separated token is the same field, position-independent).
+
+    Target layout: target/sY/sY_sX/sZ.tif with the reference's exact
+    index mapping — Y folders REVERSE-sorted become columns at
+    kY*xy_step, X tokens numerically sorted (AdvanceSort, 'X' stripped)
+    become rows at kX*xy_step (both 1-based), z planes at (kZ-1)*z_step
+    (0-based), all rendered %06d.  Missing source planes are replaced by
+    an all-zeros uint16 frame (the reference's blank.tif); existing
+    target planes are never rewritten ('cp -u').
+
+    Returns the number of planes written.  The dead overview-stitch code
+    after the script's `return` (naive fixed-overlap abutting) is served
+    by simple_grid_stitch."""
+    root, target = Path(root), Path(target)
+    z_folders = sorted(d.name for d in root.iterdir() if d.is_dir())
+    y_folders: set = set()
+    x_tokens: set = set()
+    for z in z_folders:
+        for dy in (root / z).iterdir():
+            if not dy.is_dir():
+                continue
+            y_folders.add(dy.name)
+            for f in dy.glob("*.tif"):
+                x_tokens.add(f.stem.split("_")[-1])
+    ys = sorted(y_folders, reverse=True)       # reverse sort -> columns
+    xs = sorted(x_tokens,                       # AdvanceSort: numeric
+                key=lambda t: int(t.lstrip("X") or 0))
+    blank = np.zeros(frame_shape, np.uint16)
+    written = 0
+    for ky, y in enumerate(ys, start=1):
+        s_x = f"{ky * xy_step:06d}"
+        for kx, x in enumerate(xs, start=1):
+            s_y = f"{kx * xy_step:06d}"
+            out_dir = target / s_y / f"{s_y}_{s_x}"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for kz, z in enumerate(z_folders):
+                dst = out_dir / f"{kz * z_step:06d}.tif"
+                if dst.exists():
+                    continue
+                src_f = root / z / y / f"{z}_{y}_{x}.tif"
+                if src_f.is_file():
+                    shutil.copy2(src_f, dst)
+                else:
+                    tio.imwrite(dst, blank)
+                written += 1
+    return written
 
 
 def renumber_tree(root, n_digits: int = 6) -> int:
@@ -520,6 +577,19 @@ def main(argv=None) -> int:
     ci.add_argument("--resolution-level", type=int, default=0)
     ci.add_argument("--right-shift", type=int, default=3)
     ci.add_argument("--no-8bit", action="store_true")
+    pf = sub.add_parser("pfc-to-ls",
+                        help="restructure a PFC Z/Y/X plane tree into "
+                             "the TeraStitcher col/row layout "
+                             "(supplements/PFC_to_LS.m)")
+    pf.add_argument("--root", required=True, type=Path)
+    pf.add_argument("--target", required=True, type=Path)
+    pf.add_argument("--xy-step", type=int, required=True,
+                    help="stage step in tenths of um (XYStep)")
+    pf.add_argument("--z-step", type=int, required=True,
+                    help="z step in tenths of um (ZStep)")
+    pf.add_argument("--frame-shape", type=int, nargs=2,
+                    default=(2048, 2048), metavar=("H", "W"),
+                    help="blank-tile shape for missing planes")
     pc = sub.add_parser("precomputed",
                         help="TIFF series -> neuroglancer precomputed")
     pc.add_argument("--input", required=True, type=Path)
@@ -586,6 +656,10 @@ def main(argv=None) -> int:
                        right_shift=args.right_shift,
                        write_8bit=not args.no_8bit)
         log.info(f"cropped to {out}")
+    elif args.cmd == "pfc-to-ls":
+        n = pfc_to_ls(args.root, args.target, args.xy_step, args.z_step,
+                      frame_shape=tuple(args.frame_shape))
+        log.info(f"{n} planes placed")
     elif args.cmd == "npz":
         log.info(str(generate_downsampled_npz(
             args.input, args.output, tuple(args.voxel), args.target_voxel)))

@@ -248,3 +248,42 @@ def test_stage_timer_and_trace(tmp_path):
         pass
     with trace_to(tmp_path / "trace", enabled=False):
         pass
+
+
+def test_pfc_to_ls_layout(tmp_path, rng=np.random.default_rng(7)):
+    """supplements/PFC_to_LS.m:27-80 mapping: reverse-sorted Y folders ->
+    columns, numerically-sorted X tokens -> rows, z from folder index;
+    missing planes become blank frames; existing targets kept (cp -u)."""
+    from ipp_tpu.pipeline.tsv_tools import pfc_to_ls
+
+    root = tmp_path / "pfc"
+    planes = {}
+    shape = (12, 10)
+    for z in ("Z00", "Z01"):
+        for y in ("Y1", "Y2"):
+            for x in ("X000010", "X000002"):
+                if (z, y, x) == ("Z01", "Y1", "X000010"):
+                    continue                      # the missing plane
+                img = rng.integers(1, 60000, shape).astype(np.uint16)
+                d = root / z / y
+                d.mkdir(parents=True, exist_ok=True)
+                tio.imwrite(d / f"{z}_{y}_{x}.tif", img)
+                planes[(z, y, x)] = img
+
+    target = tmp_path / "ls"
+    n = pfc_to_ls(root, target, xy_step=100, z_step=20, frame_shape=shape)
+    assert n == 8                                  # 2z x 2y x 2x
+
+    # Y2 (reverse-sorted first) -> column 1 (sX=000100); X000002 (numeric
+    # sort, beats lexical) -> row 1 (sY=000100); Z00 -> 000000.tif
+    got = tio.imread(target / "000100" / "000100_000100" / "000000.tif")
+    np.testing.assert_array_equal(got, planes[("Z00", "Y2", "X000002")])
+    got = tio.imread(target / "000200" / "000200_000100" / "000020.tif")
+    np.testing.assert_array_equal(got, planes[("Z01", "Y2", "X000010")])
+
+    # the missing (Z01, Y1, X000010) -> row 2 (X000010), col 2 (Y1): blank
+    blank = tio.imread(target / "000200" / "000200_000200" / "000020.tif")
+    np.testing.assert_array_equal(blank, np.zeros(shape, np.uint16))
+
+    # rerun: nothing rewritten (cp -u semantics)
+    assert pfc_to_ls(root, target, 100, 20, frame_shape=shape) == 0
