@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["block_reduce", "resize", "plan_isotropic_downsampling"]
+__all__ = ["block_reduce", "resize", "plan_isotropic_downsampling",
+           "isotropic_downsample_plane"]
 
 
 def block_reduce(img: jnp.ndarray, block_size, func: str = "max") -> jnp.ndarray:
@@ -120,3 +121,22 @@ def plan_isotropic_downsampling(
     elif len(meth_x) > len(meth_y):
         meth_y += [None] * (len(meth_x) - len(meth_y))
     return target_shape, list(zip(meth_y, meth_x))
+
+
+def isotropic_downsample_plane(img, target_shape: Tuple[int, int],
+                               methods, resize_final: bool = True):
+    """Apply a planned in-plane downsample ladder to one plane: per-AXIS
+    block reductions — y then x, each with its own method and each guarded
+    by the target shape — then an anti-aliased resize to the exact target
+    (reference parallel_image_processor.py:376-384: separate (2,1)/(1,2)
+    block_reduce calls per rung, skipped once ceil(dim/2) would undershoot
+    the target).  Output is float32."""
+    small = jnp.asarray(img).astype(jnp.float32)
+    for my, mx in methods:
+        if my is not None and -(-small.shape[0] // 2) >= target_shape[0]:
+            small = block_reduce(small, (2, 1), my)
+        if mx is not None and -(-small.shape[1] // 2) >= target_shape[1]:
+            small = block_reduce(small, (1, 2), mx)
+    if resize_final and tuple(small.shape) != tuple(target_shape):
+        small = resize(small, target_shape)
+    return small

@@ -373,11 +373,18 @@ def _merge_stage(
     if target_voxel_um is not None and ds_vol is not None:
         timer.start("downsample npz")
         bbox = grid.volume
+        vox_zyx = (voxel_um[2], voxel_um[1], voxel_um[0])
+        shape_yx = (bbox.y1 - bbox.y0, bbox.x1 - bbox.x0)
+        if rotation in (90, 270):
+            # the npz follows the written (rotated) plane orientation
+            # (reference calculate_down_sampling_target axis swap,
+            # parallel_image_processor.py:161-164)
+            vox_zyx = (vox_zyx[0], vox_zyx[2], vox_zyx[1])
+            shape_yx = shape_yx[::-1]
         npz = downsampled_npz(
             ds_vol, stitched_path.parent /
             f"{channel_path.name}_zyx{target_voxel_um:.1f}um.npz",
-            (voxel_um[2], voxel_um[1], voxel_um[0]),
-            (bbox.z1 - bbox.z0, bbox.y1 - bbox.y0, bbox.x1 - bbox.x0),
+            vox_zyx, (bbox.z1 - bbox.z0,) + shape_yx,
             target_voxel_um)
         log.info(f"downsampled npz: {npz}")
 

@@ -25,7 +25,8 @@ import numpy as np
 from ..geometry.extent import VExtent
 from ..geometry.stacks import TileGrid
 from ..io import tiff as tio
-from ..ops.resample import block_reduce, plan_isotropic_downsampling, resize
+from ..ops.resample import (block_reduce, isotropic_downsample_plane,
+                            plan_isotropic_downsampling, resize)
 from ..utils.progress import ProgressReporter
 from .blend import PlaneBlender
 
@@ -132,10 +133,20 @@ def merge_to_tif_series(
     n_z_halvings = 0
     if target_voxel_um is not None:
         vox_v, vox_h, vox_d = grid.voxel_um
+        plane_hw = (bbox.y1 - bbox.y0, bbox.x1 - bbox.x0)
+        vox_hw = (vox_v, vox_h)
+        if rotation in (90, 270):
+            # the downsample sees the ROTATED written plane (reference
+            # parallel_image_processor.py:341-366: rot90 precedes the
+            # block_reduce; calculate_down_sampling_target swaps axes)
+            plane_hw = plane_hw[::-1]
+            vox_hw = vox_hw[::-1]
         ds_target, ds_methods = plan_isotropic_downsampling(
-            (bbox.y1 - bbox.y0, bbox.x1 - bbox.x0), (vox_v, vox_h),
-            target_voxel_um)
-        n_z_halvings = len(ds_methods)
+            plane_hw, vox_hw, target_voxel_um)
+        # z ladder: ceil(sqrt(r_z)) alternating methods over chunks of
+        # floor(r_z) planes (reference parallel_image_processor.py:250-252
+        # and :575 down_sampling_z_steps)
+        n_z_halvings = int(np.ceil(np.sqrt(target_voxel_um / vox_d)))
 
     write_q: "queue.Queue[Optional[Tuple[Path, np.ndarray]]]" = queue.Queue(maxsize=16)
     errors: List[BaseException] = []
@@ -160,7 +171,8 @@ def merge_to_tif_series(
 
     z_chunk: List[np.ndarray] = []
     reduced_chunks: List[np.ndarray] = []
-    chunk_len = 1 << n_z_halvings
+    chunk_len = (max(1, int(target_voxel_um // vox_d))
+                 if target_voxel_um is not None else 1)
 
     # prefetch the next batch's tile crops on reader threads while the
     # device blends the current batch (the reference overlaps via process
@@ -199,10 +211,11 @@ def merge_to_tif_series(
         return futs
 
     # fetch the blended canvas at the OUTPUT integer width when nothing
-    # downstream needs the float values (no per-plane post-processing, no
-    # downsample accumulation): device-side rint+clip+cast halves the
+    # downstream needs the float values (no per-plane post-processing —
+    # the isotropic downsample reads the WRITTEN plane, so it never needs
+    # the float canvas): device-side rint+clip+cast halves the
     # device->host bytes of the merge's transfer-bound fetch
-    fetch_dtype = (dtype if (post_fn is None and target_voxel_um is None
+    fetch_dtype = (dtype if (post_fn is None
                              and np.issubdtype(np.dtype(dtype), np.integer))
                    else np.float32)
 
@@ -233,14 +246,23 @@ def merge_to_tif_series(
             write_q.put((path, np.ascontiguousarray(merged_out)))
 
         if target_voxel_um is not None:
-            small = merged.astype(np.float32)
-            for my, mx in ds_methods:
-                by = 2 if my is not None else 1
-                bx = 2 if mx is not None else 1
-                m = my or mx or "mean"
-                if by > 1 or bx > 1:
-                    small = np.asarray(block_reduce(small, (by, bx), m))
-            small = np.asarray(resize(small, ds_target))
+            # the accumulation input is the WRITTEN plane (post-processed,
+            # converted, rotated/flipped) as float32 — the reference
+            # downsamples the saved fun() output
+            # (parallel_image_processor.py:355-384), with uniform planes
+            # short-circuited to zeros (:374-375)
+            v0 = merged_out.flat[0]
+            if merged_out.flat[-1] == v0 and (merged_out == v0).all():
+                z_chunk.append(np.zeros(ds_target, np.float32))
+                if len(z_chunk) == chunk_len:
+                    reduced_chunks.append(
+                        _z_reduce(np.stack(z_chunk), n_z_halvings)[0])
+                    z_chunk.clear()
+                if progress is not None:
+                    progress.step()
+                return
+            small = np.asarray(isotropic_downsample_plane(
+                merged_out, ds_target, ds_methods))
             z_chunk.append(small)
             if len(z_chunk) == chunk_len:
                 reduced_chunks.append(

@@ -119,3 +119,56 @@ def test_voxel_spacing_axes_match_reference(ref_pip):
         start = round((block - n_full) / 2.0 * vox)
         ours = start + target_voxel * np.arange(n_target)
         np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_downsample_application_matches_reference(ref_pip):
+    """The APPLICATION of the plan, not just the plan: the reference runs
+    per-AXIS block reductions — (2,1) with method_y then (1,2) with
+    method_x, each guarded by ceil(dim/2) >= target — inside its worker
+    loop (parallel_image_processor.py:376-384), then the z ladder
+    (:412-419).  Transcribed here with skimage/np ops and pinned against
+    ops.resample.isotropic_downsample_plane + merge._z_reduce."""
+    import skimage.measure as sk_measure
+
+    from ipp_tpu.ops.resample import isotropic_downsample_plane
+    from ipp_tpu.stitch.merge import _z_reduce
+
+    rng = np.random.default_rng(3)
+    # anisotropic voxel + non-pow4 reduction: the y/x ladders differ in
+    # length AND the per-axis guards trigger on x before y
+    shape_yx, voxel_zyx, target = (300, 220), (2.0, 0.8, 0.4), 10.0
+    ref_shape, _ = _ref_plan(ref_pip, shape_yx, voxel_zyx, target)
+    from ipp_tpu.ops.resample import plan_isotropic_downsampling
+
+    our_shape, methods = plan_isotropic_downsampling(
+        shape_yx, voxel_zyx[1:], target)
+    assert tuple(our_shape) == tuple(ref_shape)
+    np_methods = [(np.max if m == "max" else np.mean if m == "mean" else None)
+                  for pair in methods for m in pair]
+    np_methods = list(zip(np_methods[0::2], np_methods[1::2]))
+
+    planes = [rng.random(shape_yx).astype(np.float32) * 5000
+              for _ in range(9)]
+    ref_small, our_small = [], []
+    for img in planes:
+        ref = img.astype(np.float32)
+        for ym, xm in np_methods:   # the reference loop, transcribed
+            if ym is not None and np.ceil(ref.shape[0] / 2) >= ref_shape[0]:
+                ref = sk_measure.block_reduce(ref, (2, 1), ym)
+            if xm is not None and np.ceil(ref.shape[1] / 2) >= ref_shape[1]:
+                ref = sk_measure.block_reduce(ref, (1, 2), xm)
+        ref_small.append(ref)
+        ours = np.asarray(isotropic_downsample_plane(
+            img, ref_shape, methods, resize_final=False))
+        our_small.append(ours)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    # z ladder: ceil(sqrt(r_z)) methods, shape>1 guard (:250-252, 412-419)
+    n_z = int(np.ceil(np.sqrt(target / voxel_zyx[0])))
+    method_z = tuple(np.max if i % 2 == 0 else np.mean for i in range(n_z))
+    z_ref = np.stack(ref_small)
+    for zm in method_z:             # the reference tail, transcribed
+        if zm is not None and z_ref.shape[0] > 1:
+            z_ref = sk_measure.block_reduce(z_ref, (2, 1, 1), zm)
+    z_ours = _z_reduce(np.stack(our_small), n_z)
+    np.testing.assert_allclose(z_ours, z_ref, rtol=1e-5)

@@ -204,14 +204,14 @@ def test_merge_mesh_matches_single_device(stitched_setup, tmp_path):
 def test_merge_integer_fetch_matches_float_path(stitched_setup, tmp_path):
     """The device-side u16 fetch (taken when no post-processing needs the
     float canvas) writes the same planes as the float-fetch path (forced
-    here via target_voxel_um)."""
+    here via an identity post_fn)."""
     from ipp_tpu.io import tiff as tio
     from ipp_tpu.stitch.merge import merge_to_tif_series
 
     vol, tiles, offsets, grid = stitched_setup
     out_u16, _ = merge_to_tif_series(grid, tmp_path / "u16")
     out_f32, _ = merge_to_tif_series(grid, tmp_path / "f32",
-                                     target_voxel_um=4.0)
+                                     post_fn=lambda p: p)
     p1 = sorted(out_u16.glob("img_*.tif"))
     p2 = sorted(out_f32.glob("img_*.tif"))
     assert p1 and len(p1) == len(p2)
@@ -229,6 +229,31 @@ def test_merge_float_dtype_with_downsample_still_emits_npz(stitched_setup,
     out, ds = merge_to_tif_series(grid, tmp_path / "f32ds",
                                   dtype=np.float32, target_voxel_um=4.0)
     assert ds is not None and ds.ndim == 3 and ds.size > 0
+
+
+def test_merge_downsample_follows_written_plane(stitched_setup, tmp_path):
+    """The isotropic-downsample accumulation reads the WRITTEN plane
+    (post-processed, converted, rotated) — the reference's ordering
+    (parallel_image_processor.py:341-384: rot90 then save then
+    block_reduce of the saved image).  At target == source voxel the
+    npz volume IS the written (rotated) series."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+    out0, _ = merge_to_tif_series(grid, tmp_path / "rot0")
+    outr, ds = merge_to_tif_series(grid, tmp_path / "rot90", rotation=90,
+                                   target_voxel_um=1.0)
+    planes0 = sorted(out0.glob("img_*.tif"))
+    planesr = sorted(outr.glob("img_*.tif"))
+    assert planes0 and len(planes0) == len(planesr)
+    assert ds is not None and ds.shape[0] == len(planesr)
+    for k, (p0, pr) in enumerate(zip(planes0, planesr)):
+        rotated = np.rot90(tio.imread(p0))
+        written = tio.imread(pr)
+        np.testing.assert_array_equal(rotated, written)
+        np.testing.assert_allclose(ds[k], written.astype(np.float32),
+                                   atol=1e-2)
 
 
 def test_merge_plane_batch_matches_unbatched(stitched_setup, tmp_path):
