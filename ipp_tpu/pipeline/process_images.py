@@ -318,6 +318,7 @@ def _merge_stage(
 
     timer.start("merge (step 6)")
     post_fn = None
+    post_fn_device = None
     if bleach_correction or background_subtraction:
         # the reference's merge-stage process_img (process_images.py:
         # 696-727): with bleach correction, dual-band destriping at
@@ -350,22 +351,58 @@ def _merge_stage(
         def post_fn(plane):
             return np.asarray(pimg(
                 np.clip(plane, 0, 65535).astype(np.uint16), merge_cfg))
+
+        # the same pipeline as a device-side BATCHED function: the merge's
+        # batched blend runs it on the canvas before the fetch — sharded
+        # over the plane batch on a mesh (the process_img role of the
+        # reference's merge workers, parallel_image_processor.py:334-384,
+        # here without the float canvas ever leaving the device)
+        import jax
+        import jax.numpy as jnp
+
+        def _dev_pimg(x):
+            out = pimg(jnp.clip(x, 0, 65535).astype(jnp.uint16), merge_cfg)
+            # the host path's is_uniform_2d -> zeros short-circuit
+            # (pystripe/core.py:1231-1246), as a traced per-plane select
+            uni = (x == x[:, :1, :1]).all(axis=(-2, -1))
+            return jnp.where(uni[:, None, None],
+                             jnp.zeros((), out.dtype), out)
+
+        if use_mesh and mesh is not None:
+            # per-device local batches via shard_map: the destripe rfft
+            # inside process_img cannot run on a jit-sharded operand
+            # (XLA's FFT requires a dim0-major local layout)
+            from ..parallel.mesh import P, shard_map_compat
+
+            spec = P("data", None, None)
+            post_fn_device = jax.jit(shard_map_compat(
+                _dev_pimg, mesh, in_specs=spec, out_specs=spec))
+        else:
+            post_fn_device = jax.jit(_dev_pimg)
     elif convert_to_8bit or dark > 0:
         from ..ops.intensity import convert_to_8bit as to8, subtract_dark
 
+        import jax
         import jax.numpy as jnp
 
-        def post_fn(plane):
-            x = jnp.asarray(np.clip(plane, 0, 65535).astype(np.uint16))
+        def _dark_to8(x):
             if dark > 0:
                 x = subtract_dark(x, dark)
             if convert_to_8bit:
                 x = to8(x, bit_shift if bit_shift is not None else 8)
-            return np.asarray(x)
+            return x
+
+        def post_fn(plane):
+            x = jnp.asarray(np.clip(plane, 0, 65535).astype(np.uint16))
+            return np.asarray(_dark_to8(x))
+
+        post_fn_device = jax.jit(lambda x: _dark_to8(
+            jnp.clip(x, 0, 65535).astype(jnp.uint16)))
 
     out_dir, ds_vol = merge_to_tif_series(
         grid, stitched_path, cosine_blending=cosine_blending,
-        post_fn=post_fn, dtype=np.uint8 if convert_to_8bit else np.uint16,
+        post_fn=post_fn, post_fn_device=post_fn_device,
+        dtype=np.uint8 if convert_to_8bit else np.uint16,
         target_voxel_um=target_voxel_um, resume=resume, rotation=rotation,
         compression=compression,
         mesh=mesh if use_mesh else None, plane_batch=plane_batch)

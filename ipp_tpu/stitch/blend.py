@@ -161,10 +161,13 @@ def _blend_accumulate_planes(parts: Tuple[jnp.ndarray, ...],
 def _to_output_dtype(out, dtype):
     """Device-side round/clip/cast for integer outputs (the fetch then
     moves integer-width bytes); non-integer dtypes cast host-side only
-    when needed.  Shared by blend_plane and blend_planes."""
-    if np.issubdtype(np.dtype(dtype), np.integer):
+    when needed.  Shared by blend_plane and blend_planes.  A device_post
+    hook may already have produced the target dtype — passed through."""
+    if (np.issubdtype(np.dtype(dtype), np.integer)
+            and out.dtype != np.dtype(dtype)):
         info = np.iinfo(dtype)
-        out = jnp.clip(jnp.rint(out), info.min, info.max).astype(dtype)
+        out = jnp.clip(jnp.rint(out.astype(jnp.float32)),
+                       info.min, info.max).astype(dtype)
     out_np = np.asarray(out)
     return (out_np if out_np.dtype == np.dtype(dtype)
             else out_np.astype(dtype))
@@ -227,7 +230,8 @@ class PlaneBlender:
         return out
 
     def blend_planes(self, volume: VExtent, reader, dtype=np.uint16,
-                     sharding=None, pad_to: int = 1) -> Optional[np.ndarray]:
+                     sharding=None, pad_to: int = 1,
+                     device_post=None) -> Optional[np.ndarray]:
         """Blend a batch of B = volume.shape[0] z planes in ONE device call.
 
         reader(stack_index, 3D intersection) -> (B, h, w) crop stack.
@@ -235,6 +239,12 @@ class PlaneBlender:
         runs mesh-parallel — each device accumulates its planes (the
         master_step6 slab fan-out, reference Parastitcher.py:570).  pad_to
         pads the batch by edge replication to a device-count multiple.
+        device_post: optional device-side per-plane post-processing hook
+        ((B', H, W) float32 -> (B', H, W) any dtype, batch semantics) run
+        on the accumulated canvas BEFORE the fetch — under a batch
+        sharding it executes mesh-parallel (the process_img role of the
+        reference's merge workers, parallel_image_processor.py:334-384)
+        and the fetch then moves post-processed (integer-width) bytes.
         Returns (B, H, W) in `dtype`, or None if the xy layout is not
         constant across the batch (caller falls back to blend_plane).
         """
@@ -265,6 +275,8 @@ class PlaneBlender:
         out = _blend_accumulate_planes(
             tuple(parts), tuple(weights), tuple(offsets), canvas_shape,
             self.cosine)
+        if device_post is not None:
+            out = device_post(out)
         return _to_output_dtype(out, dtype)[:B]
 
     def blend_plane(self, volume: VExtent,

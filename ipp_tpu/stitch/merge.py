@@ -50,6 +50,7 @@ def merge_to_tif_series(
     out_dir,
     cosine_blending: bool = True,
     post_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    post_fn_device: Optional[Callable] = None,
     dtype=np.uint16,
     compression: Optional[str] = None,
     tif_prefix: str = "img",
@@ -69,6 +70,12 @@ def merge_to_tif_series(
 
     post_fn: optional per-plane post-processing (the process_img equivalent:
     destripe/bleach/8-bit), applied to the blended float plane.
+    post_fn_device: the same post-processing as a device-side BATCHED
+    function ((B, H, W) float32 device array -> processed device array in
+    the output dtype) — on the batched blend path it runs on the canvas
+    before the fetch, mesh-parallel under the plane sharding (and the
+    fetch moves integer-width bytes); post_fn remains the fallback for
+    the per-plane and decimated paths.  The two must agree numerically.
     target_voxel_um: if set, also accumulate the isotropic downsample and
     return it as a float32 (z', y', x') volume (caller writes the npz).
     rotation: 0/90/180/270 — rotate each output plane (reference
@@ -83,6 +90,9 @@ def merge_to_tif_series(
     """
     if rotation not in (0, 90, 180, 270):
         raise ValueError(f"rotation must be 0/90/180/270, got {rotation}")
+    if post_fn_device is not None and post_fn is None:
+        raise ValueError("post_fn_device needs the per-plane post_fn as "
+                         "the fallback for non-batched paths")
     # mipmap preview mode: every 2^level-th plane at 1/2^level resolution
     # (reference convert_to_2D_tif mipmap_level, tsv/convert.py:59-97:
     # z stepped by the decimation AND plane[::d, ::d])
@@ -219,13 +229,16 @@ def merge_to_tif_series(
                              and np.issubdtype(np.dtype(dtype), np.integer))
                    else np.float32)
 
-    def emit_plane(zi: int, merged: np.ndarray):
+    def emit_plane(zi: int, merged: np.ndarray, already_post: bool = False):
         """Post-process + enqueue one blended plane for writing and fold
-        it into the isotropic downsample accumulation."""
+        it into the isotropic downsample accumulation.  already_post:
+        the plane went through post_fn_device on the device — skip the
+        host post."""
         path = plane_path(zi)
         if dec > 1:
             merged = merged[::dec, ::dec]
-        if merged.dtype == np.dtype(dtype) and post_fn is None:
+        if already_post or (merged.dtype == np.dtype(dtype)
+                            and post_fn is None):
             merged_out = merged  # already converted on device
         else:
             merged_out = post_fn(merged) if post_fn is not None else merged
@@ -322,7 +335,9 @@ def merge_to_tif_series(
             ext,
             lambda i, e: (futs[(i, e)].result() if (i, e) in futs
                           else stacks[i].imread(e)),
-            dtype=fetch_dtype, sharding=sharding, pad_to=n_data)
+            dtype=(dtype if post_fn_device is not None else fetch_dtype),
+            sharding=sharding, pad_to=n_data, device_post=post_fn_device)
+        batch_post = merged3 is not None and post_fn_device is not None
         if merged3 is None:
             # layout changes across the batch (tiles start/end mid-z):
             # blend plane by plane — bitwise the same math, just unbatched,
@@ -342,7 +357,7 @@ def merge_to_tif_series(
                     dtype=fetch_dtype)
                 for z in range(zi, zj)])
         for k, z in enumerate(range(zi, zj)):
-            emit_plane(z, merged3[k])
+            emit_plane(z, merged3[k], already_post=batch_post)
 
     if z_chunk:
         reduced_chunks.append(_z_reduce(np.stack(z_chunk), n_z_halvings)[0])

@@ -231,6 +231,47 @@ def test_merge_float_dtype_with_downsample_still_emits_npz(stitched_setup,
     assert ds is not None and ds.ndim == 3 and ds.size > 0
 
 
+def test_merge_device_post_matches_host_post(stitched_setup, tmp_path):
+    """post_fn_device (batched, sharded, applied on the canvas before the
+    fetch) must write the same planes and npz as the per-plane host
+    post_fn — single device and 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.ops.intensity import convert_to_8bit as to8
+    from ipp_tpu.ops.intensity import subtract_dark
+    from ipp_tpu.parallel.mesh import make_mesh
+    from ipp_tpu.stitch.merge import merge_to_tif_series
+
+    vol, tiles, offsets, grid = stitched_setup
+
+    def _post(x):
+        return to8(subtract_dark(x, 50.0), 8)
+
+    def host_post(plane):
+        return np.asarray(_post(
+            jnp.asarray(np.clip(plane, 0, 65535).astype(np.uint16))))
+
+    dev_post = jax.jit(
+        lambda x: _post(jnp.clip(x, 0, 65535).astype(jnp.uint16)))
+
+    out_h, ds_h = merge_to_tif_series(
+        grid, tmp_path / "hostp", post_fn=host_post, dtype=np.uint8,
+        target_voxel_um=4.0)
+    out_d, ds_d = merge_to_tif_series(
+        grid, tmp_path / "devp", post_fn=host_post, post_fn_device=dev_post,
+        dtype=np.uint8, target_voxel_um=4.0, mesh=make_mesh(8))
+    ph = sorted(out_h.glob("img_*.tif"))
+    pd = sorted(out_d.glob("img_*.tif"))
+    assert ph and [p.name for p in ph] == [p.name for p in pd]
+    for a, b in zip(ph, pd):
+        ia = tio.imread(a)
+        assert ia.dtype == np.uint8
+        np.testing.assert_array_equal(ia, tio.imread(b))
+    np.testing.assert_allclose(ds_h, ds_d, atol=1e-3)
+
+
 def test_merge_downsample_follows_written_plane(stitched_setup, tmp_path):
     """The isotropic-downsample accumulation reads the WRITTEN plane
     (post-processed, converted, rotated) — the reference's ordering
