@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["block_reduce", "resize", "plan_isotropic_downsampling",
-           "isotropic_downsample_plane"]
+           "isotropic_downsample_plane", "IsotropicAccumulator"]
 
 
 def block_reduce(img: jnp.ndarray, block_size, func: str = "max") -> jnp.ndarray:
@@ -140,3 +140,69 @@ def isotropic_downsample_plane(img, target_shape: Tuple[int, int],
     if resize_final and tuple(small.shape) != tuple(target_shape):
         small = resize(small, target_shape)
     return small
+
+
+class IsotropicAccumulator:
+    """Streamed isotropic downsample of a plane series — the converter's
+    equivalent of the reference worker z_stack + tail
+    (parallel_image_processor.py:334-435: per-plane xy ladder into z
+    chunks of floor(r_z) planes, each reduced by ceil(sqrt(r_z))
+    alternating-from-max z halvings, uniform planes/chunks short-circuited
+    to zeros; the merge stage has its own inline twin in stitch/merge.py).
+
+    add(plane) returns the reduced chunk plane (float32) when a chunk
+    completes, else None; flush() drains a partial tail chunk; volume()
+    stacks everything for the exact final z resize (downsampled_npz)."""
+
+    def __init__(self, plane_shape: Tuple[int, int],
+                 voxel_zyx: Tuple[float, float, float],
+                 target_voxel: float, alternating: bool = True):
+        self.target_shape, self.methods = plan_isotropic_downsampling(
+            plane_shape, (voxel_zyx[1], voxel_zyx[2]), target_voxel)
+        if not alternating:
+            # the reference converter passes a non-empty --downsample-method
+            # by default -> every rung (mean, mean)
+            # (parallel_image_processor.py:185-187, convert.py:129)
+            self.methods = [tuple("mean" if m is not None else None
+                                  for m in pair) for pair in self.methods]
+        self.chunk_len = max(1, int(target_voxel // voxel_zyx[0]))
+        self.n_z = int(np.ceil(np.sqrt(target_voxel / voxel_zyx[0])))
+        self._chunk: List[np.ndarray] = []
+        self._reduced: List[np.ndarray] = []
+
+    def _reduce_chunk(self) -> np.ndarray:
+        stack = np.stack(self._chunk)
+        self._chunk.clear()
+        if (stack == stack.flat[0]).all():   # is_uniform_3d (:413-415)
+            out = np.zeros(self.target_shape, np.float32)
+        else:
+            for i in range(self.n_z):
+                if stack.shape[0] <= 1:
+                    break
+                stack = np.asarray(block_reduce(
+                    stack, (2, 1, 1), "max" if i % 2 == 0 else "mean"))
+            out = stack[0]
+        self._reduced.append(out)
+        return out
+
+    def add(self, plane: np.ndarray):
+        v0 = plane.flat[0]
+        if plane.flat[-1] == v0 and (plane == v0).all():
+            small = np.zeros(self.target_shape, np.float32)
+        else:
+            small = np.asarray(isotropic_downsample_plane(
+                plane, self.target_shape, self.methods))
+        self._chunk.append(small)
+        if len(self._chunk) == self.chunk_len:
+            return self._reduce_chunk()
+        return None
+
+    def flush(self):
+        if self._chunk:
+            return self._reduce_chunk()
+        return None
+
+    def volume(self) -> np.ndarray:
+        if not self._reduced:
+            return np.zeros((0,) + tuple(self.target_shape), np.float32)
+        return np.stack(self._reduced)

@@ -21,6 +21,7 @@ from ..io import tiff as tio
 from ..io.ims import ImarisReader, tif_series_to_imaris
 from ..io.terafly import tif_series_to_terafly
 from ..ops.process import ProcessConfig, process_img
+from ..ops.resample import IsotropicAccumulator
 from ..utils.jaxconfig import enable_persistent_cache
 from ..utils.log import Logger
 from ..utils.progress import ProgressReporter
@@ -177,6 +178,10 @@ def convert(
     resume: bool = False,
     channel: int = 0,
     read_timeout: Optional[float] = None,
+    target_voxel_um: Optional[float] = None,
+    downsample_path: Optional[Path] = None,
+    alternating_downsampling: bool = False,
+    downsample_dtype: str = "float32",
     log: Optional[Logger] = None,
 ) -> Path:
     enable_persistent_cache()
@@ -220,18 +225,98 @@ def convert(
             return np.zeros(*_state["meta"])
     tif_dir = Path(destination)
     tif_dir.mkdir(parents=True, exist_ok=True)
+    # streamed isotropic downsample + npz during conversion (the reference
+    # converter's --voxel-size-target/--downsample-path surface,
+    # convert.py:122-130 driving parallel_image_processor's z_stack +
+    # tail).  Per-chunk downsampled TIFFs land in downsample_path in
+    # downsample_dtype; the npz stacks the SAME converted planes.
+    acc = None
+    npz_path = None
+    ds_dir = None
+    src_hw = proc_hw = None
+    if target_voxel_um is not None:
+        ds_dir = Path(downsample_path) if downsample_path else (
+            tif_dir.parent /
+            f"{tif_dir.name}_downsampled_{target_voxel_um:.1f}um")
+        ds_dir.mkdir(parents=True, exist_ok=True)
+        npz_path = ds_dir.parent / (
+            f"{tif_dir.name}_zyx{target_voxel_um:.1f}um.npz")
+
+    def _emit_ds_chunk(reduced: np.ndarray, idx: int):
+        """Convert a reduced chunk plane to downsample_dtype and write it
+        (reference :421-431: uint16 via convert_to_16bit_fun, uint8 via
+        convert_to_8bit_fun unless the planes already are uint8)."""
+        from ..ops.intensity import convert_to_16bit, convert_to_8bit
+
+        out_p = ds_dir / f"img_{idx:06d}.tif"
+        if downsample_dtype in ("uint16", "u2"):
+            reduced = np.asarray(convert_to_16bit(jnp_asarray(reduced)))
+        elif downsample_dtype in ("uint8", "u1"):
+            if plane_dtype == np.uint8:
+                reduced = reduced.astype(np.uint8)
+            else:
+                reduced = np.asarray(convert_to_8bit(jnp_asarray(reduced), 8))
+        tio.imwrite(out_p, reduced)
+        return reduced
+
+    import jax.numpy as _jnp
+
+    jnp_asarray = _jnp.asarray
+    plane_dtype = None
+    ds_chunks = []
     prog = ProgressReporter(nz, desc="convert")
     for z in range(nz):
         out = tif_dir / f"img_{z:06d}.tif"
         if resume and out.exists():
-            prog.step()
-            continue
-        plane = np.asarray(reader(z))
-        if cfg is not None:
-            plane = process_img(plane, cfg)
-        tio.imwrite(out, plane)
+            if target_voxel_um is None:
+                prog.step()
+                continue
+            # downsampling still needs the written plane's content
+            plane = tio.imread(out)
+            if src_hw is None:
+                src_hw = proc_hw = plane.shape
+        else:
+            raw = np.asarray(reader(z))
+            if src_hw is None:
+                src_hw = raw.shape
+            plane = process_img(raw, cfg) if cfg is not None else raw
+            if proc_hw is None:
+                proc_hw = plane.shape
+            tio.imwrite(out, plane)
+        if target_voxel_um is not None:
+            if acc is None:
+                plane_dtype = plane.dtype
+                vz, vy, vx = voxel_um
+                rotated = cfg is not None and cfg.rotate in (90, 270)
+                # fun-induced voxel change, rotation-aware (reference
+                # calculate_down_sampling_target, :158-168)
+                if rotated:
+                    vy2 = vy * src_hw[0] / plane.shape[1]
+                    vx2 = vx * src_hw[1] / plane.shape[0]
+                    vy2, vx2 = vx2, vy2
+                else:
+                    vy2 = vy * src_hw[0] / plane.shape[0]
+                    vx2 = vx * src_hw[1] / plane.shape[1]
+                ds_voxel = (vz, vy2, vx2)
+                acc = IsotropicAccumulator(
+                    plane.shape, ds_voxel, target_voxel_um,
+                    alternating=alternating_downsampling)
+            reduced = acc.add(plane)
+            if reduced is not None:
+                ds_chunks.append(_emit_ds_chunk(reduced, len(ds_chunks)))
         prog.step()
     prog.close()
+    if acc is not None:
+        reduced = acc.flush()
+        if reduced is not None:
+            ds_chunks.append(_emit_ds_chunk(reduced, len(ds_chunks)))
+        if ds_chunks and not (resume and npz_path.exists()):
+            from ..stitch.merge import downsampled_npz
+
+            downsampled_npz(np.stack(ds_chunks).astype(np.float32),
+                            npz_path, ds_voxel, (nz,) + tuple(proc_hw),
+                            target_voxel_um)
+            log.info(f"downsampled npz: {npz_path}")
     if to_terafly:
         log.info("building TeraFly pyramid ...")
         tif_series_to_terafly(tif_dir, tif_dir.parent / (tif_dir.name + "_terafly"),
@@ -306,6 +391,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for reference compatibility (outputs "
                         "are always renumbered img_%%06d)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--voxel-size-target", "-dt", type=float, default=None,
+                   help="isotropic downsample target (um) -> per-chunk "
+                        "downsampled TIFFs + atlas-registration npz "
+                        "(reference convert.py -dt)")
+    p.add_argument("--downsample-path", "-dsp", type=Path, default=None)
+    p.add_argument("--downsample-dtype", "-dsdt", default="float32",
+                   choices=["float32", "uint16", "uint8"])
+    p.add_argument("--alternating-downsampling", action="store_true",
+                   help="alternating max/mean xy rungs; default all-mean "
+                        "(the reference converter's effective default, "
+                        "convert.py:129)")
     return p
 
 
@@ -328,7 +424,11 @@ def main(argv=None) -> int:
             to_bdv=args.bdv, to_precomputed=args.precomputed,
             to_fnt=args.fnt, to_movie=args.movie, fnt_cube=args.fnt_cube,
             movie_fps=args.movie_fps, halve=args.halve, resume=args.resume,
-            channel=args.channel, read_timeout=args.timeout)
+            channel=args.channel, read_timeout=args.timeout,
+            target_voxel_um=args.voxel_size_target,
+            downsample_path=args.downsample_path,
+            alternating_downsampling=args.alternating_downsampling,
+            downsample_dtype=args.downsample_dtype)
     return 0
 
 

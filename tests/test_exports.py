@@ -474,3 +474,53 @@ def test_all_export_formats_agree_at_level0(tmp_path, rng):
     series_to_precomputed(src, tmp_path / "pc",
                           voxel_nm=(2000, 1000, 1000), n_levels=1)
     np.testing.assert_array_equal(read_precomputed(tmp_path / "pc"), vol)
+
+
+def test_convert_isotropic_downsample_npz(tmp_path, rng):
+    """--voxel-size-target during conversion: per-chunk downsampled TIFFs
+    in --downsample-dtype plus the atlas-registration npz (reference
+    convert.py:122-130 -> parallel_image_processor z_stack + tail)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.pipeline.convert import main as convert_main
+
+    nz, h, w = 8, 40, 32
+    vol = (rng.random((nz, h, w)) * 60000).astype(np.uint16)
+    src = tmp_path / "series"
+    src.mkdir()
+    for z in range(nz):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+
+    out = tmp_path / "conv"
+    ds = tmp_path / "ds"
+    rc = convert_main([
+        "-i", str(src), "-o", str(out),
+        "--voxel", "2.0", "1.0", "1.0",        # z y x um
+        "--voxel-size-target", "4.0",
+        "--downsample-path", str(ds),
+        "--downsample-dtype", "uint16",
+    ])
+    assert rc == 0
+    # r_z = 2 -> chunks of 2 planes; r_xy = 4 -> target (10, 8)
+    chunk_tifs = sorted(ds.glob("img_*.tif"))
+    assert len(chunk_tifs) == nz // 2
+    first = tio.imread(chunk_tifs[0])
+    assert first.shape == (10, 8) and first.dtype == np.uint16
+
+    npz = np.load(tmp_path / "conv_zyx4.0um.npz", allow_pickle=True)
+    assert npz["I"].shape == (4, 10, 8)       # exact final z resize
+    axes = npz["xI"]
+    assert len(axes) == 3 and len(axes[0]) == 4
+
+    # all-mean default xy rungs (the reference converter's effective
+    # default), then the z ladder's first rung is MAX (:252): chunk
+    # plane 0 == z-max of the two mean-pooled planes
+    pooled = vol[:2].astype(np.float32).reshape(2, 10, 4, 8, 4).mean(
+        axis=(2, 4)).max(axis=0)
+    from ipp_tpu.ops.intensity import convert_to_16bit
+
+    import jax.numpy as jnp
+
+    expect = np.asarray(convert_to_16bit(jnp.asarray(
+        np.maximum(pooled, 0))))
+    np.testing.assert_allclose(first.astype(np.float32),
+                               expect.astype(np.float32), atol=2.0)
