@@ -182,6 +182,7 @@ def convert(
     downsample_path: Optional[Path] = None,
     alternating_downsampling: bool = False,
     downsample_dtype: str = "float32",
+    compression: Optional[str] = None,
     log: Optional[Logger] = None,
 ) -> Path:
     enable_persistent_cache()
@@ -256,7 +257,7 @@ def convert(
                 reduced = reduced.astype(np.uint8)
             else:
                 reduced = np.asarray(convert_to_8bit(jnp_asarray(reduced), 8))
-        tio.imwrite(out_p, reduced)
+        tio.imwrite(out_p, reduced, compression=compression)
         return reduced
 
     import jax.numpy as _jnp
@@ -282,7 +283,7 @@ def convert(
             plane = process_img(raw, cfg) if cfg is not None else raw
             if proc_hw is None:
                 proc_hw = plane.shape
-            tio.imwrite(out, plane)
+            tio.imwrite(out, plane, compression=compression)
         if target_voxel_um is not None:
             if acc is None:
                 plane_dtype = plane.dtype
@@ -354,11 +355,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", "-i", required=True, type=Path)
     p.add_argument("--output", "-o", required=True, type=Path)
     p.add_argument("--convert-to-8bit", action="store_true")
-    p.add_argument("--bit-shift", type=int, default=8)
-    p.add_argument("--dark", type=float, default=0.0)
+    p.add_argument("--convert-to-16bit", action="store_true")
+    p.add_argument("--bit-shift", "-b", type=int, default=8)
+    p.add_argument("--dark", "-d", type=float, default=0.0)
     p.add_argument("--sigma1", type=float, default=0.0)
     p.add_argument("--sigma2", type=float, default=0.0)
     p.add_argument("--wavelet", default="db9")
+    p.add_argument("--destripe", action="store_true",
+                   help="destripe at the reference converter's fixed "
+                        "sigma (250, 250) (convert.py:78-80)")
+    p.add_argument("--downsample-x", "-dsx", type=int, default=0,
+                   help="2D pre-downsample factor for x (reference -dsx)")
+    p.add_argument("--downsample-y", "-dsy", type=int, default=0)
+    p.add_argument("--downsample-method", "-dsm", default="mean",
+                   choices=["min", "max", "mean", "median"])
+    p.add_argument("--background-subtraction", action="store_true",
+                   help="lightsheet local-percentile cleaning per plane")
+    p.add_argument("--bleach-correction", action="store_true")
+    p.add_argument("--bleach-correction-period", type=float, default=2000,
+                   help="inverse low-pass frequency (reference default "
+                        "2000; try the camera tile size)")
+    p.add_argument("--bleach-correction-clip-min", type=float, default=20)
+    p.add_argument("--bleach-correction-clip-max", type=float, default=255)
+    p.add_argument("--compression-method", "-zm", default="ADOBE_DEFLATE")
+    p.add_argument("--compression-level", "-zl", type=int, default=1,
+                   help="0 disables compression (reference default 1)")
     p.add_argument("--new-size", type=int, nargs=2, default=None)
     p.add_argument("--voxel", type=float, nargs=3, default=(1.0, 1.0, 1.0),
                    metavar=("Z", "Y", "X"))
@@ -408,17 +429,45 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = None
-    if (args.convert_to_8bit or args.dark or args.sigma1 or args.sigma2
-            or args.new_size or args.rotation or args.flip_upside_down
-            or args.gaussian):
+    sigma = (args.sigma1, args.sigma2)
+    if args.destripe and sigma == (0.0, 0.0):
+        sigma = (250.0, 250.0)   # the reference's fixed de_striping_sigma
+    down_sample = None
+    if args.downsample_x > 0 or args.downsample_y > 0:
+        down_sample = (args.downsample_y or 1, args.downsample_x or 1)
+    if (args.convert_to_8bit or args.convert_to_16bit or args.dark
+            or any(sigma) or args.new_size or args.rotation
+            or args.flip_upside_down or args.gaussian or down_sample
+            or args.background_subtraction or args.bleach_correction):
         cfg = ProcessConfig(
-            sigma=(args.sigma1, args.sigma2), wavelet=args.wavelet,
+            sigma=sigma, wavelet=args.wavelet,
             padding_mode=args.padding_mode,
             dark=args.dark, convert_to_8bit=args.convert_to_8bit,
+            convert_to_16bit=args.convert_to_16bit,
             bit_shift_to_right=args.bit_shift,
             gaussian_filter_2d=args.gaussian,
+            down_sample=down_sample,
+            down_sample_method=args.downsample_method,
+            lightsheet=args.background_subtraction,
+            bidirectional=True,
+            bleach_correction_frequency=(
+                1.0 / args.bleach_correction_period
+                if args.bleach_correction else None),
+            bleach_correction_clip_min=(
+                args.bleach_correction_clip_min
+                if args.bleach_correction else None),
+            bleach_correction_clip_max=(
+                args.bleach_correction_clip_max
+                if args.bleach_correction else None),
             rotate=args.rotation, flip_upside_down=args.flip_upside_down,
             new_size=tuple(args.new_size) if args.new_size else None)
+    compression = None
+    if args.compression_level > 0:
+        from .pystripe_cli import _resolve_compression
+
+        compression = _resolve_compression(argparse.Namespace(
+            compression_method=args.compression_method,
+            compression_level=args.compression_level, compression=None))
     convert(args.input, args.output, cfg, voxel_um=tuple(args.voxel),
             to_terafly=args.terafly, to_imaris=args.imaris,
             to_bdv=args.bdv, to_precomputed=args.precomputed,
@@ -428,7 +477,8 @@ def main(argv=None) -> int:
             target_voxel_um=args.voxel_size_target,
             downsample_path=args.downsample_path,
             alternating_downsampling=args.alternating_downsampling,
-            downsample_dtype=args.downsample_dtype)
+            downsample_dtype=args.downsample_dtype,
+            compression=compression)
     return 0
 
 

@@ -524,3 +524,49 @@ def test_convert_isotropic_downsample_npz(tmp_path, rng):
         np.maximum(pooled, 0))))
     np.testing.assert_allclose(first.astype(np.float32),
                                expect.astype(np.float32), atol=2.0)
+
+
+def test_convert_reference_preprocess_flags(tmp_path, rng):
+    """The reference converter's preprocessing surface: -dsx/-dsy/-dsm
+    2D pre-downsample, --destripe fixed sigma gate, 16-bit conversion,
+    -zl/-zm compression (reference convert.py:40-59, 78-80, 319-371)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.ops.resample import block_reduce
+    from ipp_tpu.pipeline.convert import main as convert_main
+
+    nz, h, w = 3, 24, 20
+    vol = (rng.random((nz, h, w)) * 60000).astype(np.uint16)
+    src = tmp_path / "series"
+    src.mkdir()
+    for z in range(nz):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+
+    out = tmp_path / "conv"
+    rc = convert_main([
+        "-i", str(src), "-o", str(out),
+        "-dsy", "2", "-dsx", "2", "-dsm", "max", "-zl", "2",
+    ])
+    assert rc == 0
+    got = tio.imread(out / "img_000001.tif")
+    expect = np.asarray(block_reduce(vol[1], (2, 2), "max"))
+    np.testing.assert_array_equal(got, expect.astype(vol.dtype))
+
+    # --destripe with no sigma given takes the fixed (250, 250)
+    import ipp_tpu.pipeline.convert as conv_mod
+
+    seen = {}
+    orig = conv_mod.convert
+
+    def spy(*a, **k):
+        seen["cfg"] = a[2] if len(a) > 2 else k.get("cfg")
+        return orig(*a, **k)
+
+    conv_mod.convert = spy
+    try:
+        rc = convert_main(["-i", str(src), "-o", str(tmp_path / "c2"),
+                           "--destripe", "--convert-to-16bit"])
+    finally:
+        conv_mod.convert = orig
+    assert rc == 0
+    assert seen["cfg"].sigma == (250.0, 250.0)
+    assert seen["cfg"].convert_to_16bit
