@@ -318,14 +318,23 @@ def convert(
                             npz_path, ds_voxel, (nz,) + tuple(proc_hw),
                             target_voxel_um)
             log.info(f"downsampled npz: {npz_path}")
+    def _dest(flag, default):
+        """True -> derived default; a str/Path -> explicit target
+        (reference --teraFly/--imaris take explicit paths)."""
+        return Path(flag) if isinstance(flag, (str, Path)) else default
+
     if to_terafly:
         log.info("building TeraFly pyramid ...")
-        tif_series_to_terafly(tif_dir, tif_dir.parent / (tif_dir.name + "_terafly"),
-                              voxel_um=voxel_um, halve=halve)
+        tif_series_to_terafly(
+            tif_dir,
+            _dest(to_terafly, tif_dir.parent / (tif_dir.name + "_terafly")),
+            voxel_um=voxel_um, halve=halve)
     if to_imaris:
         log.info("writing Imaris file ...")
-        tif_series_to_imaris(tif_dir, tif_dir.parent / (tif_dir.name + ".ims"),
-                             voxel_um=voxel_um)
+        tif_series_to_imaris(
+            tif_dir,
+            _dest(to_imaris, tif_dir.parent / (tif_dir.name + ".ims")),
+            voxel_um=voxel_um)
     if to_bdv:
         from ..io.bdv import tif_series_to_bdv
 
@@ -353,7 +362,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="convert IMS/TIFF volumes "
                                             "(convert.py equivalent)")
     p.add_argument("--input", "-i", required=True, type=Path)
-    p.add_argument("--output", "-o", required=True, type=Path)
+    p.add_argument("--output", "-o", "--tif", "-t", required=True,
+                   type=Path, help="TIFF series output (reference --tif)")
+    p.add_argument("--voxel-size-x", "-dx", type=float, default=None,
+                   help="reference per-axis voxel flags; override --voxel")
+    p.add_argument("--voxel-size-y", "-dy", type=float, default=None)
+    p.add_argument("--voxel-size-z", "-dz", type=float, default=None)
+    p.add_argument("--nthreads", "-n", type=int, default=None,
+                   help="accepted for reference-CLI compatibility")
     p.add_argument("--convert-to-8bit", action="store_true")
     p.add_argument("--convert-to-16bit", action="store_true")
     p.add_argument("--bit-shift", "-b", type=int, default=8)
@@ -383,8 +399,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--new-size", type=int, nargs=2, default=None)
     p.add_argument("--voxel", type=float, nargs=3, default=(1.0, 1.0, 1.0),
                    metavar=("Z", "Y", "X"))
-    p.add_argument("--terafly", action="store_true")
-    p.add_argument("--imaris", action="store_true")
+    p.add_argument("--terafly", "-f", nargs="?", const=True, default=False,
+                   metavar="DIR",
+                   help="TeraFly pyramid; optional explicit output dir "
+                        "(reference --teraFly PATH)")
+    p.add_argument("--imaris", nargs="?", const=True, default=False,
+                   metavar="FILE",
+                   help="Imaris .ims; optional explicit output file")
     p.add_argument("--bdv", action="store_true",
                    help="also write a BigDataViewer XML+HDF5 pair")
     p.add_argument("--precomputed", action="store_true",
@@ -461,6 +482,13 @@ def main(argv=None) -> int:
                 if args.bleach_correction else None),
             rotate=args.rotation, flip_upside_down=args.flip_upside_down,
             new_size=tuple(args.new_size) if args.new_size else None)
+    voxel = tuple(args.voxel)
+    if (args.voxel_size_x is not None or args.voxel_size_y is not None
+            or args.voxel_size_z is not None):
+        voxel = (args.voxel_size_z if args.voxel_size_z is not None else voxel[0],
+                 args.voxel_size_y if args.voxel_size_y is not None else voxel[1],
+                 args.voxel_size_x if args.voxel_size_x is not None else voxel[2])
+    args.voxel = voxel
     compression = None
     if args.compression_level > 0:
         from .pystripe_cli import _resolve_compression
