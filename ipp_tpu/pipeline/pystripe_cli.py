@@ -149,7 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma2", "-s2", type=float, default=0,
                    help="background destripe sigma")
     p.add_argument("--level", "-l", type=int, default=0)
-    p.add_argument("--wavelet", "-w", type=str, default="db10")
+    p.add_argument("--wavelet", "-w", type=str, default="db3",
+                   help="mother wavelet (reference CLI default db3, "
+                        "pystripe/core.py:2075; filter_streaks' own "
+                        "default is db9)")
     p.add_argument("--crossover", "-x", type=float, default=10)
     p.add_argument("--threshold", "-t", type=float, default=None)
     p.add_argument("--padding-mode", "--padding_mode", dest="padding_mode",
@@ -185,8 +188,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="new x size (reference spelling; pairs with "
                         "--size_y)")
     p.add_argument("--size_y", "-sy", type=int, default=None)
-    p.add_argument("--rotate", type=int, default=0, choices=[0, 90, 180, 270])
-    p.add_argument("--flip-upside-down", "--flip_upside_down",
+    p.add_argument("--rotate", "-r", type=int, default=0,
+                   choices=[0, 90, 180, 270])
+    p.add_argument("--flip-upside-down", "--flip_upside_down", "-flup",
                    dest="flip_upside_down", action="store_true")
     p.add_argument("--zstep", "-z", type=float, default=None,
                    help="z-step in micron; switches the scan to DCIMG "
