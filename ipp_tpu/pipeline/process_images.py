@@ -507,15 +507,32 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference --lightsheet)")
     p.add_argument("--lightsheet-vs-background", type=float, default=2.0)
     p.add_argument("--artifact-length", type=int, default=150)
-    p.add_argument("--gaussian", action="store_true",
-                   help="2D gaussian denoise before destriping")
+    p.add_argument("--gaussian", "-g",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="2D gaussian denoise before destriping "
+                        "(reference default ON, process_images.py:1667)")
+    p.add_argument("--de-stripe", "--de_stripe", dest="de_stripe",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="--no-de-stripe zeroes the destripe sigmas "
+                        "(reference --no-de_stripe)")
+    p.add_argument("--skipconf", action="store_true",
+                   help="accepted for reference-CLI compatibility "
+                        "(this CLI never prompts)")
+    p.add_argument("--enable-axis-correction", "--enable_axis_correction",
+                   action="store_true",
+                   help="accepted for reference-CLI compatibility (.ims "
+                        "sources are read axis-correct natively)")
     p.add_argument("--no-preprocess", action="store_true")
     p.add_argument("--mip-calibrate", type=Path, default=None, metavar="DIR",
                    help="build a MIP dataset (1 max-projected plane per "
                         "stack) into DIR and print estimated parameters, "
                         "then exit — the reference's MIP-first calibration "
                         "workflow (README.md:146-160)")
-    p.add_argument("--no-cosine-blending", action="store_true")
+    p.add_argument("--cosine-blending", "--cosine_blending",
+                   dest="cosine_blending",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="sin^2 distance blending; the reference default "
+                        "is max blending (process_images.py:374,1346)")
     p.add_argument("--search-radius", type=int, default=25)
     p.add_argument("--subvol-dim", type=int, default=100)
     p.add_argument("--threshold", type=float, default=0.65,
@@ -585,6 +602,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dual-band destripe the merged planes at "
                         "sigma=2*tile with auto-estimated clips (the "
                         "reference's merge-stage bleach correction)")
+    p.add_argument("--bleach-correction-channels",
+                   "--bleach_correction_channels", nargs="+", default=[],
+                   help="restrict bleach correction to these channels "
+                        "(default: all when enabled; reference "
+                        "select_channels semantics)")
     p.add_argument("--auto-params", action="store_true",
                    help="estimate dark level and bit shift from sample "
                         "planes (multi-Otsu)")
@@ -652,6 +674,17 @@ def main(argv=None) -> int:
                 bg_channels.append(c)
         else:
             bg_channels = list(channels)
+    bleach_channels: List[str] = []
+    if args.bleach_correction:
+        if args.bleach_correction_channels:
+            for c in args.bleach_correction_channels:
+                if c not in channels:
+                    log.error(f"bleach correction channel {c} not "
+                              f"among {channels}")
+                    return 2
+                bleach_channels.append(c)
+        else:
+            bleach_channels = list(channels)
     for c in args.terafly_channels:
         if c not in channels:
             log.error(f"--terafly-channels entry {c} not among {channels}")
@@ -692,8 +725,10 @@ def main(argv=None) -> int:
             vx = vy = vz
         cfg = None
         if not args.no_preprocess:
+            sig = ((args.sigma1, args.sigma2) if args.de_stripe
+                   else (0.0, 0.0))
             cfg = ProcessConfig(
-                sigma=(args.sigma1, args.sigma2), wavelet=args.wavelet,
+                sigma=sig, wavelet=args.wavelet,
                 padding_mode=args.padding_mode,
                 bidirectional=args.bidirectional,
                 dark=args.dark, flat=flat,
@@ -707,12 +742,12 @@ def main(argv=None) -> int:
             (vx, vy, vz), tile_size, cfg,
             search_radius=args.search_radius, subvol_dim=args.subvol_dim,
             reliability_threshold=args.threshold,
-            cosine_blending=not args.no_cosine_blending,
+            cosine_blending=args.cosine_blending,
             target_voxel_um=args.downsampled_voxel,
             convert_to_8bit=args.convert_to_8bit, bit_shift=args.bit_shift,
             dark=args.dark if args.no_preprocess else 0.0,
             auto_params=args.auto_params,
-            bleach_correction=args.bleach_correction,
+            bleach_correction=ch in bleach_channels,
             background_subtraction=ch in bg_channels,
             rotation=90 if args.rot90 else 0,
             compression=_resolve_compression(args),
