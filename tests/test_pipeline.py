@@ -709,3 +709,35 @@ def test_process_images_sparse_grid(tmp_path, rng):
     g2 = TileGrid.from_xml(tmp_path / "stitched" /
                            "Ex_488_Em_525_placement.xml")
     assert len(g2.flattened()) == 8
+
+
+def test_process_images_reference_default_flags():
+    """The CLI surface mirrors the reference's defaults: gaussian denoise
+    and destriping ON (reference process_images.py:1667 --no_gaussian /
+    --no-de_stripe), MAX tile blending unless --cosine-blending
+    (reference :374,1346), and the compat no-ops --skipconf /
+    --enable-axis-correction parse cleanly."""
+    from ipp_tpu.pipeline.process_images import build_parser
+
+    p = build_parser()
+    base = ["--input", "/x", "--stitched", "/y"]
+    a = p.parse_args(base)
+    assert a.gaussian is True
+    assert a.de_stripe is True
+    assert a.cosine_blending is False
+    assert a.bleach_correction_channels == []
+
+    a = p.parse_args(base + ["--no-gaussian", "--no-de-stripe",
+                             "--cosine-blending", "--skipconf",
+                             "--enable-axis-correction",
+                             "--bleach-correction",
+                             "--bleach-correction-channels",
+                             "Ex_488_Em_525"])
+    assert a.gaussian is False
+    assert a.de_stripe is False
+    assert a.cosine_blending is True
+    assert a.skipconf and a.enable_axis_correction
+    assert a.bleach_correction_channels == ["Ex_488_Em_525"]
+    # reference-style underscore aliases
+    a = p.parse_args(base + ["--no-de_stripe", "--cosine_blending"])
+    assert a.de_stripe is False and a.cosine_blending is True
