@@ -202,9 +202,13 @@ def main() -> None:
         return float(acc)
 
     run_ncc()
-    t0 = time.time()
-    run_ncc()
-    ncc_s = (time.time() - t0) / 20
+    # best-of-3 timed windows: a single tunnel-RTT hiccup inside one
+    # 20-rep window measured a 2x pair-rate swing session-to-session
+    ncc_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_ncc()
+        ncc_s = min(ncc_s, (time.time() - t0) / 20)
     _note("ncc_pairs_s", B / ncc_s,
           f"ncc: {B} MIP pairs in {ncc_s:.3f}s ({B / ncc_s:.0f} pairs/s)")
 
