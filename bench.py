@@ -35,10 +35,95 @@ def _note(key, value, text):
     print(text, file=sys.stderr)
 
 
+def bench_host_io() -> None:
+    """Host-only TIFF codec throughput — NO device in the loop.
+
+    Mirrors the reference's native-I/O benchmarks (LsDeconvolveMultiGPU/
+    README.md:31-43: load_bl_tif 2.5-5x vs imread, save_bl_tif 2-3x):
+    native C++ encoder/decoder vs the pure-Python codec, 8 writer/reader
+    threads (the pipeline writer-pool shape), 2048^2 u16 planes.
+    """
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    from ipp_tpu import native
+    from ipp_tpu.io import tiff as tio
+
+    rng = np.random.default_rng(7)
+    n_planes, hw = 32, 2048
+    planes = [rng.integers(0, 40000, (hw, hw)).astype(np.uint16)
+              for _ in range(n_planes)]
+    mpix = n_planes * hw * hw / 1e6
+    have_native = native.available()
+
+    with tempfile.TemporaryDirectory() as td:
+        d = Path(td)
+
+        def timed(fn, args_list, warm=4):
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(lambda a: fn(*a), args_list[:warm]))
+                t0 = time.time()
+                list(pool.map(lambda a: fn(*a), args_list))
+                return time.time() - t0
+
+        # --- encode ---
+        py_args = [(d / f"py{i}.tif", planes[i]) for i in range(n_planes)]
+        enc_py = timed(tio.write_tiff, py_args)
+        metrics["host_encode_python_mpix_s"] = round(mpix / enc_py, 1)
+        if have_native:
+            nat_args = [(d / f"nat{i}.tif", planes[i])
+                        for i in range(n_planes)]
+            enc_nat = timed(native.tiff_write, nat_args)
+            metrics["host_encode_native_mpix_s"] = round(mpix / enc_nat, 1)
+            metrics["host_encode_native_vs_python"] = round(enc_py / enc_nat,
+                                                            2)
+        # --- decode (single-plane path) ---
+        dec_py = timed(tio.read_tiff, [(a[0],) for a in py_args])
+        metrics["host_decode_python_mpix_s"] = round(mpix / dec_py, 1)
+        if have_native:
+            dec_nat = timed(native.tiff_read, [(a[0],) for a in py_args])
+            metrics["host_decode_native_mpix_s"] = round(mpix / dec_nat, 1)
+            metrics["host_decode_native_vs_python"] = round(dec_py / dec_nat,
+                                                            2)
+        try:
+            from PIL import Image
+
+            def pil_read(p):
+                with Image.open(p) as im:
+                    return np.asarray(im)
+
+            dec_pil = timed(pil_read, [(a[0],) for a in py_args])
+            metrics["host_decode_pil_mpix_s"] = round(mpix / dec_pil, 1)
+        except Exception:  # noqa: BLE001
+            pass
+        # --- threaded ROI block read (the load_bl_tif role) ---
+        if have_native:
+            paths = [a[0] for a in py_args]
+            native.read_block(paths, 0, hw, 0, hw)  # warm (page cache)
+            t0 = time.time()
+            blk = native.read_block(paths, 0, hw, 0, hw, nthreads=8)
+            blk_s = time.time() - t0
+            assert blk is not None and blk.shape == (n_planes, hw, hw)
+            metrics["host_block_read_mpix_s"] = round(mpix / blk_s, 1)
+        print(
+            "host IO (no device, 8 threads, 32x2048^2 u16): "
+            f"encode native {metrics.get('host_encode_native_mpix_s', 0):.0f}"
+            f" vs python {metrics['host_encode_python_mpix_s']:.0f} Mpix/s "
+            f"({metrics.get('host_encode_native_vs_python', 0):.1f}x); "
+            f"decode native {metrics.get('host_decode_native_mpix_s', 0):.0f}"
+            f" vs python {metrics['host_decode_python_mpix_s']:.0f}"
+            f" vs PIL {metrics.get('host_decode_pil_mpix_s', 0):.0f} Mpix/s "
+            f"({metrics.get('host_decode_native_vs_python', 0):.1f}x); "
+            f"block read {metrics.get('host_block_read_mpix_s', 0):.0f} "
+            "Mpix/s", file=sys.stderr)
+
+
 def main() -> None:
     from ipp_tpu.utils.jaxconfig import enable_persistent_cache
 
     enable_persistent_cache()
+    bench_host_io()
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +157,37 @@ def main() -> None:
     float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
     _ready.set()
     print(f"device: {dev}", file=sys.stderr)
+
+    # --- tunnel/link bandwidth probe (host<->device transfer) -------------
+    # Lets the e2e per-stage split below be sanity-checked against raw link
+    # capability: bytes_moved / bandwidth should approximate the measured
+    # upload/fetch spans.
+    probe = np.empty((32, 1024, 1024), np.uint16)  # 64 MB
+    probe[:] = 1
+    # scalar round-trip time (dispatch+fetch of 4 bytes)
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        float(jnp.sum(jnp.ones((1,), jnp.float32)))
+        ts.append(time.time() - t0)
+    rtt = min(ts)
+    up, down = [], []
+    for _ in range(3):
+        t0 = time.time()
+        dev_arr = jax.device_put(probe)
+        float(jnp.sum(dev_arr[:1, :1, :1]))  # force the upload to complete
+        up.append(time.time() - t0)
+        t0 = time.time()
+        _ = np.asarray(dev_arr)
+        down.append(time.time() - t0)
+    up_mb = probe.nbytes / 1e6 / max(1e-9, min(up) - rtt)
+    down_mb = probe.nbytes / 1e6 / max(1e-9, min(down))
+    metrics["link_rtt_ms"] = round(rtt * 1e3, 1)
+    metrics["link_up_mb_s"] = round(up_mb, 1)
+    metrics["link_down_mb_s"] = round(down_mb, 1)
+    print(f"link: scalar RTT {rtt * 1e3:.0f} ms, upload {up_mb:.0f} MB/s, "
+          f"fetch {down_mb:.0f} MB/s (64 MB probe)", file=sys.stderr)
+    del dev_arr, probe
 
     # --- headline: RL decon, production block config -----------------------
     # The pipeline deconvolves lane-aligned 256^3 overlap-save blocks (FFT
@@ -312,21 +428,27 @@ def main() -> None:
                     tio.imwrite(d / f"{z:06d}.tif",
                                 vol[z, y0:y0 + tile_hw, x0:x0 + tile_hw]
                                 .astype(np.uint16))
+        from ipp_tpu.utils import iostat
+
+        iostat.enable()
         t0 = time.time()
         grid = TileGrid.from_directory(root)
         cands = compute_displacements(
             grid, overlap_v=overlap, overlap_h=overlap,
             displ_max_v=12, displ_max_h=12, displ_max_d=3, subvol_dim=24)
         align_s = time.time() - t0
+        align_st = iostat.disable()
         t0 = time.time()
         project_displacements(grid, cands, overlap, overlap)
         threshold_displacements(grid, reliability_threshold=0.6)
         place_tiles_mst(grid)
         place_s = time.time() - t0
+        iostat.enable()
         t0 = time.time()
         out_dir, _ = merge_to_tif_series(grid, Path(td) / "stitched",
                                          plane_batch=4)
         merge_s = time.time() - t0
+        merge_st = iostat.disable()
         e2e_s = align_s + place_s + merge_s
         n_vox = nz * full * full
         n_pairs = 2 * n_rc * (n_rc - 1) * 2  # pairs x z-chunks
@@ -341,6 +463,42 @@ def main() -> None:
               f"align+place+merge): {e2e_s:.1f}s "
               f"({n_vox / e2e_s / 1e6:.1f} Mvox/s incl. IO; persistent "
               f"compile cache keeps repeat runs steady-state)")
+
+        # per-stage decomposition measured INSIDE the production code paths
+        # (ipp_tpu.utils.iostat spans; host decode/encode are THREAD-seconds
+        # summed across the reader/writer pools, device spans are wall)
+        def split(tag, wall, st, extra_keys=()):
+            parts = {
+                "wall_s": round(wall, 2),
+                "host_decode_s": round(st.get("host_decode_s", 0.0), 2),
+                "host_encode_s": round(st.get("host_encode_s", 0.0), 2),
+                "device_upload_s": round(st.get("device_upload_s", 0.0), 2),
+                "device_dispatch_s": round(st.get("device_dispatch_s", 0.0),
+                                           2),
+                "device_fetch_s": round(st.get("device_fetch_s", 0.0), 2),
+            }
+            for k in extra_keys:
+                parts[k] = round(st.get(k, 0.0), 2)
+            for k, v in parts.items():
+                metrics[f"{tag}_{k}"] = v
+            device_s = (parts["device_upload_s"] + parts["device_dispatch_s"]
+                        + parts["device_fetch_s"]
+                        + parts.get("device_ncc_s", 0.0))
+            other = wall - device_s - max(parts["host_decode_s"],
+                                          parts["host_encode_s"])
+            print(f"  {tag} split: wall {wall:.1f}s = host-decode "
+                  f"{parts['host_decode_s']:.1f}s(thr) + host-encode "
+                  f"{parts['host_encode_s']:.1f}s(thr) + device "
+                  f"{device_s:.1f}s (up {parts['device_upload_s']:.1f} / "
+                  f"dispatch {parts['device_dispatch_s']:.1f} / fetch "
+                  f"{parts['device_fetch_s']:.1f}"
+                  + (f" / ncc {parts['device_ncc_s']:.1f}"
+                     if "device_ncc_s" in parts else "")
+                  + f") + host-other ~{max(0.0, other):.1f}s",
+                  file=sys.stderr)
+
+        split("e2e_align", align_s, align_st, extra_keys=("device_ncc_s",))
+        split("e2e_merge", merge_s, merge_st)
 
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({

@@ -160,6 +160,8 @@ class TileStack:
         the requested window from every plane instead of a full-plane
         Python decode per z — the dominant IO of the align substack and
         merge crop reads."""
+        from ..utils import iostat
+
         mine = self.extent
         assert mine.contains(ext), f"{ext} not inside {mine}"
         z0, z1 = ext.z0 - self.abs_d, ext.z1 - self.abs_d
@@ -169,9 +171,12 @@ class TileStack:
         if paths and paths[0].suffix.lower() in (".tif", ".tiff"):
             from .. import native
 
-            blk = native.read_block(paths, y0, y1, x0, x1,
-                                    dtype=self.dtype,
-                                    nthreads=min(8, len(paths)))
+            with iostat.span("host_decode",
+                             int(np.prod(ext.shape))
+                             * np.dtype(self.dtype).itemsize):
+                blk = native.read_block(paths, y0, y1, x0, x1,
+                                        dtype=self.dtype,
+                                        nthreads=min(8, len(paths)))
             if blk is not None:
                 return blk
         out = np.empty(ext.shape, self.dtype)

@@ -659,6 +659,17 @@ def write_tiff(path: Union[str, Path], img: np.ndarray,
 def imread(path: Union[str, Path], retries: int = NUM_RETRIES) -> np.ndarray:
     """Robust image read: native C++ codec, numpy codec, then PIL fallback,
     with retries (reference imread_tif_raw_png, pystripe/core.py:200-264)."""
+    from ..utils import iostat
+
+    if iostat.ACTIVE:
+        t0 = time.perf_counter()
+        out = _imread_impl(path, retries)
+        iostat.add("host_decode", time.perf_counter() - t0, out.nbytes)
+        return out
+    return _imread_impl(path, retries)
+
+
+def _imread_impl(path: Union[str, Path], retries: int) -> np.ndarray:
     path = Path(path)
     last_exc: Optional[Exception] = None
     for attempt in range(max(1, retries)):
@@ -698,11 +709,61 @@ def imread(path: Union[str, Path], retries: int = NUM_RETRIES) -> np.ndarray:
     raise TiffError(f"failed to read {path}: {last_exc}")
 
 
+def _native_compress_level(compression: Optional[str]) -> Optional[int]:
+    """Map the 'zlib[:N]' compression spec onto the native writer's zlib
+    level (0 = store).  None means the spec is not representable natively
+    and the caller must use the Python codec."""
+    if compression in (None, "none", "raw"):
+        return 0
+    if isinstance(compression, str) and compression.startswith("zlib"):
+        if ":" in compression:
+            try:
+                return max(1, min(9, int(compression.split(":", 1)[1])))
+            except ValueError:
+                return None
+        return 6
+    return None
+
+
 def imwrite(path: Union[str, Path], img: np.ndarray,
             compression: Optional[str] = None,
             retries: int = NUM_RETRIES) -> None:
     """Robust atomic image write with retries
-    (reference imsave_tif, pystripe/core.py:276-334)."""
+    (reference imsave_tif, pystripe/core.py:276-334).
+
+    Fast path: the native C++ encoder (fastio_tiff_write — the reference's
+    save_bl_tif.cpp role) handles 2D planes of standard dtypes; it writes
+    tmp->rename atomically and releases the GIL, so the pipeline writer
+    thread pools (stitch/merge.py, pipeline/deconvolve.py reassembly,
+    parallel/executor.py) encode in parallel C++.  Anything the native
+    layer cannot represent (RGB, float64, >3.5 GB classic-TIFF overflow)
+    falls back to the pure-Python codec below.
+    """
+    from ..utils import iostat
+
+    if iostat.ACTIVE:
+        nbytes = img.nbytes if isinstance(img, np.ndarray) else 0
+        t0 = time.perf_counter()
+        _imwrite_impl(path, img, compression, retries)
+        iostat.add("host_encode", time.perf_counter() - t0, nbytes)
+        return
+    _imwrite_impl(path, img, compression, retries)
+
+
+def _imwrite_impl(path: Union[str, Path], img: np.ndarray,
+                  compression: Optional[str], retries: int) -> None:
+    level = _native_compress_level(compression)
+    if (level is not None and isinstance(img, np.ndarray) and img.ndim == 2
+            and not (img.dtype.kind == "f" and img.dtype.itemsize == 8)
+            and img.dtype.kind != "b"
+            and img.nbytes < int(3.5 * 2 ** 30)):
+        try:
+            from .. import native
+
+            if native.tiff_write(path, img, compress_level=level):
+                return
+        except Exception:  # noqa: BLE001 — any native hiccup: Python path
+            pass
     last_exc: Optional[Exception] = None
     for attempt in range(max(1, retries)):
         try:

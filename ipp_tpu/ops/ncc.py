@@ -324,10 +324,13 @@ def _ncc_maps_sharded(ma: np.ndarray, mb: np.ndarray, du: int, dv: int,
     batch pads to a 'data' multiple, inputs are device_put with a
     NamedSharding, and GSPMD partitions the (embarrassingly batch-
     parallel) map computation across devices."""
+    from ..utils import iostat
+
     n_data = int(mesh.shape["data"]) if mesh is not None else 1
     if n_data <= 1:
-        return np.asarray(ncc_maps_batched(jnp.asarray(ma), jnp.asarray(mb),
-                                           du, dv), np.float64)
+        with iostat.span("device_ncc", ma.nbytes + mb.nbytes):
+            return np.asarray(ncc_maps_batched(
+                jnp.asarray(ma), jnp.asarray(mb), du, dv), np.float64)
     B = ma.shape[0]
     pad = (-B) % n_data
     if pad:
@@ -353,9 +356,10 @@ def _ncc_maps_sharded(ma: np.ndarray, mb: np.ndarray, du: int, dv: int,
             multihost_utils.process_allgather(out_dev, tiled=True),
             np.float64)
     else:
-        ma_d = jax.device_put(jnp.asarray(ma), sh)
-        mb_d = jax.device_put(jnp.asarray(mb), sh)
-        out = np.asarray(ncc_maps_batched(ma_d, mb_d, du, dv), np.float64)
+        with iostat.span("device_ncc", ma.nbytes + mb.nbytes):
+            ma_d = jax.device_put(jnp.asarray(ma), sh)
+            mb_d = jax.device_put(jnp.asarray(mb), sh)
+            out = np.asarray(ncc_maps_batched(ma_d, mb_d, du, dv), np.float64)
     return out[:B]
 
 

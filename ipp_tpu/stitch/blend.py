@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.extent import VExtent
+from ..utils import iostat
 
 __all__ = ["distance_from_edge", "cosine_blend_weight", "PlaneBlender"]
 
@@ -266,18 +267,22 @@ class PlaneBlender:
             # device_put the HOST array straight onto the sharding: going
             # through jnp.asarray first would commit the whole stack to
             # device 0 and pay a second device-to-device relayout
-            part = (jax.device_put(img, sharding) if sharding is not None
-                    else jnp.asarray(img))
+            with iostat.span("device_upload", img.nbytes):
+                part = (jax.device_put(img, sharding) if sharding is not None
+                        else jnp.asarray(img))
             parts.append(part)
             weights.append(w if self.cosine
                            else jnp.ones(img.shape[1:], jnp.float32))
             offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
-        out = _blend_accumulate_planes(
-            tuple(parts), tuple(weights), tuple(offsets), canvas_shape,
-            self.cosine)
-        if device_post is not None:
-            out = device_post(out)
-        return _to_output_dtype(out, dtype)[:B]
+        with iostat.span("device_dispatch"):
+            out = _blend_accumulate_planes(
+                tuple(parts), tuple(weights), tuple(offsets), canvas_shape,
+                self.cosine)
+            if device_post is not None:
+                out = device_post(out)
+        with iostat.span("device_fetch",
+                         int(np.prod(out.shape)) * np.dtype(dtype).itemsize):
+            return _to_output_dtype(out, dtype)[:B]
 
     def blend_plane(self, volume: VExtent,
                     reader, dtype=np.uint16) -> np.ndarray:
@@ -296,11 +301,15 @@ class PlaneBlender:
         for i, inter, w in hits:
             img = reader(i, inter)
             img2 = img[0] if img.ndim == 3 else img
-            parts.append(jnp.asarray(img2))
+            with iostat.span("device_upload", img2.nbytes):
+                parts.append(jnp.asarray(img2))
             ww = (w if self.cosine
                   else jnp.ones(img2.shape, jnp.float32))
             weights.append(ww)
             offsets.append((inter.y0 - volume.y0, inter.x0 - volume.x0))
-        out = _blend_accumulate(tuple(parts), tuple(weights), tuple(offsets),
-                                canvas_shape, self.cosine)
-        return _to_output_dtype(out, dtype)
+        with iostat.span("device_dispatch"):
+            out = _blend_accumulate(tuple(parts), tuple(weights),
+                                    tuple(offsets), canvas_shape, self.cosine)
+        with iostat.span("device_fetch",
+                         int(np.prod(out.shape)) * np.dtype(dtype).itemsize):
+            return _to_output_dtype(out, dtype)

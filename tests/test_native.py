@@ -2,6 +2,8 @@
 and the fuzz/golden pattern of the reference's MEX tests
 (load_bl_tif_test.m, lz4_save_load_test.m)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -224,3 +226,57 @@ def test_native_parser_fuzz_never_crashes(tmp_path, rng):
     # the threaded block loader over the whole corpus (+ robust re-read)
     block = native.read_block(paths, 0, 24, 0, 28, dtype=np.uint16)
     assert block.shape == (40, 24, 28)
+
+
+def test_imwrite_native_fast_path(tmp_path, rng, monkeypatch):
+    """imwrite routes eligible planes through the native encoder (the
+    save_bl_tif.cpp wiring, reference LsDeconvolveMultiGPU/save_bl_tif.cpp)
+    and the output is identical for every reader; ineligible planes
+    (RGB, float64, bool) silently fall back to the Python codec."""
+    calls = []
+    orig = native.tiff_write
+
+    def spy(path, img, compress_level=0):
+        calls.append(Path(path).name)
+        return orig(path, img, compress_level=compress_level)
+
+    monkeypatch.setattr(native, "tiff_write", spy)
+    img = rng.integers(0, 65535, (64, 80)).astype(np.uint16)
+    tio.imwrite(tmp_path / "a.tif", img)
+    tio.imwrite(tmp_path / "b.tif", img, compression="zlib:3")
+    assert calls == ["a.tif", "b.tif"]
+    np.testing.assert_array_equal(tio.imread(tmp_path / "a.tif"), img)
+    np.testing.assert_array_equal(tio.imread(tmp_path / "b.tif"), img)
+    from PIL import Image
+
+    with Image.open(tmp_path / "a.tif") as im:  # external-reader interop
+        np.testing.assert_array_equal(np.asarray(im), img)
+
+    # fallback cases never touch the native encoder
+    calls.clear()
+    rgb = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    tio.imwrite(tmp_path / "rgb.tif", rgb)
+    f64 = rng.standard_normal((8, 8))
+    tio.imwrite(tmp_path / "f64.tif", f64)
+    assert calls == []
+    assert tio.imread(tmp_path / "rgb.tif").shape == (16, 16, 3)
+    # float64 downcasts to f32 on BOTH paths (parity with write_tiff)
+    assert tio.imread(tmp_path / "f64.tif").dtype == np.float32
+
+
+def test_iostat_accounting(tmp_path, rng):
+    """iostat spans record host decode/encode seconds and exact bytes
+    around the production imread/imwrite paths."""
+    from ipp_tpu.utils import iostat
+
+    img = rng.integers(0, 65535, (32, 48)).astype(np.uint16)
+    iostat.enable()
+    tio.imwrite(tmp_path / "x.tif", img)
+    out = tio.imread(tmp_path / "x.tif")
+    stats = iostat.disable()
+    assert stats["host_encode_bytes"] == img.nbytes
+    assert stats["host_decode_bytes"] == out.nbytes
+    assert stats["host_encode_s"] > 0 and stats["host_decode_s"] > 0
+    # disabled: no accumulation
+    tio.imwrite(tmp_path / "y.tif", img)
+    assert iostat.snapshot() == {}
