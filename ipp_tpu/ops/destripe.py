@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 import os
-from functools import lru_cache, partial
+from functools import partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -86,13 +86,37 @@ _NOTCH_MM_MAX_N = 4096
 _NOTCH_PREC = jax.lax.Precision.HIGH
 
 
-@lru_cache(maxsize=64)
+# byte-bounded LRU (ADVICE r3): an lru_cache(64) of n x n f32 matrices can
+# hold ~4.3 GB at n=4096; production shape variety is tiny (bucketed tile
+# shapes), so 512 MB keeps every hot entry while bounding pathology
+import threading as _threading
+from collections import OrderedDict as _OrderedDict
+
+_NOTCH_CACHE: "_OrderedDict[Tuple[int, float], np.ndarray]" = _OrderedDict()
+_NOTCH_CACHE_MAX_BYTES = int(os.environ.get("IPP_TPU_NOTCH_CACHE_MB",
+                                            "512")) << 20
+_NOTCH_CACHE_LOCK = _threading.Lock()
+
+
 def _notch_circulant(n: int, sigma: float) -> np.ndarray:
     """(n, n) circulant K with x @ K == irfft(rfft(x) * notch(sigma/2))."""
+    key = (n, sigma)
+    with _NOTCH_CACHE_LOCK:
+        m = _NOTCH_CACHE.get(key)
+        if m is not None:
+            _NOTCH_CACHE.move_to_end(key)
+            return m
     g = notch(n // 2 + 1, 0.5 * sigma).astype(np.float64)
     col = np.fft.irfft(g, n=n)
     idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) % n
-    return col[idx].astype(np.float32).T
+    m = col[idx].astype(np.float32).T
+    with _NOTCH_CACHE_LOCK:
+        _NOTCH_CACHE[key] = m
+        total = sum(v.nbytes for v in _NOTCH_CACHE.values())
+        while total > _NOTCH_CACHE_MAX_BYTES and len(_NOTCH_CACHE) > 1:
+            _, old = _NOTCH_CACHE.popitem(last=False)
+            total -= old.nbytes
+    return m
 
 
 def _notch_use_matmul(n: int) -> bool:

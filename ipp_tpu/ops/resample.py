@@ -161,10 +161,12 @@ class IsotropicAccumulator:
             plane_shape, (voxel_zyx[1], voxel_zyx[2]), target_voxel)
         if not alternating:
             # the reference converter passes a non-empty --downsample-method
-            # by default -> every rung (mean, mean)
-            # (parallel_image_processor.py:185-187, convert.py:129)
-            self.methods = [tuple("mean" if m is not None else None
-                                  for m in pair) for pair in self.methods]
+            # by default -> EVERY rung becomes (mean, mean), including the
+            # None-padded slots of the shorter axis — the per-axis
+            # ceil(dim/2) >= target guard in isotropic_downsample_plane is
+            # what stops over-reduction, exactly as in the reference
+            # (parallel_image_processor.py:184-187, convert.py:129)
+            self.methods = [("mean", "mean") for _ in self.methods]
         self.chunk_len = max(1, int(target_voxel // voxel_zyx[0]))
         self.n_z = int(np.ceil(np.sqrt(target_voxel / voxel_zyx[0])))
         self._chunk: List[np.ndarray] = []

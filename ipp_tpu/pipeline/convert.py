@@ -265,43 +265,81 @@ def convert(
     jnp_asarray = _jnp.asarray
     plane_dtype = None
     ds_chunks = []
+    ds_voxel = None
+    chunk_len = 1
+    plane0 = None
+    if target_voxel_um is not None:
+        # downsample geometry derived UP FRONT from the TRUE source shape
+        # (the reference computes the target before processing,
+        # parallel_image_processor.py:158-168; probing the already-written
+        # plane on resume would feed source==processed into the
+        # fun-induced voxel correction — ADVICE r3)
+        raw0 = np.asarray(reader(0))
+        src_hw = raw0.shape
+        out0 = tif_dir / "img_000000.tif"
+        if resume and out0.exists():
+            plane0 = tio.imread(out0)
+        else:
+            plane0 = process_img(raw0, cfg) if cfg is not None else raw0
+        proc_hw = plane0.shape
+        plane_dtype = plane0.dtype
+        vz, vy, vx = voxel_um
+        rotated = cfg is not None and cfg.rotate in (90, 270)
+        # fun-induced voxel change, rotation-aware (reference
+        # calculate_down_sampling_target, :158-168)
+        if rotated:
+            vy2 = vy * src_hw[0] / proc_hw[1]
+            vx2 = vx * src_hw[1] / proc_hw[0]
+            vy2, vx2 = vx2, vy2
+        else:
+            vy2 = vy * src_hw[0] / proc_hw[0]
+            vx2 = vx * src_hw[1] / proc_hw[1]
+        ds_voxel = (vz, vy2, vx2)
+        acc = IsotropicAccumulator(
+            proc_hw, ds_voxel, target_voxel_um,
+            alternating=alternating_downsampling)
+        chunk_len = acc.chunk_len
+
+    def _chunk_done(ci: int) -> bool:
+        """Resume: a downsample chunk can be skipped when its reduced TIFF
+        and ALL member planes already exist (reference skips such chunks,
+        parallel_image_processor.py:281-290)."""
+        if not (ds_dir / f"img_{ci:06d}.tif").exists():
+            return False
+        return all((tif_dir / f"img_{zz:06d}.tif").exists()
+                   for zz in range(ci * chunk_len,
+                                   min(nz, (ci + 1) * chunk_len)))
+
     prog = ProgressReporter(nz, desc="convert")
     for z in range(nz):
         out = tif_dir / f"img_{z:06d}.tif"
+        if resume and target_voxel_um is not None:
+            ci = z // chunk_len
+            if _chunk_done(ci):
+                if ci >= len(ds_chunks):
+                    # read the existing reduced chunk back for the npz
+                    ds_chunks.append(tio.imread(ds_dir / f"img_{ci:06d}.tif"))
+                prog.step()
+                continue
         if resume and out.exists():
             if target_voxel_um is None:
                 prog.step()
                 continue
             # downsampling still needs the written plane's content
-            plane = tio.imread(out)
-            if src_hw is None:
-                src_hw = proc_hw = plane.shape
+            plane = plane0 if (z == 0 and plane0 is not None) \
+                else tio.imread(out)
         else:
-            raw = np.asarray(reader(z))
-            if src_hw is None:
-                src_hw = raw.shape
-            plane = process_img(raw, cfg) if cfg is not None else raw
+            if z == 0 and plane0 is not None:
+                plane = plane0
+            else:
+                raw = np.asarray(reader(z))
+                if src_hw is None:
+                    src_hw = raw.shape
+                plane = process_img(raw, cfg) if cfg is not None else raw
             if proc_hw is None:
                 proc_hw = plane.shape
             tio.imwrite(out, plane, compression=compression)
         if target_voxel_um is not None:
-            if acc is None:
-                plane_dtype = plane.dtype
-                vz, vy, vx = voxel_um
-                rotated = cfg is not None and cfg.rotate in (90, 270)
-                # fun-induced voxel change, rotation-aware (reference
-                # calculate_down_sampling_target, :158-168)
-                if rotated:
-                    vy2 = vy * src_hw[0] / plane.shape[1]
-                    vx2 = vx * src_hw[1] / plane.shape[0]
-                    vy2, vx2 = vx2, vy2
-                else:
-                    vy2 = vy * src_hw[0] / plane.shape[0]
-                    vx2 = vx * src_hw[1] / plane.shape[1]
-                ds_voxel = (vz, vy2, vx2)
-                acc = IsotropicAccumulator(
-                    plane.shape, ds_voxel, target_voxel_um,
-                    alternating=alternating_downsampling)
             reduced = acc.add(plane)
             if reduced is not None:
                 ds_chunks.append(_emit_ds_chunk(reduced, len(ds_chunks)))

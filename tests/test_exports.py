@@ -570,3 +570,54 @@ def test_convert_reference_preprocess_flags(tmp_path, rng):
     assert rc == 0
     assert seen["cfg"].sigma == (250.0, 250.0)
     assert seen["cfg"].convert_to_16bit
+
+
+def test_convert_downsample_resume_parity(tmp_path, rng):
+    """ADVICE r3: a resumed conversion with a shape-changing cfg (rotate 90
+    on non-square planes) must derive the fun-induced voxel correction from
+    the TRUE source shape, so its downsample output matches a fresh run;
+    and chunks whose reduced TIFF + member planes already exist are skipped,
+    not recomputed (reference parallel_image_processor.py:281-290)."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.ops.process import ProcessConfig
+    from ipp_tpu.pipeline.convert import convert
+
+    nz, h, w = 6, 40, 24  # non-square: rotate swaps the axes
+    vol = (rng.random((nz, h, w)) * 60000).astype(np.uint16)
+    src = tmp_path / "series"
+    src.mkdir()
+    for z in range(nz):
+        tio.imwrite(src / f"img_{z:06d}.tif", vol[z])
+    cfg = ProcessConfig(rotate=90)
+    kw = dict(cfg=cfg, voxel_um=(2.0, 1.0, 1.0), target_voxel_um=4.0,
+              downsample_dtype="uint16")
+
+    fresh = tmp_path / "fresh"
+    convert(src, fresh, downsample_path=tmp_path / "fresh_ds", **kw)
+    fresh_npz = np.load(tmp_path / "fresh_zyx4.0um.npz", allow_pickle=True)
+
+    # resumed run: planes pre-written (as if a prior run died after the
+    # plane writes), chunk TIFFs and npz missing
+    resumed = tmp_path / "resumed"
+    resumed.mkdir()
+    for z in range(nz):
+        tio.imwrite(resumed / f"img_{z:06d}.tif", np.rot90(vol[z]))
+    convert(src, resumed, downsample_path=tmp_path / "res_ds",
+            resume=True, **kw)
+    res_npz = np.load(tmp_path / "resumed_zyx4.0um.npz", allow_pickle=True)
+    np.testing.assert_array_equal(res_npz["I"], fresh_npz["I"])
+    for a, b in zip(fresh_npz["xI"], res_npz["xI"]):
+        np.testing.assert_allclose(a, b)
+
+    # chunk-skip: resume again with everything present — chunk TIFFs must
+    # not be rewritten (mtimes unchanged) but the npz must still assemble
+    mtimes = {p.name: p.stat().st_mtime_ns
+              for p in (tmp_path / "res_ds").glob("img_*.tif")}
+    assert mtimes
+    (tmp_path / "resumed_zyx4.0um.npz").unlink()
+    convert(src, resumed, downsample_path=tmp_path / "res_ds",
+            resume=True, **kw)
+    for p in (tmp_path / "res_ds").glob("img_*.tif"):
+        assert p.stat().st_mtime_ns == mtimes[p.name], p.name
+    res2 = np.load(tmp_path / "resumed_zyx4.0um.npz", allow_pickle=True)
+    np.testing.assert_array_equal(res2["I"], fresh_npz["I"])
