@@ -117,7 +117,11 @@ class TileStack:
     def paths(self) -> List[Path]:
         if self._paths is None:
             directory = Path(self.root_dir) / self.dir_name
-            pattern = re.compile(r"[^0-9]*(\d+).*\.(tiff?|raw|png)$", re.I)
+            # tiff/raw native codecs + the generic 2D plugin surface
+            # (io/generic2d.py — the opencv2D/bioformats2D input role)
+            pattern = re.compile(
+                r"[^0-9]*(\d+).*\.(tiff?|raw|png|jp2|j2k|jpe?g|jpe|bmp|dib"
+                r"|p[bgp]m)$", re.I)
             found = []
             for p in sorted(directory.iterdir()):
                 m = pattern.match(p.name)

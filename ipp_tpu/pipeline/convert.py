@@ -158,7 +158,15 @@ def _open_source(src: Path, channel: int = 0):
         from ..io.raw import raw_imread
 
         return (lambda z: raw_imread(raws[z])), len(raws)
-    raise FileNotFoundError(f"no TIFF/raw planes in {src}")
+    # generic 2D plane series (png/jp2/jpeg/bmp/pnm — the opencv2D /
+    # bioformats2D optional-plugin role, io/generic2d.py)
+    from ..io.generic2d import GENERIC_2D_SUFFIXES, imread_generic
+
+    gens = sorted(p for p in src.iterdir()
+                  if p.suffix.lower() in GENERIC_2D_SUFFIXES)
+    if gens:
+        return (lambda z: imread_generic(gens[z])), len(gens)
+    raise FileNotFoundError(f"no TIFF/raw/generic-2D planes in {src}")
 
 
 def convert(

@@ -57,7 +57,9 @@ OBJECTIVES = {
     "40x": ((2048, 2048), 0.14),
 }
 
-SUPPORTED_EXTENSIONS = (".png", ".tif", ".tiff", ".raw")
+# tiff/raw native + the generic 2D plugin surface (io/generic2d.py,
+# the reference's optional opencv2D/bioformats2D input plugins)
+from ..io.generic2d import PLANE_SUFFIXES as SUPPORTED_EXTENSIONS  # noqa: E402
 
 
 def get_voxel_sizes(objective: str, channel_path: Path

@@ -255,3 +255,41 @@ def test_nrrd_truncation_fuzz(tmp_path, rng):
     bad.write_bytes(bytes(scrambled))
     with pytest.raises(ValueError, match="not a NRRD"):
         read_nrrd(bad)
+
+
+def test_generic2d_plane_series(tmp_path, rng):
+    """Generic 2D plugin (io/generic2d.py — the reference's optional
+    opencv2D/bioformats2D input role, opencv2D.cpp:110): 16-bit PNG and
+    JPEG-2000 plane series are discovered and decoded by the stack layer
+    and the converter."""
+    from ipp_tpu.io.generic2d import (GENERIC_2D_SUFFIXES, imread_generic,
+                                      imwrite_generic)
+
+    vol = (rng.random((4, 24, 20)) * 60000).astype(np.uint16)
+    for ext in (".png", ".jp2"):
+        d = tmp_path / f"series{ext[1:]}"
+        d.mkdir()
+        assert ext in GENERIC_2D_SUFFIXES
+        for z in range(4):
+            imwrite_generic(d / f"img_{z:06d}{ext}", vol[z])
+        back = np.stack([imread_generic(p) for p in sorted(d.iterdir())])
+        np.testing.assert_array_equal(back, vol)  # both are lossless here
+
+        # converter source discovery
+        from ipp_tpu.pipeline.convert import _open_source
+
+        reader, nz = _open_source(d)
+        assert nz == 4
+        np.testing.assert_array_equal(reader(2), vol[2])
+
+    # TileStack plane discovery accepts the generic suffixes
+    from ipp_tpu.geometry.stacks import TileStack
+
+    d = tmp_path / "stack" / "000000" / "000000_000000"
+    d.mkdir(parents=True)
+    for z in range(4):
+        imwrite_generic(d / f"{z:06d}.png", vol[z])
+    st = TileStack(root_dir=tmp_path / "stack",
+                   dir_name="000000/000000_000000", row=0, col=0)
+    assert st.depth == 4
+    np.testing.assert_array_equal(st.read_plane(1), vol[1])
