@@ -183,6 +183,7 @@ def convert(
     fnt_cube: int = 128,
     movie_fps: int = 60,
     halve: str = "mean",
+    block_format: str = "tiff2d",
     resume: bool = False,
     channel: int = 0,
     read_timeout: Optional[float] = None,
@@ -374,7 +375,7 @@ def convert(
         tif_series_to_terafly(
             tif_dir,
             _dest(to_terafly, tif_dir.parent / (tif_dir.name + "_terafly")),
-            voxel_um=voxel_um, halve=halve)
+            voxel_um=voxel_um, halve=halve, block_format=block_format)
     if to_imaris:
         log.info("writing Imaris file ...")
         tif_series_to_imaris(
@@ -458,6 +459,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write a neuroglancer precomputed volume")
     p.add_argument("--halve", choices=["mean", "max"], default="mean",
                    help="pyramid pooling (reference teraconverter --halve)")
+    p.add_argument("--block-format", choices=["tiff2d", "vaa3draw"],
+                   default="tiff2d",
+                   help="TeraFly block layout: 2D TIFF series or Vaa3D "
+                        "raw stacks (reference mergeTilesVaa3DRaw, "
+                        "StackStitcher.h:338)")
     p.add_argument("--fnt", type=Path, default=None,
                    help="cut FNT .nrrd cubes into this directory")
     p.add_argument("--fnt-cube", type=int, default=128)
@@ -546,7 +552,8 @@ def main(argv=None) -> int:
             to_terafly=args.terafly, to_imaris=args.imaris,
             to_bdv=args.bdv, to_precomputed=args.precomputed,
             to_fnt=args.fnt, to_movie=args.movie, fnt_cube=args.fnt_cube,
-            movie_fps=args.movie_fps, halve=args.halve, resume=args.resume,
+            movie_fps=args.movie_fps, halve=args.halve,
+            block_format=args.block_format, resume=args.resume,
             channel=args.channel, read_timeout=args.timeout,
             target_voxel_um=args.voxel_size_target,
             downsample_path=args.downsample_path,

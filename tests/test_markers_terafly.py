@@ -132,3 +132,76 @@ def test_regenerate_mdata_matches_export(tmp_path, rng):
     for r0, r1 in zip(orig["stacks"], regen["stacks"]):
         for s0, s1 in zip(r0, r1):
             assert s0 == s1
+
+
+def test_vaa3d_raw_layout_golden(tmp_path, rng):
+    """Byte-level golden of the Vaa3D raw layout against the reference's
+    documented format (RawFmtMngr.cpp:226-331): magic, endian code,
+    int16 datatype code, sz[4]=(x,y,z,c) uint32, then c/z/y/x data —
+    a file built independently from the spec must decode, and our writer
+    must produce exactly that layout."""
+    import struct
+
+    from ipp_tpu.io.vaa3draw import (VAA3D_MAGIC, vaa3d_raw_info,
+                                     vaa3d_raw_read, vaa3d_raw_read_plane,
+                                     vaa3d_raw_write)
+
+    vol = (rng.random((3, 5, 7)) * 60000).astype(np.uint16)  # (z, y, x)
+    # hand-built file straight from the reference's parse order
+    spec = tmp_path / "spec.raw"
+    spec.write_bytes(VAA3D_MAGIC + b"L" + struct.pack("<h", 2)
+                     + struct.pack("<4I", 7, 5, 3, 1)
+                     + vol.astype("<u2").tobytes())
+    np.testing.assert_array_equal(vaa3d_raw_read(spec), vol)
+    dt, shape = vaa3d_raw_info(spec)
+    assert shape == (1, 3, 5, 7)
+
+    # our writer's bytes == the hand-built spec bytes
+    ours = tmp_path / "ours.raw"
+    vaa3d_raw_write(ours, vol)
+    assert ours.read_bytes() == spec.read_bytes()
+
+    # big-endian files (written by PPC-era Vaa3D) decode too
+    be = tmp_path / "be.raw"
+    be.write_bytes(VAA3D_MAGIC + b"B" + struct.pack(">h", 2)
+                   + struct.pack(">4I", 7, 5, 3, 1)
+                   + vol.astype(">u2").tobytes())
+    np.testing.assert_array_equal(vaa3d_raw_read(be), vol)
+    np.testing.assert_array_equal(vaa3d_raw_read_plane(be, 1), vol[1])
+
+
+def test_terafly_vaa3draw_blocks(tmp_path, rng):
+    """export_terafly(block_format='vaa3draw'): blocks are z-chunked Vaa3D
+    raw stacks (the reference's mergeTilesVaa3DRaw output,
+    StackStitcher.h:338); the pyramid reads back identical to the tiff2d
+    layout at every level."""
+    from ipp_tpu.io.terafly import TeraFlyVolume, export_terafly
+
+    nz, ny, nx = 9, 48, 40
+    vol = (rng.random((nz, ny, nx)) * 60000).astype(np.uint16)
+    t_tif = export_terafly(lambda z: vol[z], (nz, ny, nx),
+                           tmp_path / "tf_tif", block_yx=(32, 32),
+                           n_resolutions=2)
+    t_raw = export_terafly(lambda z: vol[z], (nz, ny, nx),
+                           tmp_path / "tf_raw", block_yx=(32, 32),
+                           n_resolutions=2, block_format="vaa3draw",
+                           block_z=4)
+    raw_files = list((tmp_path / "tf_raw").rglob("*.raw"))
+    assert raw_files and not list((tmp_path / "tf_raw").rglob("*.tif"))
+    # z chunking: level 0 has ceil(9/4)=3 chunks per block
+    from ipp_tpu.io.vaa3draw import vaa3d_raw_info
+
+    depths = sorted(vaa3d_raw_info(p)[1][1] for p in raw_files
+                    if "RES(48x40x9)" in str(p))
+    assert depths[0] == 1 and depths[-1] == 4  # 4+4+1 per block
+    for lv in range(2):
+        a = TeraFlyVolume(t_tif, resolution=lv)
+        b = TeraFlyVolume(t_raw, resolution=lv)
+        assert a.shape == b.shape
+        for z in (0, a.shape[2] // 2, a.shape[2] - 1):
+            np.testing.assert_array_equal(a.read_plane(z), b.read_plane(z))
+
+    # mdata-less read (directory scan fallback) also works
+    (tmp_path / "tf_raw" / "RES(48x40x9)" / "mdata.bin").unlink()
+    c = TeraFlyVolume(t_raw, resolution=0)
+    np.testing.assert_array_equal(c.read_plane(5), vol[5])
