@@ -10,14 +10,18 @@ reference's `mpiexec -np N` path never had, process_images.py:542-548).
 """
 
 import argparse
+import os
 import sys
 
 import jax
 
 # the axon sitecustomize pre-imports jax, so env vars are too late: pick
 # the platform/device count through jax.config before any backend touch
+# (the per-process device count comes via env because argparse runs after
+# the backend would otherwise freeze)
+_LOCAL_DEVICES = int(os.environ.get("IPP_TPU_TEST_LOCAL_DEVICES", "2"))
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_num_cpu_devices", _LOCAL_DEVICES)
 
 import numpy as np  # noqa: E402
 
@@ -37,8 +41,8 @@ def main() -> int:
                     num_processes=args.nprocs, process_id=args.rank)
     assert ok, "initialize() did not produce a multi-process runtime"
     assert jax.process_count() == args.nprocs
-    assert jax.device_count() == 2 * args.nprocs
-    assert jax.local_device_count() == 2
+    assert jax.device_count() == _LOCAL_DEVICES * args.nprocs
+    assert jax.local_device_count() == _LOCAL_DEVICES
 
     import jax.numpy as jnp
 

@@ -26,13 +26,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_jax_distributed(tmp_path):
+@pytest.mark.parametrize("local_devices", [2, 4])
+def test_two_process_jax_distributed(tmp_path, local_devices):
+    """2 processes x {2, 4} devices: a 4- and an 8-device GLOBAL mesh
+    built across process boundaries (VERDICT r3 item 4 — the multi-host
+    evidence beyond the smallest nontrivial case)."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     # keep the axon plugin importable but make sure children go to CPU
     # (the child script forces jax_platforms=cpu through jax.config)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env["IPP_TPU_TEST_LOCAL_DEVICES"] = str(local_devices)
     procs = []
     outs = []
     for rank in range(2):
@@ -56,9 +61,10 @@ def test_two_process_jax_distributed(tmp_path):
 
     d0 = np.load(outs[0])
     d1 = np.load(outs[1])
+    n_dev = 2 * local_devices  # global device count across the 2 processes
     # the two ranks cover the full batch between them, disjointly
-    assert d0["lo"] == 0 and d1["hi"] == 4
-    assert d0["hi"] == d1["lo"] == 2
+    assert d0["lo"] == 0 and d1["hi"] == n_dev
+    assert d0["hi"] == d1["lo"] == n_dev // 2
     # globally-reduced scalars are replicated: identical on both ranks
     assert d0["total"] == d1["total"]
     assert d0["stripe_total"] == d1["stripe_total"]
@@ -71,12 +77,12 @@ def test_two_process_jax_distributed(tmp_path):
     from ipp_tpu.ops.psf import gaussian_psf
 
     rng = np.random.default_rng(0)
-    vols = rng.random((4, 16, 16, 16)).astype(np.float32) * 100
+    vols = rng.random((n_dev, 16, 16, 16)).astype(np.float32) * 100
     psf = np.asarray(gaussian_psf((5, 5, 5), (1.0, 1.0, 1.0)))
     dec = np.asarray(richardson_lucy_batched(
         vols, jnp.asarray(psf), niter=4, fft_shape=(20, 20, 20),
         edge_taper=False))
-    tiles = rng.integers(0, 40000, (4, 128, 128)).astype(np.uint16)
+    tiles = rng.integers(0, 40000, (n_dev, 128, 128)).astype(np.uint16)
     des = np.asarray(filter_streaks(tiles, sigma=(32, 32), wavelet="db4"))
 
     got_dec = np.concatenate([d0["decon"], d1["decon"]])
@@ -87,9 +93,9 @@ def test_two_process_jax_distributed(tmp_path):
     # --- stitch step 2: the sharded NCC maps match a local run ------------
     from ipp_tpu.ops.ncc import ncc_maps_batched
 
-    mips_a = rng.random((4, 48, 40)).astype(np.float32)
+    mips_a = rng.random((n_dev, 48, 40)).astype(np.float32)
     mips_b = np.roll(mips_a, (2, -1), axis=(1, 2)) \
-        + rng.normal(0, 0.01, (4, 48, 40)).astype(np.float32)
+        + rng.normal(0, 0.01, (n_dev, 48, 40)).astype(np.float32)
     ref_maps = np.asarray(ncc_maps_batched(jnp.asarray(mips_a),
                                            jnp.asarray(mips_b), 5, 5),
                           np.float64)
