@@ -287,3 +287,65 @@ def test_pfc_to_ls_layout(tmp_path, rng=np.random.default_rng(7)):
 
     # rerun: nothing rewritten (cp -u semantics)
     assert pfc_to_ls(root, target, 100, 20, frame_shape=shape) == 0
+
+
+def test_command_generator_batch_reference_rules(tmp_path):
+    """Per-case batch synthesis reproduces the reference's rules
+    (command_generator_batch.py:35-250): CMYK channel flags by index,
+    single-channel merge skip, metadata.txt voxel parsing (line 2,
+    word 4, rounded 0.1, same value for xy and z), mip/middle channel
+    exclusion, ims source selection and filename derivation."""
+    from ipp_tpu.pipeline.command_generator import (_ims_filename,
+                                                    generate_batch_commands)
+
+    # multi-channel acquisition with previews to ignore
+    a = tmp_path / "2024_01_01_12_00_00_SM1234_stitched"
+    for ch in ("Ex_488_Em_525", "Ex_561_Em_600", "Ex_488_MIP",
+               "Ex_561_middle", "notes"):
+        (a / ch).mkdir(parents=True)
+    (a / "metadata.txt").write_text("header\nvoxel info is 0.4199 um\n")
+    # single-channel acquisition
+    b = tmp_path / "2024_02_02_13_00_00_SM9999_stitched"
+    (b / "Ex_642_Em_690").mkdir(parents=True)
+    (b / "ACQ_metadata.txt").write_text("h\na b c 1.02 d\n")
+
+    cmds = generate_batch_commands(
+        [a, b], goal=0, composite_root=tmp_path / "merged",
+        fnt_root=tmp_path / "fnt", ims_root=tmp_path / "ims")
+
+    # merge: only the 2-channel case, cyan/magenta by sort order,
+    # previews and non-Ex dirs excluded
+    assert cmds["merge"].count("merge_channels") == 1
+    assert f"--cyan {a / 'Ex_488_Em_525'}" in cmds["merge"]
+    assert f"--magenta {a / 'Ex_561_Em_600'}" in cmds["merge"]
+    assert "MIP" not in cmds["merge"] and "middle" not in cmds["merge"]
+    assert "notes" not in cmds["merge"]
+
+    # fnt: one command per real channel, voxels rounded to 0.1
+    assert cmds["fnt"].count("--fnt") == 3
+    assert "-dx 0.4 -dy 0.4 -dz 0.4" in cmds["fnt"]
+    assert "-dx 1.0 -dy 1.0 -dz 1.0" in cmds["fnt"]
+
+    # ims: multi-channel reads the merged composite, single-channel the
+    # channel dir itself; filename strips _stitched and keeps parts
+    # [0] + [4:] (reference :211-214)
+    assert str(tmp_path / "merged" / a.name) in cmds["ims"]
+    assert str(b / "Ex_642_Em_690") in cmds["ims"]
+    assert _ims_filename(a.name) == "2024_00_00_SM1234.ims"
+    assert " && " in cmds["ims"] or cmds["ims"].count("convert") >= 2
+
+    # goal semantics: 1 = merge only, 3 = fnt only, 2 = unsupported
+    only_merge = generate_batch_commands([a], goal=1)
+    assert only_merge["merge"] and not only_merge["fnt"] \
+        and not only_merge["ims"]
+    only_fnt = generate_batch_commands([a], goal=3)
+    assert only_fnt["fnt"] and not only_fnt["merge"] and not only_fnt["ims"]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        generate_batch_commands([a], goal=2)
+
+    # fnt channel restriction (the interactive confirm's role)
+    sel = generate_batch_commands([a], goal=3,
+                                  fnt_channels=["Ex_488_Em_525"])
+    assert sel["fnt"].count("--fnt") == 1
