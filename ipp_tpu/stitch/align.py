@@ -40,12 +40,18 @@ class PairResult:
 
 def _read_substack(stack: TileStack, z0: int, z1: int) -> np.ndarray:
     """Full-frame z-range read through TileStack.imread (which routes
-    TIFFs to the native threaded ROI loader)."""
+    TIFFs to the native threaded ROI loader).
+
+    Stays in the stack's NATIVE dtype: the only downstream consumer is
+    the host MIP reduction (align_pairs_batched), and max-reducing u16
+    moves half the bytes of a premature f32 cast — the cast happens on
+    the tiny MIPs instead (measured: the f32 substack casts+copies were
+    most of the align stage's host-other time in the e2e split)."""
     e = stack.extent
     from ..geometry.extent import VExtent
 
     sub = VExtent(e.x0, e.x1, e.y0, e.y1, e.z0 + z0, e.z0 + z1)
-    return stack.imread(sub).astype(np.float32)
+    return stack.imread(sub)
 
 
 def _reliability(peak: float, width: int, inf_w: int) -> float:
