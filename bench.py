@@ -382,13 +382,26 @@ def main() -> None:
         cfg = ProcessConfig(sigma=(128, 128), wavelet="db9", dark=100.0)
         # warm the executable on this shape, then time a fresh pass
         batch_filter(src, Path(td) / "warm", cfg, batch_size=8)
+        from ipp_tpu.utils import iostat as _iostat
+
+        _iostat.enable()
         t0 = time.time()
         batch_filter(src, Path(td) / "out", cfg, batch_size=8)
         pre_s = time.time() - t0
+        pre_st = _iostat.disable()
         pre_mpix = n_tiles * 1024 * 1024 / pre_s / 1e6
+        metrics["preprocess_device_s"] = round(
+            pre_st.get("device_process_s", 0.0), 2)
+        metrics["preprocess_host_decode_s"] = round(
+            pre_st.get("host_decode_s", 0.0), 2)
+        metrics["preprocess_host_encode_s"] = round(
+            pre_st.get("host_encode_s", 0.0), 2)
         _note("preprocess_io_mpix_s", pre_mpix,
               f"preprocess (read+destripe+write, {n_tiles}x1024^2): "
-              f"{pre_s:.1f}s ({pre_mpix:.0f} Mpix/s incl. IO)")
+              f"{pre_s:.1f}s ({pre_mpix:.0f} Mpix/s incl. IO; device "
+              f"{pre_st.get('device_process_s', 0.0):.1f}s, host decode "
+              f"{pre_st.get('host_decode_s', 0.0):.1f}s(thr), encode "
+              f"{pre_st.get('host_encode_s', 0.0):.1f}s(thr))")
 
     # --- e2e stitch: steady-state, per-stage splits ------------------------
     from ipp_tpu.geometry.stacks import TileGrid

@@ -176,12 +176,16 @@ def run_tile_pipeline(
     dummy_ids = set()  # id(task) of zero-substituted tiles: count as failed
 
     def flush(key):
+        from ..utils import iostat
+
         b = pending.pop(key, None)
         if b is None or not b.imgs:
             return
         batch = np.stack(b.imgs)
         try:
-            out = np.asarray(process_batch(batch))
+            with iostat.span("device_process",
+                             batch.nbytes):  # upload+compute+fetch wait
+                out = np.asarray(process_batch(batch))
             assert out.shape[0] == batch.shape[0]
             for t, o in zip(b.tasks, out):
                 out_q.put((t, o, id(t) in dummy_ids))

@@ -700,6 +700,11 @@ def main(argv=None) -> int:
         # (reference reorder_list, process_images.py:1293-1294)
         channels = ([reference_channel]
                     + [c for c in channels if c != reference_channel])
+    from concurrent.futures import ThreadPoolExecutor
+
+    export_pool = ThreadPoolExecutor(max_workers=1)  # one background slot,
+    # like the reference's single background conversion process
+    export_futs = []
     for ch in channels:
         ch_path = args.input / ch
         vx, vy, vz, tile_size = get_voxel_sizes(args.objective, ch_path)
@@ -763,22 +768,36 @@ def main(argv=None) -> int:
             resume=args.resume, log=log)
         # exports (reference: TeraFly via paraconverter, Imaris via wine
         # ImarisConvertiv — here native, process_images.py:751-783,1452-1471)
-        color = dict(ALL_CHANNELS).get(ch, "g")
-        if args.terafly and (not args.terafly_channels
-                             or ch in args.terafly_channels):
-            from ..io.terafly import tif_series_to_terafly
+        # run on ONE background thread so they overlap the NEXT channel's
+        # stitch, the reference's pipeline-overlap pattern (TeraFly
+        # conversion as a background process while the next channel
+        # stitches, process_images.py:751-783,1291-1293); exports are
+        # host-only (pyramid build + HDF5 write), so they hide behind the
+        # next channel's device work and IO
+        def _exports(ch=ch, out_dir=out_dir, vox=(vz, vy, vx)):
+            color = dict(ALL_CHANNELS).get(ch, "g")
+            if args.terafly and (not args.terafly_channels
+                                 or ch in args.terafly_channels):
+                from ..io.terafly import tif_series_to_terafly
 
-            tf_root = args.terafly_path or stitched_root
-            log.info(f"TeraFly export for {ch} ...")
-            tif_series_to_terafly(out_dir, tf_root / f"{ch}_terafly",
-                                  voxel_um=(vz, vy, vx))
-        if args.imaris:
-            from ..io.ims import tif_series_to_imaris
+                tf_root = args.terafly_path or stitched_root
+                log.info(f"TeraFly export for {ch} ...")
+                tif_series_to_terafly(out_dir, tf_root / f"{ch}_terafly",
+                                      voxel_um=vox)
+            if args.imaris:
+                from ..io.ims import tif_series_to_imaris
 
-            log.info(f"Imaris export for {ch} ...")
-            tif_series_to_imaris(
-                out_dir, stitched_root / f"{ch}.ims", voxel_um=(vz, vy, vx),
-                channel_color={"r": "Red", "g": "Green", "b": "Blue"}[color])
+                log.info(f"Imaris export for {ch} ...")
+                tif_series_to_imaris(
+                    out_dir, stitched_root / f"{ch}.ims", voxel_um=vox,
+                    channel_color={"r": "Red", "g": "Green",
+                                   "b": "Blue"}[color])
+
+        if args.terafly or args.imaris:
+            export_futs.append(export_pool.submit(_exports))
+    for f in export_futs:
+        f.result()  # surface export errors before declaring success
+    export_pool.shutdown(wait=True)
     if args.rgb_composite and len(channels) >= 2:
         # channel alignment + composite (reference align_main +
         # merge_all_channels, process_images.py:860-1000,1393-1419)

@@ -230,6 +230,43 @@ class PlaneBlender:
             out.append((i, inter, w))
         return out
 
+    def blend_planes_async(self, volume: VExtent, reader, dtype=np.uint16,
+                           sharding=None, pad_to: int = 1,
+                           device_post=None):
+        """blend_planes with the FETCH deferred: returns None on layout
+        change (caller falls back, same contract), else a zero-arg
+        callable producing the (B, H, W) host array.  The device->host
+        copy starts immediately (copy_to_host_async), so the caller can
+        dispatch the NEXT batch's uploads/blend while this one streams
+        back — on a remote (tunneled) device the two directions overlap
+        and the merge loop stops serializing fetch against upload."""
+        out = self._blend_planes_device(volume, reader, dtype, sharding,
+                                        pad_to, device_post)
+        if out is None:
+            return None
+        dev, B = out
+        # IPP_TPU_MERGE_ASYNC=0 drops the early host-copy kick (the fetch
+        # then happens inside finish(), still one batch behind the
+        # dispatch loop) — escape hatch for backends whose async copy
+        # misbehaves
+        import os as _os
+
+        if _os.environ.get("IPP_TPU_MERGE_ASYNC", "1") != "0":
+            try:
+                dev.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — backend without async copy
+                pass
+
+        def finish() -> np.ndarray:
+            with iostat.span("device_fetch",
+                             int(np.prod(dev.shape))
+                             * np.dtype(dtype).itemsize):
+                out_np = np.asarray(dev)
+            return (out_np if out_np.dtype == np.dtype(dtype)
+                    else out_np.astype(dtype))[:B]
+
+        return finish
+
     def blend_planes(self, volume: VExtent, reader, dtype=np.uint16,
                      sharding=None, pad_to: int = 1,
                      device_post=None) -> Optional[np.ndarray]:
@@ -249,13 +286,33 @@ class PlaneBlender:
         Returns (B, H, W) in `dtype`, or None if the xy layout is not
         constant across the batch (caller falls back to blend_plane).
         """
+        out = self._blend_planes_device(volume, reader, dtype, sharding,
+                                        pad_to, device_post)
+        if out is None:
+            return None
+        dev, B = out
+        if isinstance(dev, np.ndarray):  # empty-volume fast path
+            return dev
+        with iostat.span("device_fetch",
+                         int(np.prod(dev.shape)) * np.dtype(dtype).itemsize):
+            out_np = np.asarray(dev)
+        return (out_np if out_np.dtype == np.dtype(dtype)
+                else out_np.astype(dtype))[:B]
+
+    def _blend_planes_device(self, volume, reader, dtype, sharding,
+                             pad_to, device_post):
+        """Shared device-side half of blend_planes: reads, uploads,
+        accumulates, device-post-processes and device-casts — returns
+        (device array in `dtype` (integer targets) or f32, B), a plain
+        (B, H, W) ndarray for empty volumes, or None on a mid-batch
+        layout change."""
         hits = self.weights_for_batch(volume)
         if hits is None:
             return None
         B = volume.shape[0]
         canvas_shape = volume.shape[1:]
         if not hits:
-            return np.zeros((B,) + canvas_shape, dtype)
+            return np.zeros((B,) + canvas_shape, dtype), B
         parts, weights, offsets = [], [], []
         pad = (-B) % max(1, pad_to)
         for i, inter, w in hits:
@@ -280,9 +337,15 @@ class PlaneBlender:
                 self.cosine)
             if device_post is not None:
                 out = device_post(out)
-        with iostat.span("device_fetch",
-                         int(np.prod(out.shape)) * np.dtype(dtype).itemsize):
-            return _to_output_dtype(out, dtype)[:B]
+            # device-side round/clip/cast for integer outputs (the fetch
+            # then moves integer-width bytes) — the _to_output_dtype
+            # device half, kept on device for the async-fetch path
+            if (np.issubdtype(np.dtype(dtype), np.integer)
+                    and out.dtype != np.dtype(dtype)):
+                info = np.iinfo(dtype)
+                out = jnp.clip(jnp.rint(out.astype(jnp.float32)),
+                               info.min, info.max).astype(dtype)
+        return out, B
 
     def blend_plane(self, volume: VExtent,
                     reader, dtype=np.uint16) -> np.ndarray:

@@ -322,6 +322,18 @@ def merge_to_tif_series(
 
         z_lo, z_hi = process_slice(depth)
     next_futs = prefetch(z_lo) if z_hi > z_lo else {}
+    # one batch of fetch-in-flight: batch k's device->host copy streams
+    # back (copy_to_host_async) while batch k+1's reads/uploads/blend
+    # dispatch — on a remote device the two link directions overlap
+    # instead of serializing (the reference overlaps via process pools)
+    inflight = None  # (zi, zj, finish_callable, batch_post)
+
+    def drain(item):
+        zi_, zj_, finish, bp = item
+        merged3_ = finish() if callable(finish) else finish
+        for k, z in enumerate(range(zi_, zj_)):
+            emit_plane(z, merged3_[k], already_post=bp)
+
     for zi in range(z_lo, z_hi, batch):
         zj = min(zi + batch, z_hi)
         futs = next_futs
@@ -331,14 +343,14 @@ def merge_to_tif_series(
                 and all(p.exists() for p in paths)):
             continue
         ext = batch_ext_of(zi, zj)
-        merged3 = blender.blend_planes(
+        finish = blender.blend_planes_async(
             ext,
             lambda i, e: (futs[(i, e)].result() if (i, e) in futs
                           else stacks[i].imread(e)),
             dtype=(dtype if post_fn_device is not None else fetch_dtype),
             sharding=sharding, pad_to=n_data, device_post=post_fn_device)
-        batch_post = merged3 is not None and post_fn_device is not None
-        if merged3 is None:
+        batch_post = finish is not None and post_fn_device is not None
+        if finish is None:
             # layout changes across the batch (tiles start/end mid-z):
             # blend plane by plane — bitwise the same math, just unbatched,
             # with the same reader-thread prefetch as the batched path
@@ -348,7 +360,7 @@ def merge_to_tif_series(
                 plane_futs.append({
                     (i, inter): read_pool.submit(stacks[i].imread, inter)
                     for i, inter, _w in blender.weights_for(ext1)})
-            merged3 = np.stack([
+            finish = np.stack([
                 blender.blend_plane(
                     batch_ext_of(z, z + 1),
                     lambda i, e, fz=plane_futs[z - zi]: (
@@ -356,8 +368,11 @@ def merge_to_tif_series(
                         else stacks[i].imread(e)),
                     dtype=fetch_dtype)
                 for z in range(zi, zj)])
-        for k, z in enumerate(range(zi, zj)):
-            emit_plane(z, merged3[k], already_post=batch_post)
+        if inflight is not None:
+            drain(inflight)
+        inflight = (zi, zj, finish, batch_post)
+    if inflight is not None:
+        drain(inflight)
 
     if z_chunk:
         reduced_chunks.append(_z_reduce(np.stack(z_chunk), n_z_halvings)[0])

@@ -280,3 +280,27 @@ def test_iostat_accounting(tmp_path, rng):
     # disabled: no accumulation
     tio.imwrite(tmp_path / "y.tif", img)
     assert iostat.snapshot() == {}
+
+
+def test_native_writer_shape_dtype_fuzz(tmp_path, rng):
+    """Roundtrip fuzz across odd shapes / dtypes / compression levels:
+    native-written files must decode identically through BOTH the native
+    and the Python reader (the interop surface every pipeline writer now
+    rides through imwrite)."""
+    shapes = [(1, 1), (1, 257), (253, 1), (7, 4093), (513, 129)]
+    dtypes = [np.uint8, np.uint16, np.int16, np.uint32, np.float32]
+    for i, shape in enumerate(shapes):
+        for j, dt in enumerate(dtypes):
+            if np.issubdtype(dt, np.floating):
+                img = rng.standard_normal(shape).astype(dt)
+            else:
+                info = np.iinfo(dt)
+                img = rng.integers(max(info.min, -2**31),
+                                   min(info.max, 2**31 - 1),
+                                   shape).astype(dt)
+            p = tmp_path / f"f{i}_{j}.tif"
+            level = (i + j) % 3 * 3  # 0, 3, 6
+            assert native.tiff_write(p, img, compress_level=level), (shape,
+                                                                     dt)
+            np.testing.assert_array_equal(native.tiff_read(p), img)
+            np.testing.assert_array_equal(tio.read_tiff(p), img)
