@@ -255,9 +255,13 @@ def main() -> None:
     run_destripe_many(1)
     destripe_compile = time.time() - t0
     run_destripe_many()
-    t0 = time.time()
-    run_destripe_many()
-    destripe_s = (time.time() - t0) / 20
+    # best-of-3 windows: tunnel-RTT hiccups measured a 1.6x swing on
+    # single-window runs (1096 vs 1806 Mpix/s session-to-session)
+    destripe_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_destripe_many()
+        destripe_s = min(destripe_s, (time.time() - t0) / 20)
     destripe_mpix = tiles.size / destripe_s / 1e6
     _note("destripe_mpix_s", destripe_mpix,
           f"destripe: compile {destripe_compile:.1f}s, steady "
@@ -281,9 +285,11 @@ def main() -> None:
 
     run_ls(1)
     run_ls()
-    t0 = time.time()
-    run_ls()
-    ls_s = (time.time() - t0) / 20
+    ls_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_ls()
+        ls_s = min(ls_s, (time.time() - t0) / 20)
     _note("lightsheet_mpix_s", ls_img.size / ls_s / 1e6,
           f"lightsheet correction: {ls_img.size / ls_s / 1e6:.0f} Mpix/s "
           f"(single 2048^2 plane)")
@@ -300,9 +306,11 @@ def main() -> None:
 
     run_lsb(1)
     run_lsb()
-    t0 = time.time()
-    run_lsb()
-    lsb_s = (time.time() - t0) / 10
+    lsb_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_lsb()
+        lsb_s = min(lsb_s, (time.time() - t0) / 10)
     _note("lightsheet_batch4_mpix_s", ls_batch.size / lsb_s / 1e6,
           f"lightsheet correction: {ls_batch.size / lsb_s / 1e6:.0f} Mpix/s "
           f"(4-plane batch)")
