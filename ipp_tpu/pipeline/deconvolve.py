@@ -564,19 +564,37 @@ def deconvolve_volume(
         # on host threads while the device runs RL on the current one
         read_pool = ThreadPoolExecutor(max_workers=min(8, max(2, n_data)))
         next_fut = read_pool.submit(read_group, groups[0])
+        mesh_pending = None
+
+        def _drain_mesh(item):
+            group_, dec_, qmins_, qmaxs_ = item
+            dec_ = np.asarray(dec_)
+            qmins_ = np.asarray(qmins_)
+            qmaxs_ = np.asarray(qmaxs_)
+            for bi, (plan, d) in enumerate(zip(group_, dec_)):
+                core_sz = [hi - lo for lo, hi in plan.core]
+                core = d[:core_sz[0], :core_sz[1], :core_sz[2]]
+                save_core(plan, core,
+                          (qmins_[bi], qmaxs_[bi]) if quantize else None)
+
         for gi, group in enumerate(groups):
             blocks = next_fut.result()
             if gi + 1 < len(groups):
                 next_fut = read_pool.submit(read_group, groups[gi + 1])
             dec, qmins, qmaxs = step(device_put_global(blocks, sharding))
-            dec = np.asarray(dec)
-            qmins = np.asarray(qmins)
-            qmaxs = np.asarray(qmaxs)
-            for bi, (plan, d) in enumerate(zip(group, dec)):
-                core_sz = [hi - lo for lo, hi in plan.core]
-                core = d[:core_sz[0], :core_sz[1], :core_sz[2]]
-                save_core(plan, core,
-                          (qmins[bi], qmaxs[bi]) if quantize else None)
+            # lagged fetch (same as the single-device path): batch gi
+            # streams device->host (copy_to_host_async) while batch gi+1
+            # uploads and runs — on a remote backend the two directions
+            # overlap instead of serializing
+            try:
+                dec.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — backend without async copy
+                pass
+            if mesh_pending is not None:
+                _drain_mesh(mesh_pending)
+            mesh_pending = (group, dec, qmins, qmaxs)
+        if mesh_pending is not None:
+            _drain_mesh(mesh_pending)
         read_pool.shutdown(wait=False)
     elif todo:
         # ---- single device: one-block read-ahead overlaps IO with RL ------
@@ -624,7 +642,12 @@ def deconvolve_volume(
                     regularize_interval=regularize_interval,
                     fft_shape=fft_shape,
                     classic=classic_rl)
-            pending.append((plan,) + tuple(finish(dec)))
+            outs = tuple(finish(dec))
+            try:  # start the device->host stream now, drain one block later
+                outs[0].copy_to_host_async()
+            except Exception:  # noqa: BLE001 — backend without async copy
+                pass
+            pending.append((plan,) + outs)
             if len(pending) > 1:
                 drain(pending.pop(0))
         for item in pending:
