@@ -175,6 +175,29 @@ def run_tile_pipeline(
     finished_readers = 0
     dummy_ids = set()  # id(task) of zero-substituted tiles: count as failed
 
+    # lagged fetch: batch k's result streams device->host
+    # (copy_to_host_async) while batch k+1 uploads/dispatches — the same
+    # one-in-flight pipeline as the merge and decon loops; on a remote
+    # backend the two link directions overlap
+    inflight: List[Tuple] = []  # [(tasks, device_out)]
+
+    def drain_one():
+        from ..utils import iostat
+
+        tasks, dev = inflight.pop(0)
+        try:
+            with iostat.span("device_process"):  # fetch wait
+                out = np.asarray(dev)
+            assert out.shape[0] == len(tasks)
+            for t, o in zip(tasks, out):
+                out_q.put((t, o, id(t) in dummy_ids))
+        except Exception:
+            traceback.print_exc()
+            with lock:
+                counters["failed"] += len(tasks)
+            for _ in tasks:
+                prog.step()
+
     def flush(key):
         from ..utils import iostat
 
@@ -184,17 +207,22 @@ def run_tile_pipeline(
         batch = np.stack(b.imgs)
         try:
             with iostat.span("device_process",
-                             batch.nbytes):  # upload+compute+fetch wait
-                out = np.asarray(process_batch(batch))
-            assert out.shape[0] == batch.shape[0]
-            for t, o in zip(b.tasks, out):
-                out_q.put((t, o, id(t) in dummy_ids))
+                             batch.nbytes):  # upload+dispatch
+                dev = process_batch(batch)
+            try:
+                dev.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — np output / no async copy
+                pass
+            inflight.append((b.tasks, dev))
         except Exception:
             traceback.print_exc()
             with lock:
                 counters["failed"] += len(b.tasks)
             for _ in b.tasks:
                 prog.step()
+            return
+        while len(inflight) > 1:
+            drain_one()
 
     def enqueue(t: TileTask, img: np.ndarray):
         key = (img.shape, str(img.dtype))
@@ -244,6 +272,8 @@ def run_tile_pipeline(
         enqueue(t, np.zeros(h[0], h[1]))
     for key in list(pending):
         flush(key)
+    while inflight:
+        drain_one()
 
     for _ in writers:
         out_q.put(None)

@@ -107,23 +107,31 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
             lambda b: process_img(b, cfg), mesh=mesh,
             in_specs=spec, out_specs=spec))
 
+    def _device_run(stacked: np.ndarray):
+        """Run the batch on device and return the DEVICE array — the
+        executor's lagged fetch (copy_to_host_async + one batch in
+        flight) then overlaps this batch's download with the next
+        batch's upload/dispatch; fetching here would serialize them."""
+        if sharded_fn is not None:
+            n = stacked.shape[0]
+            n_pad = (-n) % n_dev  # shard_map needs even division
+            if n_pad:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], n_pad, 0)])
+            return sharded_fn(stacked)[:n]
+        return process_img(stacked, cfg)
+
     def proc_batch(batch: np.ndarray) -> np.ndarray:
         # the device path handles whole batches; uniform tiles short-circuit
         # to zeros host-side (reference is_uniform_2d, pystripe/core.py:1241)
         uniform = [i for i, b in enumerate(batch) if is_uniform_2d(b)]
+        if not uniform:  # common case: whole batch stays on device
+            return _device_run(batch)
         work = [i for i in range(len(batch)) if i not in uniform]
         results = {}
         if work:
-            stacked = np.stack([batch[i] for i in work])
-            if sharded_fn is not None:
-                n = stacked.shape[0]
-                n_pad = (-n) % n_dev  # shard_map needs even division
-                if n_pad:
-                    stacked = np.concatenate(
-                        [stacked, np.repeat(stacked[-1:], n_pad, 0)])
-                processed = np.asarray(sharded_fn(stacked))[:n]
-            else:
-                processed = process_img(stacked, cfg)
+            processed = np.asarray(_device_run(
+                np.stack([batch[i] for i in work])))
             for i, o in zip(work, processed):
                 results[i] = o
         for i in uniform:
