@@ -185,6 +185,50 @@ def test_run_tile_pipeline_all_failed_still_emits(tmp_path):
         assert out.shape == (8, 8) and (out == 0).all()
 
 
+def test_run_tile_pipeline_lagged_fetch_failure(tmp_path):
+    """The lagged device->host fetch keeps one batch in flight; a batch
+    whose materialization fails must count its tiles failed WITHOUT
+    hanging the writer threads or dropping later batches."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.executor import TileTask, run_tile_pipeline
+
+    class Lazy:
+        """Device-array stand-in: async copy kick + deferred fetch."""
+
+        def __init__(self, arr, fail):
+            self._arr, self._fail = arr, fail
+
+        def copy_to_host_async(self):
+            pass
+
+        def __array__(self, dtype=None, copy=None):
+            if self._fail:
+                raise RuntimeError("simulated device fetch failure")
+            return self._arr
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    tasks = []
+    for i in range(8):
+        p = in_dir / f"t{i}.tif"
+        tio.imwrite(p, np.full((8, 8), i + 1, np.uint16))
+        tasks.append(TileTask(p, out_dir / f"t{i}.tif"))
+
+    def proc(batch):
+        # fail exactly the batch containing value 3 (tile index 2)
+        return Lazy(batch * 2, fail=bool((batch == 3).any()))
+
+    counters = run_tile_pipeline(tasks, proc, batch_size=2,
+                                 reader_threads=1, writer_threads=2)
+    assert counters["done"] == 6 and counters["failed"] == 2
+    written = sorted(q.name for q in out_dir.glob("*.tif"))
+    assert len(written) == 6
+    assert not (out_dir / "t2.tif").exists()  # failed batch: t2+t3
+    assert not (out_dir / "t3.tif").exists()
+    assert (tio.imread(out_dir / "t7.tif") == 16).all()
+
+
 def test_run_tile_pipeline_dummy_shape_per_dir(tmp_path):
     """Dummy shape comes from the same input directory, not the last-seen
     batch of a differently-shaped directory."""
