@@ -50,6 +50,10 @@ def bench_host_io() -> None:
     from ipp_tpu import native
     from ipp_tpu.io import tiff as tio
 
+    # This machine exposes ONE schedulable CPU (cgroup pin) — thread-pool
+    # numbers here are SINGLE-CORE codec efficiency, not scaling; the
+    # threaded architecture is exercised (8 workers) but cannot speed up.
+    metrics["host_nproc"] = len(_os.sched_getaffinity(0))
     rng = np.random.default_rng(7)
     n_planes, hw = 32, 2048
     planes = [rng.integers(0, 40000, (hw, hw)).astype(np.uint16)
@@ -119,11 +123,102 @@ def bench_host_io() -> None:
             "Mpix/s", file=sys.stderr)
 
 
+def bench_brick_cache() -> None:
+    """Host-only brick-cache throughput — NO device in the loop.
+
+    Mirrors the reference's LZ4 block-cache benchmarks
+    (LsDeconvolveMultiGPU/README.md:32-33,42: save_lz4 >50x vs MATLAB
+    .mat save, load_lz4 >4x, load_slab_lz4 6-8x): our zstd brick cache
+    (native/fastio.cpp) vs the honest Python counterpart
+    (np.savez_compressed / np.load, the .mat-save analog), plus the
+    threaded slab reassembly vs a Python loop of loads + copies.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from ipp_tpu import native
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(11)
+    # decon-brick-like content: smooth structure + noise, u16 (the decon
+    # pipeline caches bricks as u16 with a per-block affine range)
+    z = np.linspace(0, 6, 64, dtype=np.float32)
+    base = (np.sin(z)[:, None, None]
+            * np.cos(np.linspace(0, 9, 256, dtype=np.float32))[None, :, None]
+            * np.sin(np.linspace(0, 7, 256, dtype=np.float32))[None, None, :])
+    brick = ((base * 12000 + 20000)
+             + rng.normal(0, 300, (64, 256, 256))).astype(np.uint16)
+    mb = brick.nbytes / 1e6
+
+    def best(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    with tempfile.TemporaryDirectory() as td:
+        d = Path(td)
+        save_nat = best(lambda: native.zstd_save(d / "b.zst", brick))
+        save_py = best(lambda: np.savez_compressed(d / "b.npz", I=brick))
+        metrics["brick_save_native_mb_s"] = round(mb / save_nat, 1)
+        metrics["brick_save_python_mb_s"] = round(mb / save_py, 1)
+        metrics["brick_save_native_vs_python"] = round(save_py / save_nat, 1)
+        load_nat = best(lambda: native.zstd_load(
+            d / "b.zst", brick.shape, brick.dtype))
+        load_py = best(lambda: np.load(d / "b.npz")["I"][:])
+        metrics["brick_load_native_mb_s"] = round(mb / load_nat, 1)
+        metrics["brick_load_python_mb_s"] = round(mb / load_py, 1)
+        metrics["brick_load_native_vs_python"] = round(load_py / load_nat, 1)
+
+        # slab reassembly: 4x4 grid of bricks -> one (64, 1024, 1024) slab
+        bricks = []
+        for gy in range(4):
+            for gx in range(4):
+                p = d / f"s{gy}{gx}.zst"
+                native.zstd_save(p, brick)
+                bricks.append((str(p), gy * 256, gx * 256, 256, 256))
+        slab_mb = 16 * mb
+
+        def slab_native():
+            out = native.load_slab(bricks, 64, 1024, 1024,
+                                   dtype=np.uint16, nthreads=8)
+            assert out is not None
+
+        def slab_python():
+            out = np.zeros((64, 1024, 1024), np.uint16)
+            for p, y0, x0, by, bx in bricks:
+                out[:, y0:y0 + by, x0:x0 + bx] = native.zstd_load(
+                    p, (64, by, bx), np.uint16)
+
+        t_nat = best(slab_native, reps=3)
+        t_py = best(slab_python, reps=3)
+        metrics["slab_native_mb_s"] = round(slab_mb / t_nat, 1)
+        metrics["slab_serial_mb_s"] = round(slab_mb / t_py, 1)
+        metrics["slab_native_vs_serial"] = round(t_py / t_nat, 1)
+    print(
+        "brick cache (host only, 64x256^2 u16 bricks): "
+        f"save native {metrics['brick_save_native_mb_s']:.0f}"
+        f" vs npz {metrics['brick_save_python_mb_s']:.0f} MB/s "
+        f"({metrics['brick_save_native_vs_python']:.0f}x); "
+        f"load native {metrics['brick_load_native_mb_s']:.0f}"
+        f" vs npz {metrics['brick_load_python_mb_s']:.0f} MB/s "
+        f"({metrics['brick_load_native_vs_python']:.0f}x); "
+        f"slab 8-thr {metrics['slab_native_mb_s']:.0f}"
+        f" vs serial {metrics['slab_serial_mb_s']:.0f} MB/s "
+        f"({metrics['slab_native_vs_serial']:.1f}x; "
+        f"nproc={metrics.get('host_nproc', '?')} — thread scaling is "
+        "capped by the cgroup CPU pin)", file=sys.stderr)
+
+
 def main() -> None:
     from ipp_tpu.utils.jaxconfig import enable_persistent_cache
 
     enable_persistent_cache()
     bench_host_io()
+    bench_brick_cache()
     import jax
     import jax.numpy as jnp
 
