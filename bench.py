@@ -483,15 +483,21 @@ def main() -> None:
                         rng.integers(0, 40000, (1024, 1024))
                         .astype(np.uint16))
         cfg = ProcessConfig(sigma=(128, 128), wavelet="db9", dark=100.0)
-        # warm the executable on this shape, then time a fresh pass
+        # warm the executable on this shape, then time fresh passes —
+        # best-of-3 windows like destripe/NCC (tunnel hiccups measured a
+        # 2x swing on this stage: 2.8-5.8s for identical code)
         batch_filter(src, Path(td) / "warm", cfg, batch_size=8)
         from ipp_tpu.utils import iostat as _iostat
 
-        _iostat.enable()
-        t0 = time.time()
-        batch_filter(src, Path(td) / "out", cfg, batch_size=8)
-        pre_s = time.time() - t0
-        pre_st = _iostat.disable()
+        pre_s, pre_st = None, {}
+        for rep in range(3):
+            _iostat.enable()
+            t0 = time.time()
+            batch_filter(src, Path(td) / f"out{rep}", cfg, batch_size=8)
+            dt = time.time() - t0
+            st = _iostat.disable()
+            if pre_s is None or dt < pre_s:
+                pre_s, pre_st = dt, st
         pre_mpix = n_tiles * 1024 * 1024 / pre_s / 1e6
         metrics["preprocess_device_s"] = round(
             pre_st.get("device_process_s", 0.0), 2)

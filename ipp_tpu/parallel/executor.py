@@ -178,7 +178,12 @@ def run_tile_pipeline(
     # lagged fetch: batch k's result streams device->host
     # (copy_to_host_async) while batch k+1 uploads/dispatches — the same
     # one-in-flight pipeline as the merge and decon loops; on a remote
-    # backend the two link directions overlap
+    # backend the two link directions overlap.  IPP_TPU_EXEC_ASYNC=0
+    # forces the serialized dispatch->fetch order (A/B lever; mirrors
+    # IPP_TPU_MERGE_ASYNC).
+    import os as _os
+
+    lag = _os.environ.get("IPP_TPU_EXEC_ASYNC", "1") != "0"
     inflight: List[Tuple] = []  # [(tasks, device_out)]
 
     def drain_one():
@@ -221,7 +226,7 @@ def run_tile_pipeline(
             for _ in b.tasks:
                 prog.step()
             return
-        while len(inflight) > 1:
+        while len(inflight) > (1 if lag else 0):
             drain_one()
 
     def enqueue(t: TileTask, img: np.ndarray):
