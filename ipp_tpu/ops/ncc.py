@@ -317,20 +317,43 @@ def fuse_axis(d1: int, peak1: float, width1: int, d2: int, peak2: float,
 
 
 def _ncc_maps_sharded(ma: np.ndarray, mb: np.ndarray, du: int, dv: int,
-                      mesh) -> np.ndarray:
+                      mesh, defer: bool = False):
     """ncc_maps_batched with the pair-batch axis sharded over the mesh's
     'data' axis (the TPU-native replacement for Parastitcher's
     rank-per-pair MPI step 2, pyscripts/Parastitcher.py:410-470): the
     batch pads to a 'data' multiple, inputs are device_put with a
     NamedSharding, and GSPMD partitions the (embarrassingly batch-
-    parallel) map computation across devices."""
+    parallel) map computation across devices.
+
+    With defer=True returns a zero-arg fetcher instead of the array:
+    the upload+dispatch happens NOW (and a copy_to_host_async kick), the
+    blocking device->host fetch happens when the fetcher is called — so
+    a caller can dispatch several map computations back-to-back and let
+    their round trips overlap instead of paying serial chains (the
+    multi-process path stays synchronous: collective ordering must be
+    identical on every host)."""
     from ..utils import iostat
+
+    def _deferred_single(out_dev, B):
+        try:
+            out_dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copy
+            pass
+
+        def fetch():
+            with iostat.span("device_ncc"):  # fetch wait
+                return np.asarray(out_dev, np.float64)[:B]
+        return fetch
 
     n_data = int(mesh.shape["data"]) if mesh is not None else 1
     if n_data <= 1:
         with iostat.span("device_ncc", ma.nbytes + mb.nbytes):
-            return np.asarray(ncc_maps_batched(
-                jnp.asarray(ma), jnp.asarray(mb), du, dv), np.float64)
+            out_dev = ncc_maps_batched(jnp.asarray(ma), jnp.asarray(mb),
+                                       du, dv)
+        if defer:
+            return _deferred_single(out_dev, ma.shape[0])
+        with iostat.span("device_ncc"):
+            return np.asarray(out_dev, np.float64)
     B = ma.shape[0]
     pad = (-B) % n_data
     if pad:
@@ -359,14 +382,20 @@ def _ncc_maps_sharded(ma: np.ndarray, mb: np.ndarray, du: int, dv: int,
         with iostat.span("device_ncc", ma.nbytes + mb.nbytes):
             ma_d = jax.device_put(jnp.asarray(ma), sh)
             mb_d = jax.device_put(jnp.asarray(mb), sh)
-            out = np.asarray(ncc_maps_batched(ma_d, mb_d, du, dv), np.float64)
+            out_dev = ncc_maps_batched(ma_d, mb_d, du, dv)
+        if defer:
+            return _deferred_single(out_dev, B)
+        with iostat.span("device_ncc"):
+            out = np.asarray(out_dev, np.float64)
+    if defer:  # multi-process path computed synchronously above
+        return lambda: out[:B]
     return out[:B]
 
 
 def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
                         overlap: int, delay_v: int, delay_h: int,
                         delay_d: int, params: Optional[NCCParams] = None,
-                        mesh=None):
+                        mesh=None, _defer: bool = False):
     """Align a BATCH of same-shape pairs in three device calls total.
 
     vols_a/vols_b: (P, D, V, H).  The three NCC map kinds are each computed
@@ -423,13 +452,35 @@ def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
 
     mips_a = host_mips(a)
     mips_b = host_mips(b)
-    ncc_xy = _ncc_maps_sharded(
-        mips_a[0], mips_b[0], delay_v + wr_v, delay_h + wr_h, mesh)
-    ncc_xz = _ncc_maps_sharded(
-        mips_a[1], mips_b[1], delay_v + wr_v, delay_d + wr_d, mesh)
-    ncc_yz = _ncc_maps_sharded(
-        mips_a[2], mips_b[2], delay_h + wr_h, delay_d + wr_d, mesh)
+    # dispatch all three map kinds back-to-back (deferred fetchers), THEN
+    # fetch: the three device->host round trips overlap instead of
+    # chaining serially — and with _defer=True the caller can stack the
+    # dispatches of SEVERAL pair groups the same way (the tunnel RTT is
+    # ~30 ms/chain; a 2-chunk 5x5 grid has 12 chains to hide)
+    fetch_xy = _ncc_maps_sharded(
+        mips_a[0], mips_b[0], delay_v + wr_v, delay_h + wr_h, mesh,
+        defer=True)
+    fetch_xz = _ncc_maps_sharded(
+        mips_a[1], mips_b[1], delay_v + wr_v, delay_d + wr_d, mesh,
+        defer=True)
+    fetch_yz = _ncc_maps_sharded(
+        mips_a[2], mips_b[2], delay_h + wr_h, delay_d + wr_d, mesh,
+        defer=True)
 
+    def finalize():
+        return _finalize_pairs(
+            fetch_xy(), fetch_xz(), fetch_yz(), P, side, ni, nj, nk,
+            delay_v, delay_h, delay_d, wr_v, wr_h, wr_d, inf_w, params)
+
+    if _defer:
+        return finalize
+    return finalize()
+
+
+def _finalize_pairs(ncc_xy, ncc_xz, ncc_yz, P, side, ni, nj, nk,
+                    delay_v, delay_h, delay_d, wr_v, wr_h, wr_d, inf_w,
+                    params):
+    """Host-side peak/width/fusion over fetched NCC maps (tiny data)."""
     failed_xy = delay_v == 0 and delay_h == 0
     failed_xz = delay_v == 0 and delay_d == 0
     failed_yz = delay_h == 0 and delay_d == 0

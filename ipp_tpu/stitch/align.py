@@ -155,7 +155,11 @@ def compute_displacements(
                 substacks[sid] = f.result()
         # batch all same-side pairs of this z chunk into three device calls
         # (collapses Parastitcher's rank-per-pair structure into batched
-        # executables; dispatch/tunnel latency amortizes across pairs)
+        # executables; dispatch/tunnel latency amortizes across pairs) —
+        # and DISPATCH both side groups before fetching either, so the
+        # six upload->compute->download chains of a chunk overlap instead
+        # of paying serial round trips
+        staged = []
         for side_sel in ("ns", "we"):
             group = [(a, b, rb, cb) for a, b, side, (rb, cb) in pairs
                      if side == side_sel]
@@ -164,9 +168,13 @@ def compute_displacements(
             overlap = overlap_v if side_sel == "ns" else overlap_h
             vols_a = np.stack([substacks[id(a)] for a, _, _, _ in group])
             vols_b = np.stack([substacks[id(b)] for _, b, _, _ in group])
-            results = align_pairs_batched(
+            finalize = align_pairs_batched(
                 vols_a, vols_b, side_sel, overlap, displ_max_v, displ_max_h,
-                displ_max_d, params, mesh=mesh)
+                displ_max_d, params, mesh=mesh, _defer=True)
+            staged.append((side_sel, group, finalize))
+        for side_sel, group, finalize in staged:
+            overlap = overlap_v if side_sel == "ns" else overlap_h
+            results = finalize()
             for (a, b, rb, cb), res in zip(group, results):
                 # defaults = nominal stage displacement
                 # (reference insertDisplacement, vmVirtualVolume.cpp:280-316)
