@@ -459,9 +459,12 @@ def main() -> None:
         return float(jnp.sum(acc[:1, :1, :1]))
 
     run_blend()
-    t0 = time.time()
-    run_blend()
-    blend_s = (time.time() - t0) / BREPS
+    blend_s = None
+    for _ in range(3):  # best-of-3 windows (tunnel hiccups: 2x swings)
+        t0 = time.time()
+        run_blend()
+        dt = (time.time() - t0) / BREPS
+        blend_s = dt if blend_s is None else min(blend_s, dt)
     _note("merge_blend_mpix_s", tile_a.size / blend_s / 1e6,
           f"merge blend: {tile_a.size / blend_s / 1e6:.0f} Mpix/s "
           f"({BB}-plane batched accumulate)")
