@@ -320,11 +320,73 @@ def convert(
                                    min(nz, (ci + 1) * chunk_len)))
 
     prog = ProgressReporter(nz, desc="convert")
+
+    # Device batching + one-batch-in-flight lagged fetch: planes process
+    # in batches of BATCH through ONE jitted call (process_img handles
+    # leading batch dims), and batch k's device->host stream overlaps
+    # batch k+1's read/upload/dispatch — the TPU-native shape of the
+    # reference's per-plane process pool (parallel_image_processor.py:
+    # 660-678).  Plane writes and acc.add stay in strict z order.
+    BATCH = 8
+    inflight = []   # at most one ("dev", [(z, out_path)], dev_batch, n)
+    raw_batch = []  # [(z, out_path, raw_plane)]
+
+    def _finish_plane(outp, plane, write):
+        nonlocal proc_hw
+        plane = np.asarray(plane)
+        if proc_hw is None:
+            proc_hw = plane.shape
+        if write:
+            tio.imwrite(outp, plane, compression=compression)
+        if target_voxel_um is not None:
+            reduced = acc.add(plane)
+            if reduced is not None:
+                ds_chunks.append(_emit_ds_chunk(reduced, len(ds_chunks)))
+        prog.step()
+
+    def _drain():
+        tasks, dev, n = inflight.pop(0)
+        arr = np.asarray(dev)[:n]
+        for (zz, outp), pl in zip(tasks, arr):
+            _finish_plane(outp, pl, write=True)
+
+    def _flush_raw():
+        if not raw_batch:
+            return
+        tasks = [(zz, outp) for zz, outp, _ in raw_batch]
+        stacked = np.stack([r for _, _, r in raw_batch])
+        raw_batch.clear()
+        n = stacked.shape[0]
+        if n < BATCH:  # pad the tail batch: ONE executable per shape
+            stacked = np.concatenate(
+                [stacked, np.repeat(stacked[-1:], BATCH - n, 0)])
+        dev = process_img(stacked, cfg)
+        try:
+            dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — np output / no async copy
+            pass
+        inflight.append((tasks, dev, n))
+        while len(inflight) > 1:
+            _drain()
+
+    def _emit_host(outp, plane, write):
+        """A plane that bypasses the device (resume read, plane0,
+        uniform short-circuit): keep z order by flushing device work."""
+        _flush_raw()
+        while inflight:
+            _drain()
+        _finish_plane(outp, plane, write)
+
+    from ..ops.process import is_uniform_2d
+
     for z in range(nz):
         out = tif_dir / f"img_{z:06d}.tif"
         if resume and target_voxel_um is not None:
             ci = z // chunk_len
             if _chunk_done(ci):
+                _flush_raw()
+                while inflight:
+                    _drain()
                 if ci >= len(ds_chunks):
                     # read the existing reduced chunk back for the npz
                     ds_chunks.append(tio.imread(ds_dir / f"img_{ci:06d}.tif"))
@@ -335,24 +397,27 @@ def convert(
                 prog.step()
                 continue
             # downsampling still needs the written plane's content
-            plane = plane0 if (z == 0 and plane0 is not None) \
-                else tio.imread(out)
-        else:
-            if z == 0 and plane0 is not None:
-                plane = plane0
-            else:
-                raw = np.asarray(reader(z))
-                if src_hw is None:
-                    src_hw = raw.shape
-                plane = process_img(raw, cfg) if cfg is not None else raw
-            if proc_hw is None:
-                proc_hw = plane.shape
-            tio.imwrite(out, plane, compression=compression)
-        if target_voxel_um is not None:
-            reduced = acc.add(plane)
-            if reduced is not None:
-                ds_chunks.append(_emit_ds_chunk(reduced, len(ds_chunks)))
-        prog.step()
+            _emit_host(out, plane0 if (z == 0 and plane0 is not None)
+                       else tio.imread(out), write=False)
+            continue
+        if z == 0 and plane0 is not None:
+            _emit_host(out, plane0, write=True)
+            continue
+        raw = np.asarray(reader(z))
+        if src_hw is None:
+            src_hw = raw.shape
+        if cfg is None or is_uniform_2d(raw):
+            # uniform tiles short-circuit on the host (the per-plane
+            # semantics of process_img, reference pystripe/core.py:1241)
+            _emit_host(out, process_img(raw, cfg) if cfg is not None
+                       else raw, write=True)
+            continue
+        raw_batch.append((z, out, raw))
+        if len(raw_batch) >= BATCH:
+            _flush_raw()
+    _flush_raw()
+    while inflight:
+        _drain()
     prog.close()
     if acc is not None:
         reduced = acc.flush()

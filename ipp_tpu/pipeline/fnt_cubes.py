@@ -100,6 +100,27 @@ def process_cubes(
                      f"z {fwhm_z:.0f} nm")
     prog = ProgressReporter(len(cubes), desc="cubes")
     done = 0
+
+    # one cube in flight: cube k's result streams device->host
+    # (copy_to_host_async) while cube k+1 reads/uploads/dispatches —
+    # the same lagged-fetch pipeline as the decon/merge loops (the
+    # reference overlaps via its GPU semaphore worker pool instead,
+    # fnt_cube_processor.py:227-388)
+    pending = None  # (out_path, header, in_dtype, dec_dev)
+
+    def _finalize(item):
+        nonlocal done
+        out_path_f, header_f, in_dtype_f, dec_f = item
+        dec_f = np.asarray(dec_f)
+        if np.issubdtype(in_dtype_f, np.integer):
+            info = np.iinfo(in_dtype_f)
+            dec_f = np.clip(np.rint(dec_f), info.min, info.max)
+        write_nrrd(out_path_f, dec_f.astype(in_dtype_f), extra_header={
+            k: v for k, v in header_f.items()
+            if k in ("space", "space directions", "space origin")})
+        done += 1
+        prog.step()
+
     for cube_path in cubes:
         out_path = output_dir / cube_path.relative_to(input_dir)
         out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -152,15 +173,15 @@ def process_cubes(
                                       fft_shape=fft_shape)
         else:
             dec = x
-        dec = np.asarray(dec)
-        if np.issubdtype(in_dtype, np.integer):
-            info = np.iinfo(in_dtype)
-            dec = np.clip(np.rint(dec), info.min, info.max)
-        write_nrrd(out_path, dec.astype(in_dtype), extra_header={
-            k: v for k, v in header.items()
-            if k in ("space", "space directions", "space origin")})
-        done += 1
-        prog.step()
+        try:
+            dec.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copy
+            pass
+        if pending is not None:
+            _finalize(pending)
+        pending = (out_path, header, in_dtype, dec)
+    if pending is not None:
+        _finalize(pending)
     prog.close()
     return done
 

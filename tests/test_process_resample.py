@@ -165,3 +165,61 @@ def test_convert_read_timeout_abandons_hung_worker(tmp_path, monkeypatch,
             assert img.max() == 0  # zero substitute
         else:
             np.testing.assert_array_equal(img, planes[z])
+
+
+def test_convert_batched_matches_per_plane(tmp_path, rng):
+    """The converter's batched device path (8 planes per jitted call, one
+    batch in flight) must write exactly what per-plane process_img
+    produces, in z order, including the uniform host short-circuit and a
+    partial tail batch."""
+    from ipp_tpu.pipeline import convert as conv_mod
+
+    nz = 19  # 2 full batches + a 3-plane tail
+    planes = (rng.normal(2000, 300, (nz, 32, 40))
+              + 300 * np.sin(np.arange(40) / 3.0)[None, None, :]).clip(
+                  0, 65535).astype(np.uint16)
+    planes[5] = 777  # uniform plane: host short-circuit inside the stream
+    src = tmp_path / "src"
+    src.mkdir()
+    for z in range(nz):
+        tio.imwrite(src / f"img_{z:04d}.tif", planes[z])
+    cfg = ProcessConfig(sigma=(8, 8), wavelet="db3", dark=50.0)
+    out = conv_mod.convert(src, tmp_path / "out", cfg=cfg)
+    files = sorted(out.glob("img_*.tif"))
+    assert len(files) == nz
+    for z, f in enumerate(files):
+        got = np.asarray(tio.imread(f))
+        want = np.asarray(process_img(planes[z], cfg))
+        np.testing.assert_allclose(got, want, atol=1, err_msg=f"z={z}")
+    assert tio.imread(files[5]).max() == 0  # uniform -> zeros
+
+
+def test_convert_batched_resume_and_downsample(tmp_path, rng):
+    """Resume with a downsample target through the batched stream: the
+    npz and downsample chunks must match a fresh run (z-order-sensitive
+    accumulator fed by mixed disk-read and device-batch planes)."""
+    from ipp_tpu.pipeline import convert as conv_mod
+
+    nz = 12
+    planes = rng.integers(100, 3000, (nz, 24, 24)).astype(np.uint16)
+    src = tmp_path / "src"
+    src.mkdir()
+    for z in range(nz):
+        tio.imwrite(src / f"img_{z:04d}.tif", planes[z])
+    cfg = ProcessConfig(dark=20.0)
+    kw = dict(cfg=cfg, voxel_um=(2.0, 1.0, 1.0), target_voxel_um=4.0)
+    out_a = conv_mod.convert(src, tmp_path / "fresh", **kw)
+    npz_a = np.load(tmp_path / "fresh_zyx4.0um.npz")["I"]
+    # partial prior run: some outputs exist, some don't
+    out_b = tmp_path / "resumed"
+    out_b.mkdir()
+    for z in (0, 1, 2, 7):
+        tio.imwrite(out_b / f"img_{z:06d}.tif",
+                    np.asarray(process_img(planes[z], cfg)))
+    conv_mod.convert(src, out_b, resume=True, **kw)
+    npz_b = np.load(tmp_path / "resumed_zyx4.0um.npz")["I"]
+    np.testing.assert_allclose(npz_a, npz_b, rtol=1e-6)
+    for z in range(nz):
+        np.testing.assert_array_equal(
+            tio.imread(out_b / f"img_{z:06d}.tif"),
+            tio.imread(out_a / f"img_{z:06d}.tif"))
