@@ -412,6 +412,9 @@ def convert(
             _emit_host(out, process_img(raw, cfg) if cfg is not None
                        else raw, write=True)
             continue
+        if raw_batch and (raw_batch[0][2].shape != raw.shape
+                          or raw_batch[0][2].dtype != raw.dtype):
+            _flush_raw()  # heterogeneous series: never stack mixed planes
         raw_batch.append((z, out, raw))
         if len(raw_batch) >= BATCH:
             _flush_raw()

@@ -223,3 +223,26 @@ def test_convert_batched_resume_and_downsample(tmp_path, rng):
         np.testing.assert_array_equal(
             tio.imread(out_b / f"img_{z:06d}.tif"),
             tio.imread(out_a / f"img_{z:06d}.tif"))
+
+
+def test_convert_heterogeneous_shapes_flush(tmp_path, rng):
+    """A series whose plane shapes change mid-stream must flush the
+    device batch at each shape boundary instead of np.stack-ing mixed
+    shapes (the per-plane reference tolerates ragged series,
+    parallel_image_processor.py:660-678)."""
+    from ipp_tpu.pipeline import convert as conv_mod
+
+    shapes = [(32, 40)] * 3 + [(24, 40)] * 3 + [(32, 40)] * 2
+    planes = [rng.integers(100, 3000, s).astype(np.uint16) for s in shapes]
+    src = tmp_path / "src"
+    src.mkdir()
+    for z, p in enumerate(planes):
+        tio.imwrite(src / f"img_{z:04d}.tif", p)
+    cfg = ProcessConfig(dark=20.0)
+    out = conv_mod.convert(src, tmp_path / "out", cfg=cfg)
+    files = sorted(out.glob("img_*.tif"))
+    assert len(files) == len(planes)
+    for z, f in enumerate(files):
+        np.testing.assert_array_equal(
+            tio.imread(f), np.asarray(process_img(planes[z], cfg)),
+            err_msg=f"z={z}")
