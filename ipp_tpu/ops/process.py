@@ -26,7 +26,8 @@ from . import intensity as it
 from . import lightsheet as lsc
 from . import resample as rs
 
-__all__ = ["ProcessConfig", "process_img", "is_uniform_2d"]
+__all__ = ["ProcessConfig", "process_img", "process_batch_fn",
+           "is_uniform_2d"]
 
 
 def is_uniform_2d(img: np.ndarray) -> bool:
@@ -90,9 +91,14 @@ def _out_meta(img_shape, cfg: ProcessConfig, in_dtype):
 
 
 def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
-                **kwargs) -> np.ndarray:
+                fetch: bool = True, **kwargs) -> np.ndarray:
     """Apply the full tile pipeline; accepts a config or the reference's
-    keyword arguments."""
+    keyword arguments.
+
+    fetch=False returns the jax device array instead of blocking on a
+    host fetch — the handle lagged-fetch callers (convert/executor) need
+    so batch k's copy_to_host_async download can overlap batch k+1's
+    upload/dispatch.  Uniform short-circuits still return numpy."""
     if cfg is None:
         cfg = ProcessConfig(**kwargs)
     in_dtype = img.dtype
@@ -187,6 +193,50 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
     # function composes under jit/shard_map
     import jax as _jax
 
-    if isinstance(x, _jax.core.Tracer):
+    if isinstance(x, _jax.core.Tracer) or not fetch:
         return x
     return np.asarray(x)
+
+
+def needs_host_stats(cfg: ProcessConfig) -> bool:
+    """True when process_img must run host-side per plane: unresolved
+    bleach clips trigger a per-IMAGE multi-Otsu (the reference resolves
+    them per plane, pystripe/core.py:696-727) — batching such planes
+    would make the clips a batch-global statistic."""
+    return (cfg.bleach_correction_frequency is not None
+            and (cfg.bleach_correction_clip_min is None
+                 or cfg.bleach_correction_clip_med is None
+                 or cfg.bleach_correction_clip_max is None))
+
+
+def process_batch_fn(cfg: ProcessConfig):
+    """One jitted batch-process_img per cfg, cached on the cfg object.
+
+    Single-device batch callers (converter stream, tile executor) were
+    dispatching process_img's op chain eagerly — ~30 ms/op through a
+    tunneled backend.  The jitted closure compiles the whole chain into
+    ONE executable per (batch, H, W) shape and returns the DEVICE array
+    (fetch=False), which the callers' one-batch-in-flight lagged fetch
+    needs to overlap batch k's download with batch k+1's upload.
+    Callers must gate on needs_host_stats(cfg) (jit would raise) and
+    handle uniform tiles themselves (the short-circuit is skipped under
+    tracing)."""
+    fn = getattr(cfg, "_jit_batch_fn", None)
+    if fn is None:
+        if needs_host_stats(cfg):
+            raise ValueError("cfg resolves bleach clips per plane — "
+                             "gate on needs_host_stats(cfg)")
+        import os as _os
+
+        if _os.environ.get("IPP_TPU_JIT_PROCESS", "1") == "0":
+            # tunnel escape hatch: the axon backend doesn't serve the
+            # on-disk XLA cache, so a one-shot CLI process would pay the
+            # whole-chain compile every run; eager ops still return the
+            # device array (fetch=False) so the lagged fetch keeps working
+            fn = lambda b: process_img(b, cfg, fetch=False)  # noqa: E731
+        else:
+            import jax as _jax
+
+            fn = _jax.jit(lambda b: process_img(b, cfg, fetch=False))
+        cfg._jit_batch_fn = fn
+    return fn

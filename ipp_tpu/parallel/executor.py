@@ -183,13 +183,15 @@ def run_tile_pipeline(
     # IPP_TPU_MERGE_ASYNC).
     import os as _os
 
-    lag = _os.environ.get("IPP_TPU_EXEC_ASYNC", "1") != "0"
-    inflight: List[Tuple] = []  # [(tasks, device_out)]
+    from ..utils.lagged import OneInFlight
 
-    def drain_one():
+    lag = OneInFlight(
+        depth=1 if _os.environ.get("IPP_TPU_EXEC_ASYNC", "1") != "0" else 0)
+
+    def drain_one(item):
         from ..utils import iostat
 
-        tasks, dev = inflight.pop(0)
+        tasks, dev = item
         try:
             with iostat.span("device_process"):  # fetch wait
                 out = np.asarray(dev)
@@ -214,11 +216,7 @@ def run_tile_pipeline(
             with iostat.span("device_process",
                              batch.nbytes):  # upload+dispatch
                 dev = process_batch(batch)
-            try:
-                dev.copy_to_host_async()
-            except Exception:  # noqa: BLE001 — np output / no async copy
-                pass
-            inflight.append((b.tasks, dev))
+            done = lag.put((b.tasks, dev), dev)
         except Exception:
             traceback.print_exc()
             with lock:
@@ -226,8 +224,8 @@ def run_tile_pipeline(
             for _ in b.tasks:
                 prog.step()
             return
-        while len(inflight) > (1 if lag else 0):
-            drain_one()
+        if done is not None:
+            drain_one(done)
 
     def enqueue(t: TileTask, img: np.ndarray):
         key = (img.shape, str(img.dtype))
@@ -277,8 +275,8 @@ def run_tile_pipeline(
         enqueue(t, np.zeros(h[0], h[1]))
     for key in list(pending):
         flush(key)
-    while inflight:
-        drain_one()
+    for item in lag.flush():
+        drain_one(item)
 
     for _ in writers:
         out_q.put(None)

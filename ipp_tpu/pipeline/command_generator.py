@@ -7,6 +7,7 @@ command chains derived from acquisition metadata)."""
 from __future__ import annotations
 
 import argparse
+import shlex
 import sys
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -103,11 +104,11 @@ def generate_batch_commands(
             if make_dirs:
                 out.mkdir(parents=True, exist_ok=True)
             flags = " ".join(
-                f"--{_COLOR_FLAGS[i]} {c}" for i, c in
+                f"--{_COLOR_FLAGS[i]} {shlex.quote(str(c))}" for i, c in
                 enumerate(channels[:len(_COLOR_FLAGS)]))
             merge_cmds.append(
                 f"python -m ipp_tpu.pipeline.merge_channels {flags} "
-                f"--output_path {out}")
+                f"--output_path {shlex.quote(str(out))}")
         if goal in (0, 3) and vox is not None:
             xy, z = vox
             for c in channels:
@@ -117,8 +118,10 @@ def generate_batch_commands(
                 if make_dirs:
                     out.mkdir(parents=True, exist_ok=True)
                 fnt_cmds.append(
-                    f"python -m ipp_tpu.pipeline.convert -i {c} "
-                    f"--fnt {out} -dx {xy} -dy {xy} -dz {z}")
+                    f"python -m ipp_tpu.pipeline.convert "
+                    f"-i {shlex.quote(str(c))} "
+                    f"--fnt {shlex.quote(str(out))} "
+                    f"-dx {xy} -dy {xy} -dz {z}")
         if goal == 0 and vox is not None and channels:
             xy, z = vox
             src = (channels[0] if len(channels) == 1
@@ -128,7 +131,8 @@ def generate_batch_commands(
                 out_dir.mkdir(parents=True, exist_ok=True)
             out = out_dir / _ims_filename(sp.name)
             ims_cmds.append(
-                f"python -m ipp_tpu.pipeline.convert -i {src} -o {out} "
+                f"python -m ipp_tpu.pipeline.convert "
+                f"-i {shlex.quote(str(src))} -o {shlex.quote(str(out))} "
                 f"-dx {xy} -dy {xy} -dz {z}")
     return {"merge": " && ".join(merge_cmds),
             "fnt": " && ".join(fnt_cmds),

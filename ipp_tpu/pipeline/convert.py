@@ -20,13 +20,19 @@ import numpy as np
 from ..io import tiff as tio
 from ..io.ims import ImarisReader, tif_series_to_imaris
 from ..io.terafly import tif_series_to_terafly
-from ..ops.process import ProcessConfig, process_img
+from ..ops.process import (ProcessConfig, is_uniform_2d, needs_host_stats,
+                           process_batch_fn, process_img)
 from ..ops.resample import IsotropicAccumulator
 from ..utils.jaxconfig import enable_persistent_cache
+from ..utils.lagged import OneInFlight
 from ..utils.log import Logger
 from ..utils.progress import ProgressReporter
 
 __all__ = ["convert", "main", "tif_series_to_fnt", "tif_series_to_movie"]
+
+# device batch size for the converter's plane stream; tail batches pad
+# to this so every run compiles ONE (BATCH, H, W) executable per shape
+_BATCH = 8
 
 
 def tif_series_to_fnt(tif_dir: Path, out_dir: Path, cube: int = 128,
@@ -288,8 +294,16 @@ def convert(
         out0 = tif_dir / "img_000000.tif"
         if resume and out0.exists():
             plane0 = tio.imread(out0)
+        elif cfg is None:
+            plane0 = raw0
+        elif needs_host_stats(cfg) or is_uniform_2d(raw0):
+            plane0 = process_img(raw0, cfg)
         else:
-            plane0 = process_img(raw0, cfg) if cfg is not None else raw0
+            # pad plane 0 into the SAME (BATCH, H, W) executable the
+            # stream below uses — a one-off 2D call would compile the
+            # whole op chain a second time (minutes on a tunneled chip)
+            plane0 = np.asarray(process_batch_fn(cfg)(
+                np.repeat(raw0[None], _BATCH, 0))[0])
         proc_hw = plane0.shape
         plane_dtype = plane0.dtype
         vz, vy, vx = voxel_um
@@ -327,8 +341,8 @@ def convert(
     # batch k+1's read/upload/dispatch — the TPU-native shape of the
     # reference's per-plane process pool (parallel_image_processor.py:
     # 660-678).  Plane writes and acc.add stay in strict z order.
-    BATCH = 8
-    inflight = []   # at most one ("dev", [(z, out_path)], dev_batch, n)
+    BATCH = _BATCH
+    lag = OneInFlight()
     raw_batch = []  # [(z, out_path, raw_plane)]
 
     def _finish_plane(outp, plane, write):
@@ -344,8 +358,8 @@ def convert(
                 ds_chunks.append(_emit_ds_chunk(reduced, len(ds_chunks)))
         prog.step()
 
-    def _drain():
-        tasks, dev, n = inflight.pop(0)
+    def _drain(item):
+        tasks, dev, n = item
         arr = np.asarray(dev)[:n]
         for (zz, outp), pl in zip(tasks, arr):
             _finish_plane(outp, pl, write=True)
@@ -360,33 +374,41 @@ def convert(
         if n < BATCH:  # pad the tail batch: ONE executable per shape
             stacked = np.concatenate(
                 [stacked, np.repeat(stacked[-1:], BATCH - n, 0)])
-        dev = process_img(stacked, cfg)
-        try:
-            dev.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — np output / no async copy
-            pass
-        inflight.append((tasks, dev, n))
-        while len(inflight) > 1:
-            _drain()
+        dev = process_batch_fn(cfg)(stacked)
+        done = lag.put((tasks, dev, n), dev)
+        if done is not None:
+            _drain(done)
 
     def _emit_host(outp, plane, write):
         """A plane that bypasses the device (resume read, plane0,
         uniform short-circuit): keep z order by flushing device work."""
         _flush_raw()
-        while inflight:
-            _drain()
+        for item in lag.flush():
+            _drain(item)
         _finish_plane(outp, plane, write)
 
-    from ..ops.process import is_uniform_2d
+    # unresolved bleach clips are a per-PLANE multi-Otsu statistic —
+    # batching would make them batch-global (and bias tail batches via
+    # the pad duplicates), so such cfgs take the per-plane host path
+    batchable = cfg is not None and not needs_host_stats(cfg)
+
+    # one completeness verdict per chunk, decided at its first plane —
+    # re-stating every member file for every z is O(chunk_len^2), and a
+    # chunk completed by THIS run's writes mid-chunk must not flip to
+    # "skip" while the accumulator already holds its early planes
+    chunk_state: dict = {}
 
     for z in range(nz):
         out = tif_dir / f"img_{z:06d}.tif"
         if resume and target_voxel_um is not None:
             ci = z // chunk_len
-            if _chunk_done(ci):
+            done = chunk_state.get(ci)
+            if done is None:
+                done = chunk_state[ci] = _chunk_done(ci)
+            if done:
                 _flush_raw()
-                while inflight:
-                    _drain()
+                for item in lag.flush():
+                    _drain(item)
                 if ci >= len(ds_chunks):
                     # read the existing reduced chunk back for the npz
                     ds_chunks.append(tio.imread(ds_dir / f"img_{ci:06d}.tif"))
@@ -406,9 +428,10 @@ def convert(
         raw = np.asarray(reader(z))
         if src_hw is None:
             src_hw = raw.shape
-        if cfg is None or is_uniform_2d(raw):
+        if not batchable or is_uniform_2d(raw):
             # uniform tiles short-circuit on the host (the per-plane
-            # semantics of process_img, reference pystripe/core.py:1241)
+            # semantics of process_img, reference pystripe/core.py:1241);
+            # per-plane-stat cfgs (bleach otsu) also stay per-plane
             _emit_host(out, process_img(raw, cfg) if cfg is not None
                        else raw, write=True)
             continue
@@ -419,8 +442,8 @@ def convert(
         if len(raw_batch) >= BATCH:
             _flush_raw()
     _flush_raw()
-    while inflight:
-        _drain()
+    for item in lag.flush():
+        _drain(item)
     prog.close()
     if acc is not None:
         reduced = acc.flush()

@@ -43,6 +43,7 @@ from ..io import tiff as tio
 from ..ops.deconv import richardson_lucy
 from ..ops.destripe import filter_streaks
 from ..utils.jaxconfig import enable_persistent_cache
+from ..utils.lagged import OneInFlight
 from ..utils.log import Logger
 from ..utils.progress import ProgressReporter
 
@@ -564,7 +565,7 @@ def deconvolve_volume(
         # on host threads while the device runs RL on the current one
         read_pool = ThreadPoolExecutor(max_workers=min(8, max(2, n_data)))
         next_fut = read_pool.submit(read_group, groups[0])
-        mesh_pending = None
+        mesh_lag = OneInFlight()
 
         def _drain_mesh(item):
             group_, dec_, qmins_, qmaxs_ = item
@@ -586,15 +587,11 @@ def deconvolve_volume(
             # streams device->host (copy_to_host_async) while batch gi+1
             # uploads and runs — on a remote backend the two directions
             # overlap instead of serializing
-            try:
-                dec.copy_to_host_async()
-            except Exception:  # noqa: BLE001 — backend without async copy
-                pass
-            if mesh_pending is not None:
-                _drain_mesh(mesh_pending)
-            mesh_pending = (group, dec, qmins, qmaxs)
-        if mesh_pending is not None:
-            _drain_mesh(mesh_pending)
+            prev = mesh_lag.put((group, dec, qmins, qmaxs), dec)
+            if prev is not None:
+                _drain_mesh(prev)
+        for item in mesh_lag.flush():
+            _drain_mesh(item)
         read_pool.shutdown(wait=False)
     elif todo:
         # ---- single device: one-block read-ahead overlaps IO with RL ------
@@ -605,7 +602,7 @@ def deconvolve_volume(
         finish = jax.jit(_finish_ops(uni))
         read_pool = ThreadPoolExecutor(max_workers=1)
         next_fut = read_pool.submit(read_block_uniform, vol, todo[0], uni)
-        pending = []  # lagged fetch: device->host of block i overlaps RL i+1
+        lag = OneInFlight()  # device->host of block i overlaps RL i+1
 
         def drain(item):
             plan, core_dev, qmin_dev, qmax_dev = item
@@ -643,14 +640,10 @@ def deconvolve_volume(
                     fft_shape=fft_shape,
                     classic=classic_rl)
             outs = tuple(finish(dec))
-            try:  # start the device->host stream now, drain one block later
-                outs[0].copy_to_host_async()
-            except Exception:  # noqa: BLE001 — backend without async copy
-                pass
-            pending.append((plan,) + outs)
-            if len(pending) > 1:
-                drain(pending.pop(0))
-        for item in pending:
+            prev = lag.put((plan,) + outs, outs[0])
+            if prev is not None:
+                drain(prev)
+        for item in lag.flush():
             drain(item)
         read_pool.shutdown(wait=False)
 

@@ -101,12 +101,12 @@ def process_cubes(
     prog = ProgressReporter(len(cubes), desc="cubes")
     done = 0
 
-    # one cube in flight: cube k's result streams device->host
-    # (copy_to_host_async) while cube k+1 reads/uploads/dispatches —
-    # the same lagged-fetch pipeline as the decon/merge loops (the
-    # reference overlaps via its GPU semaphore worker pool instead,
-    # fnt_cube_processor.py:227-388)
-    pending = None  # (out_path, header, in_dtype, dec_dev)
+    # one cube in flight: cube k's result streams device->host while
+    # cube k+1 reads/uploads/dispatches (the reference overlaps via its
+    # GPU semaphore worker pool instead, fnt_cube_processor.py:227-388)
+    from ..utils.lagged import OneInFlight
+
+    lag = OneInFlight()
 
     def _finalize(item):
         nonlocal done
@@ -173,15 +173,11 @@ def process_cubes(
                                       fft_shape=fft_shape)
         else:
             dec = x
-        try:
-            dec.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — backend without async copy
-            pass
-        if pending is not None:
-            _finalize(pending)
-        pending = (out_path, header, in_dtype, dec)
-    if pending is not None:
-        _finalize(pending)
+        prev = lag.put((out_path, header, in_dtype, dec), dec)
+        if prev is not None:
+            _finalize(prev)
+    for item in lag.flush():
+        _finalize(item)
     prog.close()
     return done
 

@@ -85,7 +85,8 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
 
     import jax
 
-    from ..ops.process import _out_meta, is_uniform_2d
+    from ..ops.process import (_out_meta, is_uniform_2d, needs_host_stats,
+                               process_batch_fn)
 
     n_dev = len(jax.devices())
     sharded_fn = None
@@ -119,7 +120,16 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                 stacked = np.concatenate(
                     [stacked, np.repeat(stacked[-1:], n_pad, 0)])
             return sharded_fn(stacked)[:n]
-        return process_img(stacked, cfg)
+        if needs_host_stats(cfg):
+            # unresolved bleach clips are per-PLANE otsu statistics —
+            # stacking would make them batch-global
+            return np.stack([np.asarray(process_img(p, cfg))
+                             for p in stacked])
+        # single device: ONE jitted executable per shape returning the
+        # DEVICE array (eager process_img would both dispatch the op
+        # chain op-by-op and block on a host fetch, defeating the
+        # executor's lagged download)
+        return process_batch_fn(cfg)(stacked)
 
     def proc_batch(batch: np.ndarray) -> np.ndarray:
         # the device path handles whole batches; uniform tiles short-circuit

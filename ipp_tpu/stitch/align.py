@@ -173,7 +173,6 @@ def compute_displacements(
                 displ_max_d, params, mesh=mesh, _defer=True)
             staged.append((side_sel, group, finalize))
         for side_sel, group, finalize in staged:
-            overlap = overlap_v if side_sel == "ns" else overlap_h
             results = finalize()
             for (a, b, rb, cb), res in zip(group, results):
                 # defaults = nominal stage displacement

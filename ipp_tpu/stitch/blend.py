@@ -159,17 +159,22 @@ def _blend_accumulate_planes(parts: Tuple[jnp.ndarray, ...],
     return acc
 
 
-def _to_output_dtype(out, dtype):
-    """Device-side round/clip/cast for integer outputs (the fetch then
-    moves integer-width bytes); non-integer dtypes cast host-side only
-    when needed.  Shared by blend_plane and blend_planes.  A device_post
-    hook may already have produced the target dtype — passed through."""
+def _cast_on_device(out, dtype):
+    """Device-side round/clip/cast for integer outputs, so the fetch
+    moves integer-width bytes.  A device_post hook may already have
+    produced the target dtype — passed through unchanged."""
     if (np.issubdtype(np.dtype(dtype), np.integer)
             and out.dtype != np.dtype(dtype)):
         info = np.iinfo(dtype)
         out = jnp.clip(jnp.rint(out.astype(jnp.float32)),
                        info.min, info.max).astype(dtype)
-    out_np = np.asarray(out)
+    return out
+
+
+def _to_output_dtype(out, dtype):
+    """_cast_on_device + host fetch; non-integer dtypes cast host-side
+    only when needed.  Shared by blend_plane and blend_planes."""
+    out_np = np.asarray(_cast_on_device(out, dtype))
     return (out_np if out_np.dtype == np.dtype(dtype)
             else out_np.astype(dtype))
 
@@ -337,14 +342,8 @@ class PlaneBlender:
                 self.cosine)
             if device_post is not None:
                 out = device_post(out)
-            # device-side round/clip/cast for integer outputs (the fetch
-            # then moves integer-width bytes) — the _to_output_dtype
-            # device half, kept on device for the async-fetch path
-            if (np.issubdtype(np.dtype(dtype), np.integer)
-                    and out.dtype != np.dtype(dtype)):
-                info = np.iinfo(dtype)
-                out = jnp.clip(jnp.rint(out.astype(jnp.float32)),
-                               info.min, info.max).astype(dtype)
+            # kept on device for the async-fetch path
+            out = _cast_on_device(out, dtype)
         return out, B
 
     def blend_plane(self, volume: VExtent,

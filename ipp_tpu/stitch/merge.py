@@ -323,10 +323,12 @@ def merge_to_tif_series(
         z_lo, z_hi = process_slice(depth)
     next_futs = prefetch(z_lo) if z_hi > z_lo else {}
     # one batch of fetch-in-flight: batch k's device->host copy streams
-    # back (copy_to_host_async) while batch k+1's reads/uploads/blend
-    # dispatch — on a remote device the two link directions overlap
-    # instead of serializing (the reference overlaps via process pools)
-    inflight = None  # (zi, zj, finish_callable, batch_post)
+    # back (blend_planes_async kicks copy_to_host_async) while batch
+    # k+1's reads/uploads/blend dispatch — on a remote device the two
+    # link directions overlap (the reference overlaps via process pools)
+    from ..utils.lagged import OneInFlight
+
+    lag = OneInFlight()  # items: (zi, zj, finish_callable, batch_post)
 
     def drain(item):
         zi_, zj_, finish, bp = item
@@ -368,11 +370,11 @@ def merge_to_tif_series(
                         else stacks[i].imread(e)),
                     dtype=fetch_dtype)
                 for z in range(zi, zj)])
-        if inflight is not None:
-            drain(inflight)
-        inflight = (zi, zj, finish, batch_post)
-    if inflight is not None:
-        drain(inflight)
+        prev = lag.put((zi, zj, finish, batch_post))
+        if prev is not None:
+            drain(prev)
+    for item in lag.flush():
+        drain(item)
 
     if z_chunk:
         reduced_chunks.append(_z_reduce(np.stack(z_chunk), n_z_halvings)[0])

@@ -339,3 +339,29 @@ def test_progress_modes(monkeypatch):
     p.close()
     v = s.getvalue()
     assert "\r" not in v and v.endswith("\n") and "3/3" in v
+
+
+def test_one_in_flight_pipeline():
+    from ipp_tpu.utils.lagged import OneInFlight
+
+    class H:
+        def __init__(self):
+            self.kicked = 0
+
+        def copy_to_host_async(self):
+            self.kicked += 1
+
+    lag = OneInFlight()
+    h1, h2 = H(), H()
+    assert lag.put("a", h1) is None
+    assert h1.kicked == 1
+    assert lag.put("b", h2) == "a"   # one batch in flight
+    assert lag.put("c") == "b"       # no handle: numpy-style item
+    assert lag.flush() == ["c"]
+    assert lag.flush() == []
+    # depth=0 serializes (the IPP_TPU_EXEC_ASYNC=0 A/B lever)
+    ser = OneInFlight(depth=0)
+    assert ser.put("x") == "x"
+    assert ser.flush() == []
+    # handles without copy_to_host_async are tolerated
+    assert OneInFlight().put("y", object(), None) is None

@@ -246,3 +246,55 @@ def test_convert_heterogeneous_shapes_flush(tmp_path, rng):
         np.testing.assert_array_equal(
             tio.imread(f), np.asarray(process_img(planes[z], cfg)),
             err_msg=f"z={z}")
+
+
+def test_convert_bleach_clips_stay_per_plane(tmp_path, rng):
+    """Unresolved bleach clips are per-PLANE multi-Otsu statistics
+    (reference pystripe/core.py:696-727 resolves them per image): the
+    converter must not batch such planes — each written plane equals a
+    standalone per-plane process_img call, not a batch-global-otsu
+    result."""
+    from ipp_tpu.ops.process import needs_host_stats
+    from ipp_tpu.pipeline import convert as conv_mod
+
+    nz = 10  # > BATCH so a batched path would mix two batches
+    # planes with WILDLY different intensity regimes so batch-global
+    # otsu clips would differ measurably from per-plane clips
+    planes = np.stack([
+        rng.normal(200 * (1 + 9 * (z % 2)), 30 + 5 * z, (32, 40))
+        .clip(1, 65535).astype(np.uint16) for z in range(nz)])
+    src = tmp_path / "src"
+    src.mkdir()
+    for z in range(nz):
+        tio.imwrite(src / f"img_{z:04d}.tif", planes[z])
+    cfg = ProcessConfig(bleach_correction_frequency=1 / 2000.0,
+                        sigma=(8, 8), wavelet="db3")
+    assert needs_host_stats(cfg)
+    out = conv_mod.convert(src, tmp_path / "out", cfg=cfg)
+    files = sorted(out.glob("img_*.tif"))
+    assert len(files) == nz
+    for z, f in enumerate(files):
+        np.testing.assert_array_equal(
+            tio.imread(f), np.asarray(process_img(planes[z], cfg)),
+            err_msg=f"z={z}")
+
+
+def test_process_batch_fn_jitted_matches_eager(rng):
+    """The cached jitted batch wrapper must equal eager process_img
+    exactly (CPU) and be cached per cfg object."""
+    from ipp_tpu.ops.process import process_batch_fn
+
+    batch = (rng.normal(2000, 300, (4, 32, 40))
+             + 200 * np.sin(np.arange(40) / 3.0)).clip(0, 65535) \
+        .astype(np.uint16)
+    cfg = ProcessConfig(sigma=(8, 8), wavelet="db3", dark=30.0, rotate=90)
+    fn = process_batch_fn(cfg)
+    assert process_batch_fn(cfg) is fn  # cached on the cfg object
+    out = np.asarray(fn(batch))
+    want = np.stack([np.asarray(process_img(b, cfg)) for b in batch])
+    np.testing.assert_array_equal(out, want)
+    # per-plane-stat cfgs must be rejected (callers gate on
+    # needs_host_stats)
+    bleach = ProcessConfig(bleach_correction_frequency=1e-3)
+    with pytest.raises(ValueError):
+        process_batch_fn(bleach)

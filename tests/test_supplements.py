@@ -349,3 +349,26 @@ def test_command_generator_batch_reference_rules(tmp_path):
     sel = generate_batch_commands([a], goal=3,
                                   fnt_channels=["Ex_488_Em_525"])
     assert sel["fnt"].count("--fnt") == 1
+
+
+def test_command_generator_batch_quotes_paths(tmp_path):
+    """Paths with spaces must be shell-quoted in the synthesized
+    commands (they run via shell=True with --run)."""
+    import shlex
+
+    from ipp_tpu.pipeline.command_generator import generate_batch_commands
+
+    a = tmp_path / "Case 01_stitched"
+    for ch in ("Ex_488_Em_525_stitched", "Ex_561_Em_600_stitched"):
+        (a / ch).mkdir(parents=True)
+    (a / "metadata.txt").write_text("um/pix\t0.4\nz_step_um\t1.0\n")
+    cmds = generate_batch_commands(
+        [a], goal=0, composite_root=tmp_path / "merged out",
+        fnt_root=tmp_path / "fnt", ims_root=tmp_path / "ims")
+    for kind in ("merge", "fnt", "ims"):
+        for cmd in cmds[kind].split(" && "):
+            if not cmd:
+                continue
+            toks = shlex.split(cmd)  # must tokenize cleanly
+            # every path token containing the case name survives intact
+            assert any("Case 01_stitched" in t for t in toks), (kind, cmd)
