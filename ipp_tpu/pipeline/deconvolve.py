@@ -202,7 +202,34 @@ def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
                 if all(hi > lo for lo, hi in core):
                     plans.append(BlockPlan(idx, tuple(core), halo))
                     idx += 1
+    _check_block_coverage(plans, vol_shape)
     return plans, halo, tuple(best)
+
+
+def _check_block_coverage(plans: List["BlockPlan"], vol_shape) -> None:
+    """Production invariant (the reference's check_block_coverage_planes,
+    LsDeconv.m:421): block cores must tile the volume exactly — every
+    voxel covered by exactly one core.  Checked per axis as interval
+    chains (cores are an axis-aligned grid), so it is O(nblocks) not
+    O(voxels)."""
+    per_axis = [sorted({p.core[ax] for p in plans}) for ax in range(3)]
+    for ax, ivs in enumerate(per_axis):
+        pos = 0
+        for lo, hi in ivs:
+            if lo != pos or hi <= lo:
+                raise AssertionError(
+                    f"decon block plan leaves axis {ax} uncovered or "
+                    f"overlapped at {pos} (next core [{lo}, {hi}))")
+            pos = hi
+        if pos != vol_shape[ax]:
+            raise AssertionError(
+                f"decon block plan covers axis {ax} to {pos} of "
+                f"{vol_shape[ax]}")
+    expected = int(np.prod([len(ivs) for ivs in per_axis]))
+    if len(plans) != expected:
+        raise AssertionError(
+            f"decon block plan grid is ragged: {len(plans)} blocks for a "
+            f"{'x'.join(str(len(i)) for i in per_axis)} core grid")
 
 
 def fft_work_shape(plans: List[BlockPlan], halo,

@@ -741,3 +741,26 @@ def test_process_images_reference_default_flags():
     # reference-style underscore aliases
     a = p.parse_args(base + ["--no-de_stripe", "--cosine_blending"])
     assert a.de_stripe is False and a.cosine_blending is True
+
+
+def test_check_block_coverage_production_assert():
+    """The in-pipeline coverage invariant (the reference's
+    check_block_coverage_planes, LsDeconv.m:421) — every autosplit
+    output passes it; a tampered plan list fails loudly."""
+    import pytest as _pytest
+
+    from ipp_tpu.pipeline.deconvolve import (BlockPlan, _check_block_coverage,
+                                             autosplit)
+
+    plans, halo, _ = autosplit((50, 300, 200), (9, 9, 9),
+                               max_block_elems=120 * 120 * 60,
+                               strict_accuracy=False)
+    _check_block_coverage(plans, (50, 300, 200))  # passes (also run inside)
+    with _pytest.raises(AssertionError, match="ragged|uncovered|covers"):
+        _check_block_coverage(plans[:-1], (50, 300, 200))
+    hole = list(plans)
+    (z0, z1), yx0, yx1 = hole[0].core
+    hole[0] = BlockPlan(hole[0].index, ((z0 + 1, z1), yx0, yx1),
+                        hole[0].halo)
+    with _pytest.raises(AssertionError):
+        _check_block_coverage(hole, (50, 300, 200))
