@@ -298,3 +298,21 @@ def test_process_batch_fn_jitted_matches_eager(rng):
     bleach = ProcessConfig(bleach_correction_frequency=1e-3)
     with pytest.raises(ValueError):
         process_batch_fn(bleach)
+
+
+def test_process_batch_fn_eager_gate(rng, monkeypatch):
+    """IPP_TPU_JIT_PROCESS=0 falls back to eager ops but still returns
+    an UNFETCHED device array (the lagged fetch contract)."""
+    import jax
+
+    from ipp_tpu.ops.process import process_batch_fn
+
+    monkeypatch.setenv("IPP_TPU_JIT_PROCESS", "0")
+    cfg = ProcessConfig(dark=10.0)
+    fn = process_batch_fn(cfg)
+    batch = rng.integers(100, 3000, (3, 16, 16)).astype(np.uint16)
+    out = fn(batch)
+    assert isinstance(out, jax.Array)
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        np.stack([np.asarray(process_img(b, cfg)) for b in batch]))
