@@ -121,6 +121,10 @@ def run_tile_pipeline(
             raise box["e"]
         return box["v"]
 
+    from ..utils.memory import ram_gate
+
+    tile_nbytes = [0]  # set from the first decoded tile
+
     def read_worker():
         while True:
             with iter_lock:
@@ -128,6 +132,11 @@ def run_tile_pipeline(
             if t is None:
                 in_q.put(None)
                 return
+            # explicit RAM admission (the reference's
+            # free_ram_is_not_enough poll, parallel_image_processor.py:
+            # 210-217): each reader needs headroom for its decode plus
+            # the batches already queued — gate on ~4 tiles' worth
+            ram_gate(4 * tile_nbytes[0])
             try:
                 # timeout sandbox: a hung/corrupt read becomes a zero tile
                 if t.frame is None:
@@ -144,6 +153,8 @@ def run_tile_pipeline(
             except Exception:
                 traceback.print_exc()
                 img = None  # zero-tile substitution downstream
+            if img is not None and not tile_nbytes[0]:
+                tile_nbytes[0] = img.nbytes
             in_q.put((t, img))
 
     def write_worker():

@@ -581,6 +581,11 @@ def deconvolve_volume(
             out_specs=(spec, P("data"), P("data"))))
 
         def read_group(group):
+            # explicit RAM admission before staging a mesh batch of
+            # blocks (the reference's free_ram_is_not_enough poll)
+            from ..utils.memory import ram_gate
+
+            ram_gate(2 * n_data * 4 * int(np.prod(uni)))
             blocks = [read_block_uniform(vol, p_, uni) for p_ in group]
             # short tail: repeat the last block so the batch (and its
             # sharding) keeps the compiled shape; extras are dropped

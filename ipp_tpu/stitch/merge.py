@@ -215,6 +215,16 @@ def merge_to_tif_series(
         hits = blender.weights_for_batch(ext)
         if hits is None:  # z-staggered layout: per-plane fallback reads
             return {}
+        # explicit RAM admission before committing a batch of tile reads
+        # (the reference converter's free_ram_is_not_enough poll +
+        # RAM-sized merge pool, parallel_image_processor.py:210-217,
+        # process_images.py:644-655): one in-flight batch holds the
+        # crops, the canvas and the fetched result
+        from ..utils.memory import ram_gate
+
+        batch_bytes = sum(
+            4 * int(np.prod(inter.shape)) for _i, inter, _w in hits)
+        ram_gate(2 * batch_bytes)
         futs = {}
         for i, inter, _w in hits:
             futs[(i, inter)] = read_pool.submit(stacks[i].imread, inter)

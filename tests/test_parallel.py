@@ -365,3 +365,45 @@ def test_one_in_flight_pipeline():
     assert ser.flush() == []
     # handles without copy_to_host_async are tolerated
     assert OneInFlight().put("y", object(), None) is None
+
+
+def test_ram_admission_gate(monkeypatch):
+    """utils.memory: the explicit RAM gate (reference
+    free_ram_is_not_enough, parallel_image_processor.py:210-217) blocks
+    under pressure, never deadlocks (bounded by timeout), and the
+    worker cap mirrors the reference's merge_step_cores model
+    (process_images.py:644-655)."""
+    import time
+
+    from ipp_tpu.utils import memory
+
+    avail = memory.available_ram_bytes()
+    assert avail is not None and avail > 0  # /proc/meminfo on Linux
+
+    # plenty available: returns immediately
+    t0 = time.monotonic()
+    memory.ram_gate(1024)
+    assert time.monotonic() - t0 < 0.1
+
+    # simulated pressure: bounded wait, proceeds after timeout
+    monkeypatch.setattr(memory, "available_ram_bytes", lambda: 100)
+    t0 = time.monotonic()
+    memory.ram_gate(10**12, poll_s=0.02, timeout_s=0.1)
+    dt = time.monotonic() - t0
+    assert 0.08 < dt < 2.0
+
+    # kill switch
+    monkeypatch.setenv("IPP_TPU_RAM_GATE", "0")
+    t0 = time.monotonic()
+    memory.ram_gate(10**12, timeout_s=5.0)
+    assert time.monotonic() - t0 < 0.1
+    monkeypatch.delenv("IPP_TPU_RAM_GATE")
+
+    # worker cap: fits (avail - reserve) / per_worker, floor 1
+    monkeypatch.setattr(memory, "available_ram_bytes",
+                        lambda: 10 * 2**30)
+    assert memory.workers_for_ram(2 * 2**30, 16) == 4
+    assert memory.workers_for_ram(100 * 2**30, 16) == 1
+    assert memory.workers_for_ram(0.1 * 2**30, 4) == 4
+    monkeypatch.setattr(memory, "available_ram_bytes", lambda: None)
+    assert memory.workers_for_ram(2**30, 8) == 8  # unknown: trust caller
