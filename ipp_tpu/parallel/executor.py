@@ -87,6 +87,15 @@ def run_tile_pipeline(
         return counters
 
     read_fn = reader or tio.imread
+    if expected_shape is not None:
+        # RAM-sized pool cap (the reference's merge_step_cores model,
+        # process_images.py:644-655): each reader holds one decoded tile
+        # plus its queue slot; f32 intermediates on device don't count
+        from ..utils.memory import workers_for_ram
+
+        tile_b = (int(np.prod(expected_shape))
+                  * np.dtype(expected_dtype).itemsize)
+        reader_threads = workers_for_ram(8 * tile_b, reader_threads)
     prog = ProgressReporter(len(tasks), desc=progress_desc)
     in_q: "queue.Queue[Optional[Tuple[TileTask, Optional[np.ndarray]]]]" = (
         queue.Queue(maxsize=4 * batch_size))
