@@ -237,19 +237,42 @@ def main() -> None:
 
     _ready = threading.Event()
 
+    def _host_only_record(reason: str) -> None:
+        """The device is unreachable: record the HOST metrics already
+        measured (encode/decode/brick-cache run before device init) as
+        an honest partial benchmark instead of losing the round's
+        record.  value=0 + device_unreachable flags it clearly."""
+        metrics["device_unreachable"] = reason
+        print(json.dumps({
+            "metric":
+                "rl_decon_fft_256blk_halo16_10iter_core_throughput_per_chip",
+            "value": 0.0,
+            "unit": "Mvox/s",
+            "vs_baseline": 0.0,
+            "extra": metrics,
+        }), flush=True)
+
     def _watchdog():
         deadline = float(_os.environ.get("IPP_TPU_BENCH_INIT_TIMEOUT",
                                          "1200"))
         if not _ready.wait(timeout=deadline):
             print(f"bench: no device contact within {deadline:.0f}s "
-                  "(wedged TPU tunnel?) — aborting with no JSON line",
+                  "(wedged TPU tunnel?) — emitting host-only record",
                   file=sys.stderr, flush=True)
-            _os._exit(3)
+            _host_only_record(f"no device contact in {deadline:.0f}s")
+            _os._exit(0)  # the JSON record on stdout is valid
 
     threading.Thread(target=_watchdog, daemon=True).start()
-    dev = jax.devices()[0]
-    # prove a round-trip completes, not just backend registration
-    float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+    try:
+        dev = jax.devices()[0]
+        # prove a round-trip completes, not just backend registration
+        float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+    except RuntimeError as exc:  # backend init failed fast (UNAVAILABLE)
+        _ready.set()  # stop the watchdog double-reporting
+        print(f"bench: device init failed ({exc}) — emitting host-only "
+              "record", file=sys.stderr, flush=True)
+        _host_only_record(str(exc).splitlines()[0][:200])
+        return
     _ready.set()
     print(f"device: {dev}", file=sys.stderr)
 
