@@ -271,7 +271,7 @@ def main() -> None:
         _ready.set()  # stop the watchdog double-reporting
         print(f"bench: device init failed ({exc}) — emitting host-only "
               "record", file=sys.stderr, flush=True)
-        _host_only_record(str(exc).splitlines()[0][:200])
+        _host_only_record((str(exc).splitlines() or [''])[0][:200])
         return
     _ready.set()
     print(f"device: {dev}", file=sys.stderr)

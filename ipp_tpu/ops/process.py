@@ -132,8 +132,7 @@ def process_img(img: np.ndarray, cfg: Optional[ProcessConfig] = None,
         clip_min = cfg.bleach_correction_clip_min
         clip_med = cfg.bleach_correction_clip_med
         clip_max = cfg.bleach_correction_clip_max
-        if (cfg.bleach_correction_frequency is not None
-                and (clip_min is None or clip_med is None or clip_max is None)):
+        if needs_host_stats(cfg):
             import jax as _jax
 
             if isinstance(x, _jax.core.Tracer):

@@ -226,9 +226,13 @@ def _check_block_coverage(plans: List["BlockPlan"], vol_shape) -> None:
                 f"decon block plan covers axis {ax} to {pos} of "
                 f"{vol_shape[ax]}")
     expected = int(np.prod([len(ivs) for ivs in per_axis]))
-    if len(plans) != expected:
+    unique = {p.core for p in plans}
+    if len(plans) != expected or len(unique) != expected:
+        # len(unique) check: a duplicated cell plus a missing one keeps
+        # len(plans) == expected but still corrupts coverage
         raise AssertionError(
-            f"decon block plan grid is ragged: {len(plans)} blocks for a "
+            f"decon block plan grid is ragged: {len(plans)} blocks "
+            f"({len(unique)} unique) for a "
             f"{'x'.join(str(len(i)) for i in per_axis)} core grid")
 
 

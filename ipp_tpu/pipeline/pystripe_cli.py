@@ -125,11 +125,18 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
             # stacking would make them batch-global
             return np.stack([np.asarray(process_img(p, cfg))
                              for p in stacked])
-        # single device: ONE jitted executable per shape returning the
-        # DEVICE array (eager process_img would both dispatch the op
-        # chain op-by-op and block on a host fetch, defeating the
-        # executor's lagged download)
-        return process_batch_fn(cfg)(stacked)
+        # single device: ONE jitted executable per (batch, H, W) shape
+        # returning the DEVICE array (eager process_img would both
+        # dispatch the op chain op-by-op and block on a host fetch,
+        # defeating the executor's lagged download).  Tail batches and
+        # mixed-uniform work subsets pad to batch_size — each distinct
+        # batch dim would otherwise compile the whole chain again
+        # (minutes on a tunneled backend that serves no on-disk cache)
+        n = stacked.shape[0]
+        if n < batch_size:
+            stacked = np.concatenate(
+                [stacked, np.repeat(stacked[-1:], batch_size - n, 0)])
+        return process_batch_fn(cfg)(stacked)[:n]
 
     def proc_batch(batch: np.ndarray) -> np.ndarray:
         # the device path handles whole batches; uniform tiles short-circuit
@@ -149,7 +156,22 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
             results[i] = np.zeros(tile, dt)
         return np.stack([results[i] for i in range(len(batch))])
 
+    # cheap header probe (PIL lazy open decodes nothing) so the executor
+    # can RAM-size its reader pool and shape dummy tiles up front
+    expected_shape = None
+    for t in tasks[:4]:
+        if t.input_path.suffix.lower() in (".tif", ".tiff", ".png"):
+            try:
+                from PIL import Image
+
+                with Image.open(t.input_path) as im:
+                    expected_shape = (im.size[1], im.size[0])
+                break
+            except Exception:  # noqa: BLE001 — corrupt first file: no hint
+                continue
+
     return run_tile_pipeline(tasks, proc_batch,
+                             expected_shape=expected_shape,
                              batch_size=batch_size, resume=resume,
                              compression=compression,
                              reader_threads=workers,
