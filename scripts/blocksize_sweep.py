@@ -1,0 +1,37 @@
+"""RL decon block-size sweep: does a bigger overlap-save block raise the
+CORE-voxel rate?  Same methodology as bench.py's decon stage (deep
+dispatch queue, scalar fetch, best-of-3 windows)."""
+import time
+import numpy as np
+from ipp_tpu.utils.jaxconfig import enable_persistent_cache
+enable_persistent_cache()
+import jax.numpy as jnp
+from ipp_tpu.ops.deconv import richardson_lucy
+from ipp_tpu.ops.psf import gaussian_psf
+
+rng = np.random.default_rng(0)
+psf = jnp.asarray(gaussian_psf((9, 9, 9), (2.0, 2.0, 2.0)))
+halo = 16
+niter = 10
+
+for shape, reps in [((256, 256, 256), 15), ((256, 512, 512), 5),
+                    ((384, 512, 512), 4)]:
+    vol = jnp.asarray(rng.random(shape, dtype=np.float32) * 1000.0)
+    core = np.prod([s - 2 * halo for s in shape])
+
+    def run_many(r):
+        acc = jnp.float32(0)
+        for _ in range(r):
+            acc = acc + jnp.sum(richardson_lucy(
+                vol, psf, niter=niter, stop_criterion=0.0, fft_shape=shape))
+        return float(acc)
+
+    t0 = time.time(); run_many(1); comp = time.time() - t0
+    run_many(reps)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); run_many(reps)
+        best = min(best, (time.time() - t0) / reps)
+    print(f"{shape}: compile {comp:.0f}s, {best*1e3:.0f} ms/block, "
+          f"core {core/best/1e6:.1f} Mvox/s, "
+          f"padded {np.prod(shape)/best/1e6:.1f} Mvox/s", flush=True)
