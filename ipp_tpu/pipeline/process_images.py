@@ -619,7 +619,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rgb-composite", action="store_true",
                    help="align channels and write RGB composites")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--stitch-test", "--test", dest="stitch_test",
+                   action="store_true",
+                   help="stitch ONLY the middle slice at STAGE "
+                        "coordinates (no alignment) and save it next to "
+                        "the stitched output — a quick check of stage-"
+                        "coordinate precision and the reference system "
+                        "(terastitcher --test, TeraStitcher ui/CLI.cpp:87)")
     return p
+
+
+def stitch_test(channel_path: Path, stitched_root: Path,
+                voxel_um: Tuple[float, float, float],
+                cosine_blending: bool = True,
+                log: Optional[Logger] = None) -> Path:
+    """TeraStitcher --test mode (ui/CLI.cpp:87, StackStitcher.h:265-275):
+    blend the MIDDLE z slice of the whole volume at nominal stage
+    coordinates — no displacement computation — so stage precision and
+    the chosen reference system can be eyeballed before a full run.
+    voxel_um is (vx, vy, vz) — process_channel's convention."""
+    from ..geometry.extent import VExtent
+    from ..stitch.merge import merge_to_tif_series
+
+    log = log or Logger()
+    grid = TileGrid.from_directory(
+        channel_path, voxel_um=(voxel_um[1], voxel_um[0], voxel_um[2]))
+    vol = grid.volume
+    zmid = (vol.z0 + vol.z1) // 2
+    out_dir = Path(stitched_root) / f"{channel_path.name}_test"
+    merge_to_tif_series(
+        grid, out_dir, cosine_blending=cosine_blending,
+        tif_prefix="test_middle_slice",
+        volume=VExtent(vol.x0, vol.x1, vol.y0, vol.y1, zmid, zmid + 1))
+    out = out_dir / "test_middle_slice_000000.tif"
+    log.info(f"stage-coordinate middle slice (z={zmid}) -> {out}")
+    return out
 
 
 def discover_channels(input_dir: Path) -> List[str]:
@@ -657,6 +691,15 @@ def main(argv=None) -> int:
     log.info(f"channels: {channels}")
     if args.mip_calibrate is not None:
         return mip_calibrate(args.input, channels, args.mip_calibrate, log)
+    if args.stitch_test:
+        # exclusive of the full pipeline, as in the reference
+        # (terastitcher CLI.cpp:709-711)
+        for ch in channels:
+            vx, vy, vz, _tile = get_voxel_sizes(args.objective,
+                                                args.input / ch)
+            stitch_test(args.input / ch, stitched_root, (vx, vy, vz),
+                        cosine_blending=args.cosine_blending, log=log)
+        return 0
     flat = None
     if args.flat is not None:
         from ..io import tiff as _tio

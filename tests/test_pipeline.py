@@ -764,3 +764,40 @@ def test_check_block_coverage_production_assert():
                         hole[0].halo)
     with _pytest.raises(AssertionError):
         _check_block_coverage(hole, (50, 300, 200))
+
+
+def test_stitch_test_middle_slice(tmp_path, rng):
+    """--stitch-test (terastitcher --test, ui/CLI.cpp:87): ONE output —
+    the middle slice blended at nominal stage coordinates, no alignment,
+    no other artifacts."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (6, 200, 200), smooth=8.0)
+    tiles, _ = cut_tiles(vol, 2, 2, (120, 120), 48, jitter=0, rng=rng)
+    ch_dir = tmp_path / "raw" / "Ex_488_Em_525"
+    ch_dir.mkdir(parents=True)
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
+                    voxel_um=(0.41, 0.41, 0.1))
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--stitch-test",
+    ])
+    assert rc == 0
+    out = (tmp_path / "stitched" / "Ex_488_Em_525_test"
+           / "test_middle_slice_000000.tif")
+    assert out.exists()
+    img = tio.imread(out)
+    assert img.ndim == 2 and img.max() > 0
+    # with zero jitter, stage coordinates are exact: the slice matches
+    # the phantom's middle plane over the tiled extent (blending of
+    # identical overlap content)
+    mid = vol[vol.shape[0] // 2][:img.shape[0], :img.shape[1]]
+    corr = np.corrcoef(img.ravel().astype(np.float64),
+                       mid.ravel().astype(np.float64))[0, 1]
+    # stage names quantize to tenths of um (= sub-pixel placement error
+    # at 0.41 um/px), so the match is high but not exact — which is the
+    # POINT of the test mode: it shows stage precision
+    assert corr > 0.95, corr
+    # exclusive mode: the full pipeline did NOT run
+    assert not (tmp_path / "stitched" / "Ex_488_Em_525").exists()
