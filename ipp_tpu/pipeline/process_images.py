@@ -619,6 +619,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rgb-composite", action="store_true",
                    help="align channels and write RGB composites")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--stitch-mip", "--stitch_mip", dest="stitch_mip",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="stitch the <channel>_MIP folders (single-plane "
+                        "max projections) instead of the full channels — "
+                        "z search and the downsampled npz are skipped "
+                        "(reference --stitch_mip, process_images.py:"
+                        "1076-1082,562-564,728)")
     p.add_argument("--stitch-test", "--test", dest="stitch_test",
                    action="store_true",
                    help="stitch ONLY the middle slice at STAGE "
@@ -680,7 +687,18 @@ def main(argv=None) -> int:
             "off" if args.noprogressbar else "log")
     log = Logger(args.input / "ipp_tpu_log.txt"
                  if args.input.exists() else None)
-    channels = args.channel or discover_channels(args.input)
+    if args.stitch_mip:
+        # stitch the MIP datasets: <channel>_MIP folders, single-plane
+        # stacks — z subvolumes and the atlas npz are meaningless there
+        # (reference process_images.py:1076-1082, subvoldim=1 :564,
+        # target_voxel=None :728)
+        channels = args.channel or [
+            c + "_MIP" for c, _ in ALL_CHANNELS
+            if (args.input / (c + "_MIP")).is_dir()]
+        args.subvol_dim = 1
+        args.downsampled_voxel = None
+    else:
+        channels = args.channel or discover_channels(args.input)
     if not channels:
         log.error(f"no channels found under {args.input}")
         return 2

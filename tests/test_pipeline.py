@@ -801,3 +801,30 @@ def test_stitch_test_middle_slice(tmp_path, rng):
     assert corr > 0.95, corr
     # exclusive mode: the full pipeline did NOT run
     assert not (tmp_path / "stitched" / "Ex_488_Em_525").exists()
+
+
+def test_stitch_mip_mode(tmp_path, rng):
+    """--stitch-mip stitches the <channel>_MIP single-plane hierarchy
+    (reference process_images.py:1076-1082): subvol depth forced to 1,
+    no npz, stitched series of exactly one plane."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (1, 200, 200), smooth=8.0)
+    tiles, _ = cut_tiles(vol, 2, 2, (120, 120), 48, jitter=2, rng=rng)
+    ch_dir = tmp_path / "raw" / "Ex_488_Em_525_MIP"
+    ch_dir.mkdir(parents=True)
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
+                    voxel_um=(0.41, 0.41, 0.1))
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess", "--stitch-mip",
+        "--search-radius", "8",
+        "--downsampled-voxel", "16",  # must be ignored in MIP mode
+    ])
+    assert rc == 0
+    out_dir = tmp_path / "stitched" / "Ex_488_Em_525_MIP"
+    outs = sorted(out_dir.glob("img_*.tif"))
+    assert len(outs) == 1
+    assert tio.imread(outs[0]).max() > 0
+    assert not list((tmp_path / "stitched").glob("*.npz"))
