@@ -483,8 +483,16 @@ def build_parser() -> argparse.ArgumentParser:
                     "(process_images equivalent)")
     p.add_argument("--input", "-i", required=True, type=Path,
                    help="raw data dir containing channel folders")
-    p.add_argument("--preprocessed", "-t", type=Path, default=None,
-                   help="cache dir for preprocessed tiles")
+    p.add_argument("--preprocessed", "--tmptif", "-t", type=Path,
+                   default=None,
+                   help="cache dir for preprocessed tiles (reference "
+                        "spelling --tmptif)")
+    p.add_argument("--need_raw_png_to_tiff_conversion",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="accepted for reference-script compatibility and "
+                        "ignored: every pipeline stage decodes raw/png "
+                        "natively (io/raw.py, io/generic2d.py), so no "
+                        "pre-conversion pass exists to toggle")
     p.add_argument("--stitched", "-s", type=Path, default=None)
     p.add_argument("--objective", default="15x", choices=sorted(OBJECTIVES))
     p.add_argument("--channel", action="append", default=None,
