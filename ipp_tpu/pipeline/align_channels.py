@@ -285,6 +285,7 @@ def write_composite_series(
     dtype=np.uint8,
     log: Optional[Logger] = None,
     right_bit_shifts: Optional[Dict[str, int]] = None,
+    resume: bool = False,
 ) -> Path:
     """Merge per-channel TIFF series into multi-plane composites, applying
     integer offsets (reference merge_all_channels / generate_composite_image,
@@ -343,6 +344,11 @@ def write_composite_series(
         return img
 
     for z in range(depth):
+        out_path = out_dir / f"composite_{z:06d}.tif"
+        if resume and out_path.exists():
+            # reference merge_channels.py --resume (default True there):
+            # completed composite planes are skipped
+            continue
         composite = np.zeros((max_h, max_w, n_planes), np.float32)
         for ch, flist in files.items():
             dz, dy, dx = offsets.get(ch, (0, 0, 0))
@@ -358,6 +364,6 @@ def write_composite_series(
                 img = roll_pad(img[None], (0, dy, dx))[0]
             composite[..., color_idx[colors.get(ch, "g")]] += img
         out = np.clip(composite, info.min, info.max).astype(dtype)
-        tio.imwrite(out_dir / f"composite_{z:06d}.tif", out)
+        tio.imwrite(out_path, out)
     log.info(f"{depth} composite planes written to {out_dir}")
     return out_dir

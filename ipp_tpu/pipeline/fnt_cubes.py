@@ -227,6 +227,15 @@ def main(argv=None) -> int:
                    help="custom PSF volume (.npy or multi-page .tif) — "
                         "the reference's --doubled_psf OTF role")
     p.add_argument("--resume", action="store_true")
+    # accepted for reference compatibility and ignored: cubes stream
+    # through one device with a lagged fetch instead of a GPU worker
+    # pool (fnt_cube_processor.py:227-388)
+    p.add_argument("--num_processes", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--threads_per_gpu", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--exclude_gpus", nargs="+", default=None,
+                   help=argparse.SUPPRESS)
     args = p.parse_args(argv)
     voxel = list(args.voxel)
     if args.dz is not None:

@@ -45,6 +45,15 @@ def main(argv=None) -> int:
                    help="convert each channel to 8-bit before compositing")
     p.add_argument("--bit-shift", "--bit_shift", type=int, default=8,
                    help="right bit shift for the 8-bit conversion (0-8)")
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="skip composite planes that already exist "
+                        "(reference merge_channels.py --resume, default "
+                        "on there too)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="accepted for reference compatibility; the "
+                        "composite writer is single-process (host IO "
+                        "threads are internal)")
     args = p.parse_args(argv)
     enable_persistent_cache()
     log = Logger()
@@ -91,7 +100,8 @@ def main(argv=None) -> int:
     dtype = (np.uint8 if args.convert_to_8bit else
              (tio.imread(first_tif[0]).dtype if first_tif else np.uint16))
     write_composite_series(channels, colors, args.output, offsets,
-                           dtype=dtype, right_bit_shifts=shifts)
+                           dtype=dtype, right_bit_shifts=shifts,
+                           resume=args.resume)
     return 0
 
 

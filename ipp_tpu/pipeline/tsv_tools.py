@@ -546,9 +546,14 @@ def main(argv=None) -> int:
     n = sub.add_parser("npz")
     n.add_argument("--input", required=True, type=Path)
     n.add_argument("--output", required=True, type=Path)
-    n.add_argument("--voxel", type=float, nargs=3, required=True,
+    n.add_argument("--voxel", type=float, nargs=3, default=None,
                    metavar=("Z", "Y", "X"))
-    n.add_argument("--target-voxel", type=float, required=True)
+    # reference spellings (downsampled_npz_generator.py CLI)
+    n.add_argument("--voxel_x", "-dx", type=float, default=None)
+    n.add_argument("--voxel_y", "-dy", type=float, default=None)
+    n.add_argument("--voxel_z", "-dz", type=float, default=None)
+    n.add_argument("--target-voxel", "--downsampled_voxel", "-dt",
+                   dest="target_voxel", type=float, required=True)
     cs = sub.add_parser("crop-series",
                         help="crop a TIFF series to a sub-box "
                              "(supplements/croping.py role)")
@@ -661,8 +666,14 @@ def main(argv=None) -> int:
                       frame_shape=tuple(args.frame_shape))
         log.info(f"{n} planes placed")
     elif args.cmd == "npz":
+        voxel = args.voxel
+        if voxel is None:
+            if None in (args.voxel_z, args.voxel_y, args.voxel_x):
+                raise SystemExit(
+                    "npz: pass --voxel Z Y X or all of -dz/-dy/-dx")
+            voxel = (args.voxel_z, args.voxel_y, args.voxel_x)
         log.info(str(generate_downsampled_npz(
-            args.input, args.output, tuple(args.voxel), args.target_voxel)))
+            args.input, args.output, tuple(voxel), args.target_voxel)))
     elif args.cmd == "precomputed":
         log.info(str(series_to_precomputed(
             args.input, args.output, tuple(args.voxel_nm), args.levels)))

@@ -372,3 +372,32 @@ def test_command_generator_batch_quotes_paths(tmp_path):
             toks = shlex.split(cmd)  # must tokenize cleanly
             # every path token containing the case name survives intact
             assert any("Case 01_stitched" in t for t in toks), (kind, cmd)
+
+
+def test_merge_channels_resume_skips_existing(tmp_path):
+    """--resume (reference default) leaves already-written composite
+    planes untouched and fills in the missing ones."""
+    import numpy as np
+
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.pipeline.merge_channels import main
+
+    a = tmp_path / "A"
+    a.mkdir()
+    for z in range(3):
+        tio.imwrite(a / f"img_{z:04d}.tif",
+                    np.full((16, 16), 40 * (z + 1), np.uint8))
+    out = tmp_path / "rgb"
+    out.mkdir()
+    sentinel = np.full((16, 16, 3), 7, np.uint8)
+    tio.imwrite(out / "composite_000001.tif", sentinel)
+    rc = main(["--red", str(a), "-o", str(out), "--no-align"])
+    assert rc == 0
+    assert sorted(p.name for p in out.glob("composite_*.tif")) == [
+        f"composite_{z:06d}.tif" for z in range(3)]
+    np.testing.assert_array_equal(tio.imread(out / "composite_000001.tif"),
+                                  sentinel)  # resume kept it
+    rc = main(["--red", str(a), "-o", str(out), "--no-align",
+               "--no-resume"])
+    assert rc == 0
+    assert tio.imread(out / "composite_000001.tif")[0, 0, 0] == 80
