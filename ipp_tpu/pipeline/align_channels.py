@@ -367,3 +367,151 @@ def write_composite_series(
         tio.imwrite(out_path, out)
     log.info(f"{depth} composite planes written to {out_dir}")
     return out_dir
+
+
+def main(argv=None) -> int:
+    """Standalone channel-alignment CLI — the reference align_images.py
+    surface (align_images.py:716-756): per channel a pair of paths
+    (ORIGINAL series dir, DOWNSAMPLED stack), ECC alignment on the
+    downsampled volumes, aligned downsampled RGB (+ singles,
+    alignments.txt), offsets scaled by the voxel ratios and applied to
+    the original series, optional .ims exports."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Align 3D channel images (reference align_images.py)")
+    for name, short in (("red", "-r"), ("green", "-g"), ("blue", "-b")):
+        p.add_argument(f"--{name}", short, nargs=2, default=[None, None],
+                       metavar=("ORIGINAL", "DOWNSAMPLED"))
+    p.add_argument("--output", "-o", required=True, type=Path)
+    p.add_argument("--write_alignments", action="store_true")
+    p.add_argument("--generate_ims", action="store_true")
+    p.add_argument("--max_iterations", type=int, default=10)
+    p.add_argument("--reference", default="red",
+                   choices=["red", "green", "blue"])
+    p.add_argument("--num_threads", type=int, default=8,
+                   help="accepted for compatibility; plane IO is "
+                        "threaded internally")
+    p.add_argument("--save_singles", action="store_true")
+    p.add_argument("--dtype", default="uint8",
+                   choices=["uint8", "uint16", "uint32", "float32",
+                            "float64"])
+    p.add_argument("--dx", required=True, nargs=2, type=float,
+                   metavar=("ORIG_UM", "DOWN_UM"))
+    p.add_argument("--dy", required=True, nargs=2, type=float)
+    p.add_argument("--dz", required=True, nargs=2, type=float)
+    args = p.parse_args(argv)
+    log = Logger()
+
+    def _load(path):
+        path = Path(path)
+        if path.is_dir():
+            from ..utils.tifstack import TifStack
+
+            st = TifStack(path)
+            return np.stack([st[z] for z in range(st.nz)])
+        return np.asarray(tio.read_tiff_stack(path))
+
+    pairs = {c: getattr(args, c) for c in ("red", "green", "blue")
+             if getattr(args, c)[1] is not None}
+    if args.reference not in pairs:
+        log.error(f"--reference {args.reference} has no input pair")
+        return 2
+    down = {c: _load(d) for c, (_o, d) in pairs.items()}
+    ref = args.reference
+    dtype = np.dtype(args.dtype)
+
+    offsets = {c: (0, 0, 0) for c in pairs}
+    aligned = dict(down)
+    for c in pairs:
+        if c == ref:
+            continue
+        aligned[c], offsets[c] = align_volumes(
+            down[ref].astype(np.float32), down[c].astype(np.float32),
+            max_iter=args.max_iterations, log=log)
+        aligned[c] = aligned[c].astype(down[c].dtype)
+
+    # aligned downsampled outputs: RGB composite (+ singles)
+    down_dir = args.output / "downsampled"
+    rgb_dir = down_dir / "RGB"
+    rgb_dir.mkdir(parents=True, exist_ok=True)
+    info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
+    depth = max(v.shape[0] for v in aligned.values())
+    cidx = {"red": 0, "green": 1, "blue": 2}
+    for z in range(depth):
+        h = max(v.shape[1] for v in aligned.values())
+        w = max(v.shape[2] for v in aligned.values())
+        comp = np.zeros((h, w, 3), np.float32)
+        for c, v in aligned.items():
+            if z < v.shape[0]:
+                comp[:v.shape[1], :v.shape[2], cidx[c]] = v[z]
+        if info is not None:
+            comp = np.clip(comp, info.min, info.max)
+        tio.imwrite(rgb_dir / f"img_{z:06d}.tif", comp.astype(dtype))
+    if args.save_singles:
+        for c, v in aligned.items():
+            d = down_dir / c
+            d.mkdir(parents=True, exist_ok=True)
+            for z in range(v.shape[0]):
+                tio.imwrite(d / f"img_{z:06d}.tif", v[z])
+    if args.write_alignments:
+        with open(args.output / "alignments.txt", "w") as f:
+            for c, off in offsets.items():
+                f.write(f"{c}: dz,dy,dx = {off}\n")
+        log.info(f"alignments -> {args.output / 'alignments.txt'}")
+
+    # scale offsets to the original resolution and apply, streaming
+    ratios = [o / d for o, d in (args.dz, args.dy, args.dx)]  # z, y, x
+    orig_out = args.output / "original"
+    orig_dirs = {}
+    for c, (orig, _d) in pairs.items():
+        if orig is None:
+            continue
+        scaled = tuple(int(round(offsets[c][i] / ratios[i]))
+                       for i in range(3))
+        log.info(f"{c}: downsampled offsets {offsets[c]} -> original "
+                 f"{scaled} (voxel ratios {ratios})")
+        orig_dirs[c] = write_aligned_series(
+            Path(orig), orig_out / c, scaled, log=log) \
+            if scaled != (0, 0, 0) or args.save_singles else Path(orig)
+    if orig_dirs:
+        write_composite_series(
+            {c: d for c, d in orig_dirs.items()},
+            {c: c[0] for c in orig_dirs}, orig_out / "RGB",
+            dtype=dtype if info is not None else np.uint16, log=log)
+
+    if args.generate_ims:
+        # the .ims writer is single-channel (Imaris5 Channel groups):
+        # one .ims per aligned channel, colored accordingly — the
+        # reference instead shells its converter at the RGB dir
+        # (align_images.py:713-714)
+        from ..io.ims import tif_series_to_imaris
+
+        color = {"red": "Red", "green": "Green", "blue": "Blue"}
+        for c, v in aligned.items():
+            d = down_dir / c
+            if not d.exists():
+                d.mkdir(parents=True, exist_ok=True)
+                for z in range(v.shape[0]):
+                    tio.imwrite(d / f"img_{z:06d}.tif", v[z])
+            out_ims = down_dir / f"{c}.ims"
+            tif_series_to_imaris(d, out_ims,
+                                 voxel_um=(args.dz[1], args.dy[1],
+                                           args.dx[1]),
+                                 channel_color=color[c])
+            log.info(f"downsampled {c} .ims -> {out_ims}")
+        for c, d in orig_dirs.items():
+            if Path(d).exists():
+                out_ims = orig_out / f"{c}.ims"
+                tif_series_to_imaris(d, out_ims,
+                                     voxel_um=(args.dz[0], args.dy[0],
+                                               args.dx[0]),
+                                     channel_color=color[c])
+                log.info(f"original {c} .ims -> {out_ims}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

@@ -828,3 +828,52 @@ def test_stitch_mip_mode(tmp_path, rng):
     assert len(outs) == 1
     assert tio.imread(outs[0]).max() > 0
     assert not list((tmp_path / "stitched").glob("*.npz"))
+
+
+def test_align_images_cli(tmp_path, rng):
+    """Standalone align_images.py-surface CLI: downsampled ECC alignment,
+    scaled application to the original series, RGB outputs, alignments
+    txt, per-channel .ims (reference align_images.py:716-756)."""
+    from ipp_tpu.pipeline.align_channels import main, roll_pad
+
+    vol = make_phantom(rng, (16, 96, 96), smooth=5.0).astype(np.float32)
+    shift = (1, 3, -2)
+    moved = roll_pad(vol.copy(), shift)
+    # originals: 2x the downsampled resolution in y/x (ratio 2), same z
+    def upsample(v):
+        return np.repeat(np.repeat(v, 2, axis=1), 2, axis=2)
+
+    dirs = {}
+    for name, v in (("red", vol), ("green", moved)):
+        d = tmp_path / f"{name}_orig"
+        d.mkdir()
+        big = upsample(v).astype(np.uint16)
+        for z in range(big.shape[0]):
+            tio.imwrite(d / f"img_{z:06d}.tif", big[z])
+        stackp = tmp_path / f"{name}_down.tif"
+        tio.write_tiff_stack(stackp, v.astype(np.uint16))
+        dirs[name] = (d, stackp)
+    out = tmp_path / "aligned"
+    rc = main([
+        "--red", str(dirs["red"][0]), str(dirs["red"][1]),
+        "--green", str(dirs["green"][0]), str(dirs["green"][1]),
+        "-o", str(out), "--write_alignments", "--save_singles",
+        "--generate_ims", "--dtype", "uint16",
+        "--dx", "1", "2", "--dy", "1", "2", "--dz", "1", "1",
+    ])
+    assert rc == 0
+    txt = (out / "alignments.txt").read_text()
+    assert f"green: dz,dy,dx = {tuple(-s for s in shift)}" in txt
+    rgb = sorted((out / "downsampled" / "RGB").glob("img_*.tif"))
+    assert len(rgb) == 16
+    plane = tio.imread(rgb[6])
+    assert plane.shape == (96, 96, 3) and plane[..., 0].max() > 0
+    # original green series: offsets scaled by voxel ratios (y/x x2, z x1)
+    og = sorted((out / "original" / "green").glob("img_*.tif"))
+    assert len(og) == 16
+    assert tio.imread(og[0]).shape == (192, 192)
+    # per-channel .ims exist and open
+    from ipp_tpu.io.ims import ImarisReader
+
+    r = ImarisReader(out / "downsampled" / "green.ims")
+    assert r.shape == (16, 96, 96)
