@@ -28,6 +28,21 @@ __all__ = ["fused_cplx_matmul"]
 _TM = 512  # rows per grid step: (512, 264+) f32 tiles fit VMEM comfortably
 
 
+def _compiler_params(pltpu):
+    """Scoped-VMEM cap for every pallas_call in this module.
+
+    Mosaic's DEFAULT cap is 16 MB of scoped VMEM, and legal big-block
+    kernels exceed it at compile time: the ny=512 ratio-rfft (two
+    (8, 512, 128) f32 input blocks + the kp-major output stack) needs
+    16.9 MB and failed with "vmem stack oom" on a (256, 512, 512) RL
+    decon block (round-4 block-size sweep).  v5e has 128 MB of VMEM;
+    a uniform generous cap makes every block shape the BlockSpecs
+    already describe legal, without changing kernels that fit the
+    default (the cap is a ceiling the compiler checks, not a request).
+    """
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def _fused_call(re2, im2, fr, fi, fri, interpret=False):
     from jax.experimental import pallas as pl
@@ -51,6 +66,7 @@ def _fused_call(re2, im2, fr, fi, fri, interpret=False):
     return pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[
             pl.BlockSpec((tm, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -236,6 +252,7 @@ def _fused_stage_call(re2, im2, mhi, mlo, forward, interpret=False):
     return pl.pallas_call(
         _stage_fwd_kernel if forward else _stage_inv_kernel,
         grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[row_spec, row_spec, mat_spec, mat_spec],
         out_specs=[row_spec, row_spec],
         out_shape=[jax.ShapeDtypeStruct((R, n), jnp.float32)] * 2,
@@ -284,6 +301,7 @@ def _fused_stage_otf_call(re2, im2, or2, oi2, mhi, mlo, conj,
     return pl.pallas_call(
         _make_stage_inv_otf_kernel(conj),
         grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[row_spec, row_spec, otf_spec, otf_spec,
                   mat_spec, mat_spec],
         out_specs=[row_spec, row_spec],
@@ -479,6 +497,7 @@ def _v2_rfft_call(x, mhi, mlo, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_rfft_kernel, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(n), mat, mat],
         out_specs=[blk(kp), blk(kp)],
         out_shape=[jax.ShapeDtypeStruct((A, kp, X), jnp.float32)] * 2,
@@ -504,6 +523,7 @@ def _v2_irfft_call(re, im, mhi, mlo, n, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_irfft_kernel, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(kp), blk(kp), mat, mat],
         out_specs=blk(n),
         out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
@@ -530,6 +550,7 @@ def _v2_stage_call(re, im, mhi, mlo, forward, interpret=False):
     return pl.pallas_call(
         _v2_stage_fwd_kernel if forward else _v2_stage_inv_kernel,
         grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(n), blk(n), mat, mat],
         out_specs=[blk(n), blk(n)],
         out_shape=[jax.ShapeDtypeStruct((A, n, X), jnp.float32)] * 2,
@@ -624,6 +645,7 @@ def _v2_rfft_call_t(x, mhi, mlo, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_rfft_kernel_t, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(n), mat, mat],
         out_specs=[_v2_blk_t(kp)] * 2,
         out_shape=[jax.ShapeDtypeStruct((kp, A, X), jnp.float32)] * 2,
@@ -650,6 +672,7 @@ def _v2_rfft_ratio_call_t(num, den, mhi, mlo, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_rfft_ratio_kernel_t, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(n), blk(n), mat, mat],
         out_specs=[_v2_blk_t(kp)] * 2,
         out_shape=[jax.ShapeDtypeStruct((kp, A, X), jnp.float32)] * 2,
@@ -676,6 +699,7 @@ def _v2_irfft_call_t(re, im, mhi, mlo, n, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_irfft_kernel_t, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[_v2_blk_t(kp)] * 2 + [mat, mat],
         out_specs=blk(n),
         out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
@@ -701,6 +725,7 @@ def _v2_irfft_mul_call_t(re, im, mul, mhi, mlo, n, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_irfft_mul_kernel_t, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[_v2_blk_t(kp)] * 2 + [blk(n), mat, mat],
         out_specs=blk(n),
         out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
@@ -746,6 +771,7 @@ def _v2_rfft_ratio_call(num, den, mhi, mlo, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_rfft_ratio_kernel, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(n), blk(n), mat, mat],
         out_specs=[blk(kp), blk(kp)],
         out_shape=[jax.ShapeDtypeStruct((A, kp, X), jnp.float32)] * 2,
@@ -784,6 +810,7 @@ def _v2_irfft_mul_call(re, im, mul, mhi, mlo, n, interpret=False):
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _v2_irfft_mul_kernel, grid=grid,
+        compiler_params=_compiler_params(pltpu),
         in_specs=[blk(kp), blk(kp), blk(n), mat, mat],
         out_specs=blk(n),
         out_shape=jax.ShapeDtypeStruct((A, n, X), jnp.float32),
