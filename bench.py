@@ -1,9 +1,12 @@
 """Benchmark — prints ONE JSON line with the headline metric.
 
 Headline: Richardson-Lucy FFT deconvolution CORE throughput per chip —
-the production block config (lane-aligned 256^3 overlap-save block,
-16-voxel discarded halo, synthetic gaussian PSF, 10 iterations), counting
-only the 224^3 core voxels each block contributes to the output.
+the production block config (the lane-aligned overlap-save block that
+pipeline.deconvolve.autosplit plans for the reference's own 835.7-Gvox
+benchmark volume, 16-voxel discarded halo, synthetic gaussian PSF, 10
+iterations), counting only the core voxels each block contributes to the
+output.  A 256^3-block measurement rides in extras for cross-round
+comparability (rounds 1-3 used 256^3 as the headline).
 Reference baseline: 27.6 Mvox/s/GPU — the 8x A100 FFT-domain run of
 LsDeconvolveMultiGPU (221 Mvox/s / 8, LsDeconvolveMultiGPU/README.md:61;
 see BASELINE.md), which likewise counts output voxels per wall-clock.
@@ -245,7 +248,7 @@ def main() -> None:
         metrics["device_unreachable"] = reason
         print(json.dumps({
             "metric":
-                "rl_decon_fft_256blk_halo16_10iter_core_throughput_per_chip",
+                "rl_decon_fft_prod_block_halo16_10iter_core_throughput_per_chip",
             "value": 0.0,
             "unit": "Mvox/s",
             "vs_baseline": 0.0,
@@ -308,55 +311,57 @@ def main() -> None:
     del dev_arr, probe
 
     # --- headline: RL decon, production block config -----------------------
-    # The pipeline deconvolves lane-aligned 256^3 overlap-save blocks (FFT
-    # work shape == block shape, wraparound absorbed by a 16-voxel halo of
-    # real neighbor data; see pipeline.deconvolve.autosplit).  Headline =
-    # CORE voxels per second, the same accounting as the reference's
-    # whole-volume wall-clock numbers (LsDeconvolveMultiGPU/README.md:61).
-    n = 256
-    halo = 16  # 4x the 9^3 PSF half-extent; core NRMSE 9e-5 (docs/STATUS.md)
-    core = n - 2 * halo
-    niter = 10
-    vol = jnp.asarray(rng.random((n, n, n), dtype=np.float32) * 1000.0)
+    # The pipeline deconvolves lane-aligned overlap-save blocks (FFT work
+    # shape == block shape, wraparound absorbed by a halo of real neighbor
+    # data; see pipeline.deconvolve.autosplit).  Headline = CORE voxels per
+    # second on the block autosplit PLANS for the reference's own benchmark
+    # volume (835.7 Gvox, LsDeconvolveMultiGPU/README.md:61) — the same
+    # accounting as the reference's whole-volume wall-clock numbers.
+    from ipp_tpu.pipeline.deconvolve import autosplit
+
     psf = jnp.asarray(gaussian_psf((9, 9, 9), (2.0, 2.0, 2.0)))
-    fft_shape = (n, n, n)
+    halo = 16  # 4x the 9^3 PSF half-extent; core NRMSE 9e-5 (docs/STATUS.md)
+    niter = 10
+    _, plan_halo, prod_shape = autosplit((7912, 12778, 8266), (9, 9, 9))
+    assert plan_halo == (halo,) * 3, plan_halo
 
-    def run():
-        out = richardson_lucy(vol, psf, niter=niter, stop_criterion=0.0,
-                              fft_shape=fft_shape)
-        # fetch a scalar: on the axon TPU tunnel block_until_ready returns
-        # before execution completes, so force a device round-trip
-        return float(jnp.sum(out))
+    def time_block(fft_shape, reps):
+        """Best-of-3 pipelined windows: queue REPS dispatches, keep
+        partial sums ON device, fetch once — the ~30 ms tunnel round-trip
+        per fetch would otherwise dominate (production overlaps dispatch
+        with IO the same way)."""
+        vol = jnp.asarray(rng.random(fft_shape, dtype=np.float32) * 1000.0)
 
-    t0 = time.time()
-    run()
-    compile_s = time.time() - t0
-    # pipelined throughput: queue REPS dispatches, keep partial sums ON
-    # device, fetch once — the ~30 ms tunnel round-trip per fetch would
-    # otherwise dominate (production overlaps dispatch with IO the same way)
-    REPS = 15  # deep queue: the ~30 ms tunnel-fetch RTT amortizes to ~2 ms/rep
+        def run_many():
+            acc = jnp.float32(0)
+            for _ in range(reps):
+                acc = acc + jnp.sum(richardson_lucy(
+                    vol, psf, niter=niter, stop_criterion=0.0,
+                    fft_shape=fft_shape))
+            return float(acc)
 
-    def run_many():
-        acc = jnp.float32(0)
-        for _ in range(REPS):
-            acc = acc + jnp.sum(richardson_lucy(
-                vol, psf, niter=niter, stop_criterion=0.0,
-                fft_shape=fft_shape))
-        return float(acc)
-
-    run_many()
-    times = []
-    for _ in range(3):
         t0 = time.time()
         run_many()
-        times.append((time.time() - t0) / REPS)
-    best = min(times)
-    mvox_s = core ** 3 / best / 1e6
-    metrics["decon_fft_mvox_s"] = round(n ** 3 / best / 1e6, 2)
+        warm_s = time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            run_many()
+            best = min(best, (time.time() - t0) / reps)
+        core_vox = np.prod([s - 2 * halo for s in fft_shape])
+        return best, core_vox / best / 1e6, warm_s
+
+    best256, core256_mvox, warm_s = time_block((256, 256, 256), 15)
+    metrics["decon_256blk_core_mvox_s"] = round(core256_mvox, 2)
+    metrics["decon_fft_mvox_s"] = round(256 ** 3 / best256 / 1e6, 2)
+    print(f"decon 256^3 block: warm {warm_s:.1f}s, best {best256:.3f}s/block "
+          f"(224^3 core: {core256_mvox:.1f} Mvox/s)", file=sys.stderr)
+    best, mvox_s, warm_s = time_block(prod_shape, 6)
+    metrics["decon_prod_block"] = list(map(int, prod_shape))
     _note("decon_core_mvox_s", mvox_s,
-          f"decon: compile {compile_s:.1f}s, best {best:.3f}s/block "
-          f"({core}^3 core: {mvox_s:.1f} Mvox/s, "
-          f"{n ** 3 / best / 1e6:.1f} Mvox/s fft-volume)")
+          f"decon production block {prod_shape}: warm {warm_s:.1f}s, "
+          f"best {best:.3f}s/block (core: {mvox_s:.1f} Mvox/s, "
+          f"{np.prod(prod_shape) / best / 1e6:.1f} Mvox/s fft-volume)")
 
     # --- secondary: destripe throughput -----------------------------------
     tiles = jnp.asarray(rng.integers(0, 40000, (16, 1024, 1024))
@@ -667,7 +672,7 @@ def main() -> None:
 
     baseline_mvox_s = 27.6  # per-GPU FFT decon on 8x A100 (BASELINE.md)
     print(json.dumps({
-        "metric": "rl_decon_fft_256blk_halo16_10iter_core_throughput_per_chip",
+        "metric": "rl_decon_fft_prod_block_halo16_10iter_core_throughput_per_chip",
         "value": round(mvox_s, 2),
         "unit": "Mvox/s",
         "vs_baseline": round(mvox_s / baseline_mvox_s, 3),

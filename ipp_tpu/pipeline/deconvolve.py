@@ -75,21 +75,32 @@ def _lane(n: int) -> int:
 
 
 def _block_cost(padded: Tuple[int, ...]) -> float:
-    """Relative per-block RL cost model, calibrated on v5e measurements
-    (docs/STATUS.md): each axis spends 1/3 of the transform stages in the
-    lane position (where it pays `_lane` padding in every byte moved AND
-    every MXU pass), and the DFT matmul flops add a term linear in the
-    summed lane extents — halved for 256-multiple axes, which run on the
-    Pallas fused radix-2 stage kernel.  Calibration points: 264^3 = 1.95x
-    256^3; (256,512,512) measures 1.44x the per-voxel cost of 256^3, so
-    tiling a big-PSF volume with 256^3 blocks beats fewer larger blocks."""
-    eff = 1.0
-    for p in padded:
-        eff *= (2 * p + _lane(p)) / 3.0
-    weight = sum(_lane(p) * (0.5 if p % 256 == 0 else 1.0) for p in padded)
-    matmul = 1.0 + weight / 500.0
-    dispatch = 0.11 * (256 ** 3) * 1.5  # per-block fixed overhead
-    return eff * matmul + dispatch
+    """Relative per-block RL cost model, recalibrated on v5e after the
+    round-4 scoped-VMEM fix let the fused Pallas radix walk compile at
+    ny=512 (docs/STATUS.md block sweep).  Per axis: 1/3 of the transform
+    stages run with that axis in the lane position, where it pays `_lane`
+    padding in every byte moved AND every MXU pass; an axis that is not a
+    256-multiple falls off the fused radix-stage kernel and costs 1.77x
+    (measured: (384,512,512) is 1.77x the per-voxel cost of
+    (256,512,512)).  256-multiple blocks are per-voxel near-FLAT with a
+    small measured creep as axes grow — per-voxel vs 256^3: 1.031x for
+    (256,512,512), 1.065x for (256,512,768), 1.104x for (768,256,512) —
+    modeled as 1 + 0.033*(p/256 - 1) per fused axis — with a steeper
+    0.05 slope on the z axis, whose radix stages run the sublane-form
+    kernel rather than the fused x walk ((768,256,512) measures 1.104x
+    while (256,512,768) measures 1.065x: big axes belong in x).  Bigger
+    fused blocks win whole-volume tilings via halo amortization and less
+    edge waste (e.g. 512x2048^2: 45 x 256 ms (256,512,768)-blocks =
+    11.5 s beats 75 x 165 ms (256,512,512)-blocks = 12.4 s, measured).
+    The per-block dispatch constant measured ~0 at 256^3+ (40 ms vs
+    4x165 ms); a small residual keeps tiny blocks from proliferating."""
+    vox = 1.0
+    for ax, p in enumerate(padded):
+        lane_f = (2 * p + _lane(p)) / (3.0 * p)
+        slope = 0.05 if ax == 0 else 0.033
+        stage_f = 1 + slope * (p / 256 - 1) if p % 256 == 0 else 1.77
+        vox *= p * lane_f * stage_f
+    return vox + 0.02 * (256 ** 3)  # per-block fixed overhead
 
 
 def _axis_candidates(n: int, h: int, max_dim: int) -> List[int]:

@@ -328,6 +328,31 @@ def test_v2_t_walk_matches_untransposed(rng, monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
 
 
+def test_v2_convolve_768_axis(rng, monkeypatch):
+    """Non-power-of-2 256-multiple axes (768 = 3*256) through the v2
+    walk: autosplit's recalibrated cost model (round 4) plans such
+    blocks in production — e.g. (256, 512, 768) for a 512x2048x2048
+    volume — so the mixed radix-2 + odd-base stage plan must equal
+    numpy FFT convolution (reference whole-block FFT: LsDeconv.m decon
+    path)."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("IPP_TPU_FFT_V2", "1")
+    from ipp_tpu.ops.mxu_fft import MatmulFFT3
+
+    shape = (256, 8, 768)
+    x = (rng.random(shape) * 100 + 1).astype(np.float32)
+    k = rng.random(shape).astype(np.float32)
+    plan = MatmulFFT3(shape, precision=jax.lax.Precision.HIGHEST)
+    assert plan._v2 is not None
+    otf = plan.otf_packed(jnp.asarray(k))
+    conv = np.asarray(plan.convolve(jnp.asarray(x), otf))
+    ref = np.fft.irfftn(np.fft.rfftn(k) * np.fft.rfftn(x), s=shape,
+                        axes=(0, 1, 2))
+    assert np.abs(conv - ref).max() / np.abs(ref).max() < 1e-4
+
+
 def test_v2_convolve_matches_numpy(rng, monkeypatch):
     """The v2 near-transpose-free convolve walk (sublane-form Pallas
     kernels, interpret mode on CPU) equals numpy FFT convolution."""
