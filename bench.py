@@ -256,8 +256,12 @@ def main() -> None:
         }), flush=True)
 
     def _watchdog():
+        # 2026-08-19: a HEALTHY init took ~17 min once (remote side
+        # re-establishing after a back-to-back process exit), so the
+        # deadline sits well above that — a truly wedged tunnel just
+        # takes longer to report host-only.
         deadline = float(_os.environ.get("IPP_TPU_BENCH_INIT_TIMEOUT",
-                                         "1200"))
+                                         "2400"))
         if not _ready.wait(timeout=deadline):
             print(f"bench: no device contact within {deadline:.0f}s "
                   "(wedged TPU tunnel?) — emitting host-only record",
@@ -586,9 +590,19 @@ def main() -> None:
                                 .astype(np.uint16))
         from ipp_tpu.utils import iostat
 
-        iostat.enable()
+        # cold pass first: on the axon tunnel the remote compile-cache
+        # residency varies run to run (measured 2.1-11.1 pairs/s for the
+        # IDENTICAL program set), so the reported metric is the warm
+        # second pass (steady-state, like every kernel stage); the cold
+        # wall rides in extras.
         t0 = time.time()
         grid = TileGrid.from_directory(root)
+        cands = compute_displacements(
+            grid, overlap_v=overlap, overlap_h=overlap,
+            displ_max_v=12, displ_max_h=12, displ_max_d=3, subvol_dim=24)
+        metrics["e2e_align_cold_s"] = round(time.time() - t0, 1)
+        iostat.enable()
+        t0 = time.time()
         cands = compute_displacements(
             grid, overlap_v=overlap, overlap_h=overlap,
             displ_max_v=12, displ_max_h=12, displ_max_d=3, subvol_dim=24)
