@@ -205,3 +205,44 @@ def test_pad_and_notch_scalar_parity():
         for rise in (0.3, 0.5):
             assert (notch_rise_point(sigma, rise)
                     == core.notch_rise_point(sigma, rise))
+
+
+# ---------------------------------------------------------------------------
+# seeded config fuzz: random points of the (wavelet, level, sigma, shape,
+# bidirectional) space vs the reference run verbatim — the polyphase-parity
+# bug class (level>=2 on odd-offset wavelets) was only visible at configs
+# the hand-picked goldens missed (pystripe/core.py:927-1011 config surface)
+# ---------------------------------------------------------------------------
+
+
+FUZZ_WAVELETS = ["db2", "db3", "db4", "db5", "db9", "db10",
+                 "sym4", "sym5", "coif2", "coif3", "haar"]
+
+
+def _fuzz_configs(n=16, seed=20260819):
+    r = np.random.default_rng(seed)
+    cfgs = []
+    for _ in range(n):
+        wavelet = FUZZ_WAVELETS[int(r.integers(len(FUZZ_WAVELETS)))]
+        level = int(r.integers(1, 5))
+        s1 = int(r.integers(24, 129))
+        s2 = s1 if r.random() < 0.5 else int(r.integers(24, 129))
+        h = int(r.integers(192, 385))
+        w = int(r.integers(192, 385))
+        bidi = bool(r.random() < 0.3)
+        cfgs.append((wavelet, level, s1, s2, h, w, bidi))
+    return cfgs
+
+
+@pytest.mark.parametrize("wavelet,level,s1,s2,h,w,bidi", _fuzz_configs())
+def test_filter_streaks_golden_fuzz(rng, wavelet, level, s1, s2, h, w, bidi):
+    core = load_pystripe_core()
+    img, _ = make_striped_tile(rng, h=h, w=w, stripe_strength=0.3)
+    kw = dict(sigma=(s1, s2), level=level, wavelet=wavelet,
+              bidirectional=bidi)
+    ref = core.filter_streaks(img.copy(), **kw)
+    ours = _run_ours(img, **kw)
+    assert ref.dtype == ours.dtype == np.uint16
+    margin = max(40, (max(s1, s2) * 3) // 4)
+    err = _nrmse(_interior(ours, margin), _interior(ref, margin))
+    assert err < 8e-3, f"interior NRMSE {err:.2e} @ {kw} ({h}x{w})"

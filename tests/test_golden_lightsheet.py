@@ -87,3 +87,52 @@ def test_correct_lightsheet_matches_reference(rng):
     assert np.percentile(diff, 95) <= 25.0, float(np.percentile(diff, 95))
     c = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert c > 0.995, c
+
+def _ls_fuzz_configs(n=5, seed=20260819):
+    r = np.random.default_rng(seed)
+    cfgs = []
+    for _ in range(n):
+        cfgs.append((
+            float(r.choice([0.15, 0.25, 0.4])),          # percentile
+            int(r.choice([32, 64, 96])),                  # artifact length
+            int(r.choice([48, 64, 80])),                  # bg window
+            int(r.choice([8, 16])),                       # bg spacing
+            int(r.choice([2, 3])),                        # bg step
+            float(r.choice([1.5, 2.0, 4.0])),             # ls vs bg
+            int(r.integers(256, 385)),                    # h
+            int(r.integers(256, 385)),                    # w
+        ))
+    return cfgs
+
+
+@pytest.mark.parametrize("pct,L,S,SP,ST,ratio,h,w", _ls_fuzz_configs())
+def test_correct_lightsheet_golden_fuzz(rng, pct, L, S, SP, ST, ratio, h, w):
+    """Seeded config fuzz over the reference's correct_lightsheet knob
+    surface (lightsheet_correct.py:113-237) — random windows, spacings,
+    percentiles and shapes, reference run verbatim."""
+    lc = _load_reference_lightsheet()
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.lightsheet import correct_lightsheet
+
+    img = (rng.random((h, w)) * 3000).astype(np.float32) + 500.0
+    band = h // 2
+    img[band - 12:band + 12, :] += 4000.0
+    ref = lc.correct_lightsheet(
+        img.copy(), percentile=pct,
+        lightsheet=dict(selem=(1, L, 1)),
+        background=dict(selem=(S, S, 1), spacing=(SP, SP, 1),
+                        interpolate=1, dtype=None, step=(ST, ST, 1)),
+        lightsheet_vs_background=ratio)
+    ours = np.asarray(correct_lightsheet(
+        jnp.asarray(img), percentile=pct, artifact_length=L,
+        background_window_size=S, background_spacing=(SP, SP),
+        background_step=(ST, ST), lightsheet_vs_background=ratio))
+    m = S
+    a = ours[m:-m, m:-m]
+    b = np.asarray(ref)[m:-m, m:-m].astype(np.float32)
+    diff = np.abs(a - b)
+    assert np.median(diff) <= 2.0, float(np.median(diff))
+    assert np.percentile(diff, 95) <= 25.0, float(np.percentile(diff, 95))
+    c = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert c > 0.995, c

@@ -104,3 +104,51 @@ def test_process_img_uniform_tile_short_circuit(ref_core):
     assert ref.shape == ours.shape == (48, 32)
     assert ref.dtype == ours.dtype == np.uint8
     assert not ref.any() and not ours.any()
+
+
+# ---------------------------------------------------------------------------
+# seeded config fuzz over the process_img composition surface
+# (pystripe/core.py:1190-1383): random combinations of destripe config,
+# dark subtraction, downsample, 8/16-bit conversion, flip and rotate —
+# reference run verbatim each time
+# ---------------------------------------------------------------------------
+
+
+def _proc_fuzz_configs(n=8, seed=20260819):
+    r = np.random.default_rng(seed)
+    cfgs = []
+    for _ in range(n):
+        s1 = int(r.integers(24, 97))
+        cfgs.append(dict(
+            sigma=(s1, s1 if r.random() < 0.6 else int(r.integers(24, 97))),
+            level=int(r.integers(1, 4)),
+            wavelet=str(r.choice(["db3", "db4", "db5", "db9", "sym4"])),
+            dark=float(r.choice([0.0, 80.0, 120.0])),
+            down_sample=(None if r.random() < 0.6
+                         else (int(r.integers(2, 4)),) * 2),
+            down_sample_method=str(r.choice(["max", "mean"])),
+            convert_to_8bit=bool(r.random() < 0.4),
+            bit_shift_to_right=int(r.integers(0, 9)),
+            flip_upside_down=bool(r.random() < 0.4),
+            rotate=int(r.choice([0, 90, 180, 270])),
+        ))
+    return cfgs
+
+
+@pytest.mark.parametrize("kw", _proc_fuzz_configs())
+def test_process_img_golden_fuzz(ref_core, rng, kw):
+    core = ref_core
+    img, _ = make_striped_tile(rng, h=256, w=288, stripe_strength=0.3)
+    ref = core.process_img(img.copy(), padding_mode="reflect", **kw)
+    cfg = ProcessConfig(padding_mode="reflect", **kw)
+    ours = _run_ours(img, cfg)
+    assert ref.dtype == ours.dtype and ref.shape == ours.shape, (
+        (ref.dtype, ours.dtype, ref.shape, ours.shape, kw))
+    # undo the geometric ops so the interior comparison excludes the
+    # destripe pad boundary, then compare cores
+    def undo(a):
+        a = np.rot90(a, -kw["rotate"] // 90)
+        return np.flipud(a) if kw["flip_upside_down"] else a
+    margin = 40 if kw["down_sample"] is None else 20
+    err = _nrmse(_interior(undo(ours), margin), _interior(undo(ref), margin))
+    assert err < 8e-3, f"interior NRMSE {err:.2e} @ {kw}"
