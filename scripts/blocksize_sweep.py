@@ -1,11 +1,30 @@
 """RL decon block-size sweep: does a bigger overlap-save block raise the
 CORE-voxel rate?  Same methodology as bench.py's decon stage (deep
-dispatch queue, scalar fetch, best-of-3 windows)."""
+dispatch queue, scalar fetch, best-of-3 windows).
+
+Round-4 results on v5e (after the scoped-VMEM fix in ops/pallas_fft.py
+let the fused radix walk compile at ny=512) — the `_block_cost`
+calibration set (pipeline/deconvolve.py):
+
+    (256, 256, 256): 40 ms/block  2.384 ns/vox  core 277.5 Mvox/s
+    (256, 512, 512): 165 ms       2.459 (1.03x) core 312.9
+    (256, 512, 768): 256 ms       2.540 (1.065x)core 309.5
+    (768, 256, 512): 265 ms       2.633 (1.104x)core 298.6
+    (384, 512, 512): 438 ms       4.350 (1.82x — non-256-multiple axis)
+    (512, 512, 256): 167 ms       2.489 (bench.py headline stage)
+
+Fused 256-multiple axes are per-voxel near-flat (small creep, steeper
+when the big axis sits in z); per-block dispatch overhead is ~0.
+"""
 import time
+
 import numpy as np
+
 from ipp_tpu.utils.jaxconfig import enable_persistent_cache
+
 enable_persistent_cache()
 import jax.numpy as jnp
+
 from ipp_tpu.ops.deconv import richardson_lucy
 from ipp_tpu.ops.psf import gaussian_psf
 
@@ -15,7 +34,8 @@ halo = 16
 niter = 10
 
 for shape, reps in [((256, 256, 256), 15), ((256, 512, 512), 5),
-                    ((384, 512, 512), 4)]:
+                    ((512, 512, 256), 5), ((384, 512, 512), 4),
+                    ((256, 512, 768), 4), ((768, 256, 512), 4)]:
     vol = jnp.asarray(rng.random(shape, dtype=np.float32) * 1000.0)
     core = np.prod([s - 2 * halo for s in shape])
 
@@ -34,4 +54,5 @@ for shape, reps in [((256, 256, 256), 15), ((256, 512, 512), 5),
         best = min(best, (time.time() - t0) / reps)
     print(f"{shape}: compile {comp:.0f}s, {best*1e3:.0f} ms/block, "
           f"core {core/best/1e6:.1f} Mvox/s, "
-          f"padded {np.prod(shape)/best/1e6:.1f} Mvox/s", flush=True)
+          f"padded {np.prod(shape)/best/1e6:.1f} Mvox/s "
+          f"({best/np.prod(shape)*1e9:.3f} ns/vox)", flush=True)
