@@ -324,10 +324,12 @@ def main() -> None:
     from ipp_tpu.pipeline.deconvolve import autosplit
 
     psf = jnp.asarray(gaussian_psf((9, 9, 9), (2.0, 2.0, 2.0)))
-    halo = 16  # 4x the 9^3 PSF half-extent; core NRMSE 9e-5 (docs/STATUS.md)
     niter = 10
     _, plan_halo, prod_shape = autosplit((7912, 12778, 8266), (9, 9, 9))
-    assert plan_halo == (halo,) * 3, plan_halo
+    # 4x the 9^3 PSF half-extent = 16 today (core NRMSE 9e-5,
+    # docs/STATUS.md); taken from the plan so a future cost-model
+    # recalibration can't desync the core accounting
+    halo = plan_halo
 
     def time_block(fft_shape, reps):
         """Best-of-3 pipelined windows: queue REPS dispatches, keep
@@ -352,7 +354,7 @@ def main() -> None:
             t0 = time.time()
             run_many()
             best = min(best, (time.time() - t0) / reps)
-        core_vox = np.prod([s - 2 * halo for s in fft_shape])
+        core_vox = np.prod([s - 2 * h for s, h in zip(fft_shape, halo)])
         return best, core_vox / best / 1e6, warm_s
 
     best256, core256_mvox, warm_s = time_block((256, 256, 256), 15)
