@@ -119,3 +119,51 @@ def test_data_pitch_mode_spans_two_fwhm():
     expected_n += (expected_n + 1) % 2
     assert coarse.shape[0] == expected_n
     assert abs(coarse.sum() - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# seeded optics fuzz: random (NA, n, lambdas, pitches, cylinder lens)
+# points vs the reference's generate_psf run verbatim — the grid-size
+# solver (our brentq vs the reference's fsolve, psf_generator.py:100-152)
+# and the Born-Wolf quadrature must agree across the optics envelope,
+# not just the 15x preset
+# ---------------------------------------------------------------------------
+
+
+def _psf_fuzz_configs(n=5, seed=20260819):
+    r = np.random.default_rng(seed)
+    cfgs = []
+    for _ in range(n):
+        lam_ex = float(r.choice([405.0, 488.0, 561.0, 642.0]))
+        cfgs.append(dict(
+            NA=float(r.uniform(0.25, 0.8)),
+            n=float(r.choice([1.33, 1.42, 1.52])),
+            lambda_ex=lam_ex,
+            lambda_em=lam_ex + float(r.uniform(20.0, 60.0)),
+            fcyl=float(r.choice([160.0, 240.0, 320.0])),
+            slitwidth=float(r.uniform(8.0, 14.0)),
+            # coarse pitches keep the reference quad loops small
+            dxy=float(r.uniform(600.0, 1000.0)),
+            dz=float(r.uniform(3000.0, 5000.0)),
+        ))
+    return cfgs
+
+
+@pytest.mark.parametrize("p", _psf_fuzz_configs())
+def test_psf_volume_golden_fuzz(ref_psf_gen, p):
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref, dxy_psf = ref_psf_gen.generate_psf(
+            lambda_em=p["lambda_em"], lambda_ex=p["lambda_ex"],
+            numerical_aperture=p["NA"], dxy=p["dxy"], dz=p["dz"],
+            refractive_index=p["n"], f_cylinder_lens=p["fcyl"],
+            slit_width=p["slitwidth"], gaussian_sgima=0, doubled_psf=False)
+    ours, _, _ = make_psf(
+        dxy=p["dxy"], dz=p["dz"], NA=p["NA"], n=p["n"],
+        lambda_ex=p["lambda_ex"], lambda_em=p["lambda_em"],
+        fcyl=p["fcyl"], slitwidth=p["slitwidth"])
+    ours_zyx = np.transpose(ours, (2, 1, 0))
+    assert ours_zyx.shape == ref.shape, (p, ours_zyx.shape, ref.shape)
+    assert dxy_psf == pytest.approx(
+        min(p["dxy"], 0.61 * p["lambda_em"] / p["NA"] / 3))
+    nrmse = np.sqrt(np.mean((ours_zyx - ref) ** 2)) / ref.max()
+    assert nrmse < 1e-3, (nrmse, p)

@@ -198,3 +198,93 @@ def test_diag_plane_matches_reference(tmp_path, rng):
         b = np.asarray(tio.imread(of))
         assert a.shape == b.shape and a.shape[2] == 3
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# seeded grid fuzz: random grid dims / tile shapes / overlaps / jitter /
+# z-stagger placed at TRUE offsets (no NCC in the loop) — the reference's
+# TSVVolume blends the same placement XML verbatim and every plane must
+# match.  Exercises the ragged tile-plane intersections and the cosine
+# distance-from-edge math (tsv/volume.py:430-647) across geometries the
+# single 3x3 fixture cannot reach.
+# ---------------------------------------------------------------------------
+
+
+def _merge_fuzz_configs(n=4, seed=20260819):
+    r = np.random.default_rng(seed)
+    cfgs = []
+    for _ in range(n):
+        cfgs.append((
+            int(r.integers(2, 5)),              # rows
+            int(r.integers(2, 4)),              # cols
+            (int(r.integers(96, 177)),          # tile h
+             int(r.integers(96, 177))),         # tile w
+            int(r.integers(24, 49)),            # overlap
+            int(r.integers(0, 6)),              # xy jitter
+            int(r.integers(0, 2)),              # z stagger max
+            bool(r.integers(0, 2)),             # cosine blending
+        ))
+    return cfgs
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")  # reference f16 divide
+@pytest.mark.parametrize("rows,cols,tile,ov,jit,zmax,cosine",
+                         _merge_fuzz_configs())
+def test_blend_golden_fuzz(tmp_path, rows, cols, tile, ov, jit, zmax,
+                           cosine):
+    rng = np.random.default_rng(hash((rows, cols, ov)) % 2 ** 31)
+    th, tw = tile
+    depth = 6
+    H = (rows - 1) * (th - ov) + th + 2 * jit + 4
+    W = (cols - 1) * (tw - ov) + tw + 2 * jit + 4
+    vol = make_phantom(rng, (depth + zmax, H, W), smooth=7.0)
+    tiles, offsets = cut_tiles(vol, rows, cols, tile, ov, jitter=jit,
+                               rng=rng)
+    zoffs = [[int(rng.integers(0, zmax + 1)) for _ in range(cols)]
+             for _ in range(rows)]
+    tiles = [[tiles[r][c][zoffs[r][c]:zoffs[r][c] + depth]
+              for c in range(cols)] for r in range(rows)]
+    grid = write_tile_grid(tmp_path / "ch", tiles, overlap_nominal_px=ov)
+    from ipp_tpu.geometry.stacks import Displacement
+
+    def truth(r, c):
+        return (offsets[r][c][0], offsets[r][c][1], zoffs[r][c])
+
+    for r in range(rows):
+        for c in range(cols):
+            st = grid.stacks[r][c]
+            st.abs_h, st.abs_v, st.abs_d = truth(r, c)
+            # the reference's TSVVolume chains NORTH/WEST displacement
+            # records (tsv/volume.py:748-771: offset = prev - displ), so
+            # emit them from the true offsets
+            if r > 0:
+                px, py, pz = truth(r - 1, c)
+                x, y, z = truth(r, c)
+                st.north = Displacement(displ=(py - y, px - x, pz - z),
+                                        reliability=(1.0, 1.0, 1.0))
+            if c > 0:
+                px, py, pz = truth(r, c - 1)
+                x, y, z = truth(r, c)
+                st.west = Displacement(displ=(py - y, px - x, pz - z),
+                                       reliability=(1.0, 1.0, 1.0))
+    xml_path = tmp_path / "placement.xml"
+    grid.to_xml(xml_path)
+
+    tv = _load_reference_tsv()
+    ref_vol = tv.TSVVolume(str(xml_path), cosine_blending=cosine)
+    bbox = ref_vol.volume
+    stacks = grid.flattened()
+    blender = PlaneBlender([s.extent for s in stacks], cosine=cosine)
+    our_bbox = grid.volume
+    assert (bbox.x1 - bbox.x0, bbox.y1 - bbox.y0) == \
+        (our_bbox.x1 - our_bbox.x0, our_bbox.y1 - our_bbox.y0)
+    zs = sorted({0, depth // 2, depth + zmax - 1})
+    for z in zs:
+        ref_plane = ref_vol.imread(
+            tv.VExtent(bbox.x0, bbox.x1, bbox.y0, bbox.y1,
+                       bbox.z0 + z, bbox.z0 + z + 1), np.float32)[0]
+        ours = blender.blend_plane(
+            OurExtent(our_bbox.x0, our_bbox.x1, our_bbox.y0, our_bbox.y1,
+                      our_bbox.z0 + z, our_bbox.z0 + z + 1),
+            lambda i, e: stacks[i].imread(e), dtype=np.float32)
+        np.testing.assert_allclose(ours, ref_plane, atol=4.0, rtol=4e-3)
