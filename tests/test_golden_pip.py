@@ -172,3 +172,35 @@ def test_downsample_application_matches_reference(ref_pip):
             z_ref = sk_measure.block_reduce(z_ref, (2, 1, 1), zm)
     z_ours = _z_reduce(np.stack(our_small), n_z)
     np.testing.assert_allclose(z_ours, z_ref, rtol=1e-5)
+
+
+def test_downsample_plan_golden_fuzz(ref_pip):
+    """Seeded fuzz of the ladder planner across shapes / voxel
+    anisotropies / targets (parallel_image_processor.py:156-189),
+    alternating and non-alternating, plus the 90/270 swapped-shape path."""
+    from ipp_tpu.ops.resample import plan_isotropic_downsampling
+
+    r = np.random.default_rng(20260819)
+    for _ in range(24):
+        shape = (int(r.integers(256, 4097)), int(r.integers(256, 4097)))
+        vy = float(r.choice([0.4, 0.8, 1.0, 1.8, 2.0]))
+        vx = float(r.choice([0.4, 0.8, 1.0, 1.8, 2.0]))
+        vz = float(r.choice([1.0, 2.0, 4.0]))
+        target = float(r.choice([3.0, 10.0, 16.0, 25.0, 50.0]))
+        rotation = int(r.choice([0, 90]))
+        ref_shape, ref_methods = _ref_plan(
+            ref_pip, shape, (vz, vy, vx), target, rotation=rotation)
+        # a 90/270 rotation swaps both the plane shape AND the in-plane
+        # voxel (the reference swaps source_voxel internally,
+        # parallel_image_processor.py:166-170; our converter does the
+        # same at pipeline/convert.py)
+        if rotation in (90, 270):
+            plan_shape, plan_voxel = (shape[1], shape[0]), (vx, vy)
+        else:
+            plan_shape, plan_voxel = shape, (vy, vx)
+        our_shape, our_methods = plan_isotropic_downsampling(
+            plan_shape, plan_voxel, target)
+        assert tuple(our_shape) == tuple(ref_shape), (
+            shape, (vz, vy, vx), target, rotation)
+        assert our_methods == ref_methods, (
+            shape, (vz, vy, vx), target, rotation)
