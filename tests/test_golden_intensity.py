@@ -128,3 +128,37 @@ def test_hist_match_matches_reference(rng):
     assert ours.shape == src.shape
     np.testing.assert_allclose(ours, np.asarray(ref, np.float64),
                                rtol=0, atol=1.0)
+
+
+def test_correct_bleaching_golden_fuzz(rng):
+    """Seeded fuzz over the bleach-correction config surface
+    (pystripe/core.py:501-558): random decay constants, frequencies,
+    clip triplets, zero-pixel fractions and both filter modes."""
+    core = load_pystripe_core()
+    from ipp_tpu.ops.intensity import correct_bleaching
+
+    r = np.random.default_rng(20260819)
+    for _ in range(8):
+        h = int(r.integers(48, 160))
+        w = int(r.integers(64, 257))
+        tau = float(r.uniform(20.0, 200.0))
+        decay = np.exp(-np.arange(w) / tau)[None, :]
+        img = (r.random((h, w)) * float(r.uniform(300, 2000)) + 50) * decay
+        if r.random() < 0.5:
+            img[img < float(np.percentile(img, 10))] = 0.0
+        logged = np.log1p(img).astype(np.float32)
+        pos = logged[logged > 0]
+        lo = float(r.uniform(0.1, 0.5))
+        med = float(np.median(pos))
+        hi = float(logged.max())
+        freq = float(r.choice([0.5, 1.0, 2.0])) / w
+        max_method = bool(r.integers(0, 2))
+        ref = core.correct_bleaching(
+            logged.copy().astype(np.float64), freq, lo, med, hi,
+            max_method=max_method)
+        ours = np.asarray(correct_bleaching(
+            jnp.asarray(logged, jnp.float64), freq, lo, med, hi,
+            max_method=max_method))
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=str((h, w, tau, freq,
+                                                max_method)))

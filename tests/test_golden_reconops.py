@@ -105,3 +105,36 @@ def test_sort_swc_matches_reference(ref_reconops, name):
     for i, pid in enumerate(ours["parent_id"].to_numpy()):
         if pid > 0:
             assert np.where(ids == pid)[0][0] < i
+
+
+def test_sort_swc_golden_fuzz(ref_reconops):
+    """Seeded random forests (multi-tree, shuffled rows, gapped ids,
+    random branching) vs the reference's sort_swc run verbatim — the DFS
+    ordering, root ladder and parent re-pointing must agree on arbitrary
+    topologies, not just the hand-picked cases."""
+    from ipp_tpu.utils import reconops as ro
+
+    r = np.random.default_rng(20260819)
+    for _ in range(12):
+        n = int(r.integers(4, 40))
+        n_trees = int(r.integers(1, 4))
+        ids = r.choice(np.arange(1, 6 * n), size=n, replace=False)
+        ids = np.sort(ids)
+        rows = []
+        roots = set(range(min(n_trees, n)))
+        for i in range(n):
+            if i in roots:
+                parent = -1
+            else:
+                parent = int(ids[int(r.integers(0, i))])  # earlier node
+            rows.append([int(ids[i]), int(r.integers(1, 5)),
+                         float(r.uniform(0, 100)), float(r.uniform(0, 100)),
+                         float(r.uniform(0, 100)), float(r.uniform(0.5, 3)),
+                         parent])
+        df = _swc(rows).sample(frac=1.0, random_state=int(r.integers(1 << 30)))
+        df = df.reset_index(drop=True)
+        ref = ref_reconops.sort_swc(df.copy())
+        ours = ro.sort_swc(df.copy())
+        pd.testing.assert_frame_equal(
+            ours.reset_index(drop=True), ref.reset_index(drop=True),
+            check_dtype=False)
