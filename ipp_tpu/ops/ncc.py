@@ -247,16 +247,27 @@ def _width_1d(profile: np.ndarray, center: int, w_range: int, thr: float,
 
 def peak_and_widths(ncc: np.ndarray, delay_u: int, delay_v: int,
                     w_range_u: int, w_range_v: int,
-                    params: NCCParams) -> Tuple[int, int, float, int, int]:
+                    params: NCCParams,
+                    inf_w: Optional[int] = None
+                    ) -> Tuple[int, int, float, int, int]:
     """Find the map peak (search restricted to the central +-delay window of
     a wRange-extended map) and per-direction widths at that peak.
 
     ncc: ((2*(delay_u+w_range_u)+1), (2*(delay_v+w_range_v)+1)) map.
     Returns (du, dv, peak, width_u, width_v).
-    """
+
+    inf_w is the LINK-GLOBAL infinite width (reference
+    PDAlgoMIPNCC.cpp:92: max over all THREE unclamped search radii + 1,
+    one value shared by every map of the link).  A per-map fallback is
+    kept for standalone callers, but the align paths must pass the
+    global one: a clamped-to-zero axis (thin-z stacks) otherwise gets a
+    per-map "infinity" BELOW the global inf_w that fusion compares
+    against, and an axis the reference rejects as unreliable would fuse
+    as a real width (caught by the terastitcher-binary parity fuzz)."""
     eu = delay_u + w_range_u
     ev = delay_v + w_range_v
-    inf_w = max(w_range_u, w_range_v) + 1
+    if inf_w is None:
+        inf_w = max(w_range_u, w_range_v) + 1
     # peak over the central search window (reference searches the original
     # (2*delay+1)^2 map first: libcrossmips.cpp:408-410)
     central = ncc[eu - delay_u: eu + delay_u + 1,
@@ -427,13 +438,16 @@ def align_pairs_batched(vols_a: np.ndarray, vols_b: np.ndarray, side: str,
     else:
         raise ValueError("side must be 'ns', 'we' or 'tb'")
     dimk_v, dimi_v, dimj_v = a.shape[1], a.shape[2], a.shape[3]
+    # the link-global infinite width comes from the UNCLAMPED radii
+    # (reference PDAlgoMIPNCC.cpp:87-92 computes INF_W before
+    # libcrossmips clamps the delays against the overlap extents)
+    inf_w = params.inf_w((delay_v, delay_h, delay_d))
     delay_v = min(delay_v, max(0, dimi_v - params.min_dim_ncc_src))
     delay_h = min(delay_h, max(0, dimj_v - params.min_dim_ncc_src))
     delay_d = min(delay_d, max(0, dimk_v - params.min_dim_ncc_src))
     wr_v = params.w_range(delay_v)
     wr_h = params.w_range(delay_h)
     wr_d = params.w_range(delay_d)
-    inf_w = max(wr_v, wr_h, wr_d) + 1
 
     # MIPs on the host: uploading 3 projections per pair moves ~250x less
     # data than uploading the raw overlap volumes (the NCC math is the
@@ -491,19 +505,22 @@ def _finalize_pairs(ncc_xy, ncc_xz, ncc_yz, P, side, ni, nj, nk,
             pk_xy, wv1, wh1 = params.unr_ncc, inf_w, inf_w
         else:
             dv1, dh1, pk_xy, wv1, wh1 = peak_and_widths(
-                ncc_xy[p_i], delay_v, delay_h, wr_v, wr_h, params)
+                ncc_xy[p_i], delay_v, delay_h, wr_v, wr_h, params,
+                inf_w=inf_w)
         if failed_xz:
             dv2 = dd1 = 0
             pk_xz, wv2, wd1 = params.unr_ncc, inf_w, inf_w
         else:
             dv2, dd1, pk_xz, wv2, wd1 = peak_and_widths(
-                ncc_xz[p_i], delay_v, delay_d, wr_v, wr_d, params)
+                ncc_xz[p_i], delay_v, delay_d, wr_v, wr_d, params,
+                inf_w=inf_w)
         if failed_yz:
             dh2 = dd2 = 0
             pk_yz, wh2, wd2 = params.unr_ncc, inf_w, inf_w
         else:
             dh2, dd2, pk_yz, wh2, wd2 = peak_and_widths(
-                ncc_yz[p_i], delay_h, delay_d, wr_h, wr_d, params)
+                ncc_yz[p_i], delay_h, delay_d, wr_h, wr_d, params,
+                inf_w=inf_w)
         cv, pv, wv = fuse_axis(dv1, pk_xy, wv1, dv2, pk_xz, wv2, params, inf_w)
         ch, ph, wh = fuse_axis(dh1, pk_xy, wh1, dh2, pk_yz, wh2, params, inf_w)
         cd, pd, wd = fuse_axis(dd1, pk_xz, wd1, dd2, pk_yz, wd2, params, inf_w)
@@ -551,15 +568,17 @@ def align_pair(vol_a: np.ndarray, vol_b: np.ndarray, side: str,
         raise ValueError("side must be 'ns', 'we' or 'tb'")
     dimi_v, dimj_v = a.shape[1], a.shape[2]
 
-    # clamp the search when overlap is too small (libcrossmips.cpp:260-262)
+    # clamp the search when overlap is too small (libcrossmips.cpp:260-262);
+    # the link-global infinite width uses the UNCLAMPED radii
+    # (reference PDAlgoMIPNCC.cpp:87-92)
     dimk_v = a.shape[0]
+    inf_w = params.inf_w((delay_v, delay_h, delay_d))
     delay_v = min(delay_v, max(0, dimi_v - params.min_dim_ncc_src))
     delay_h = min(delay_h, max(0, dimj_v - params.min_dim_ncc_src))
     delay_d = min(delay_d, max(0, dimk_v - params.min_dim_ncc_src))
     wr_v = params.w_range(delay_v)
     wr_h = params.w_range(delay_h)
     wr_d = params.w_range(delay_d)
-    inf_w = max(wr_v, wr_h, wr_d) + 1
 
     a_j = jnp.asarray(a, jnp.float32)
     b_j = jnp.asarray(b, jnp.float32)
@@ -586,19 +605,19 @@ def align_pair(vol_a: np.ndarray, vol_b: np.ndarray, side: str,
         pk_xy, wv1, wh1 = params.unr_ncc, inf_w, inf_w
     else:
         dv1, dh1, pk_xy, wv1, wh1 = peak_and_widths(
-            ncc_xy, delay_v, delay_h, wr_v, wr_h, params)
+            ncc_xy, delay_v, delay_h, wr_v, wr_h, params, inf_w=inf_w)
     if failed_xz:
         dv2 = dd1 = 0
         pk_xz, wv2, wd1 = params.unr_ncc, inf_w, inf_w
     else:
         dv2, dd1, pk_xz, wv2, wd1 = peak_and_widths(
-            ncc_xz, delay_v, delay_d, wr_v, wr_d, params)
+            ncc_xz, delay_v, delay_d, wr_v, wr_d, params, inf_w=inf_w)
     if failed_yz:
         dh2 = dd2 = 0
         pk_yz, wh2, wd2 = params.unr_ncc, inf_w, inf_w
     else:
         dh2, dd2, pk_yz, wh2, wd2 = peak_and_widths(
-            ncc_yz, delay_h, delay_d, wr_h, wr_d, params)
+            ncc_yz, delay_h, delay_d, wr_h, wr_d, params, inf_w=inf_w)
 
     cv, pv, wv = fuse_axis(dv1, pk_xy, wv1, dv2, pk_xz, wv2, params, inf_w)
     ch, ph, wh = fuse_axis(dh1, pk_xy, wh1, dh2, pk_yz, wh2, params, inf_w)

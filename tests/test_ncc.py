@@ -92,3 +92,27 @@ def test_align_pair_unreliable_on_noise(rng):
     # at least the width or peak must mark it weak on some axis
     weak = [res.ncc_peak[i] < 0.5 or res.ncc_width[i] >= inf_w for i in range(3)]
     assert any(weak)
+
+
+def test_thin_z_invalidates_d_axis(rng):
+    """A z-extent below minDim_NCCsrc clamps the D search to zero and the
+    D axis must come out UNRELIABLE — peak unr_ncc, width == the
+    LINK-GLOBAL inf_w (from the unclamped radii, PDAlgoMIPNCC.cpp:87-92)
+    — exactly as the terastitcher binary reports (caught by the
+    binary-parity fuzz: the per-map local infinity used to undercut the
+    global one and fused as a real width)."""
+    depth = 20  # < min_dim_ncc_src=25 -> delay_d clamps to 0
+    vol = (rng.random((depth, 200, 220)) * 1000).astype(np.float32)
+    a = vol[:, :160, :160]
+    b = vol[:, :160, 60:220]  # true H shift 60, overlap 100
+    params = nccmod.NCCParams()
+    res = nccmod.align_pair(a, b, "we", 100, 12, 16, 5, params)
+    inf_w = params.inf_w((12, 16, 5))  # 17, from UNCLAMPED radii
+    assert res.coord[1] == 60
+    assert res.ncc_peak[2] == params.unr_ncc
+    assert res.ncc_width[2] == inf_w
+    # batched path agrees
+    resb = nccmod.align_pairs_batched(a[None], b[None], "we", 100,
+                                      12, 16, 5, params)[0]
+    assert resb.ncc_peak[2] == params.unr_ncc
+    assert resb.ncc_width[2] == inf_w
