@@ -191,3 +191,35 @@ def test_level2_on_pywt_polyphase_branch(name, rng):
         for sy in range(0, 18) for sx in range(0, 18)
         if ref.shape[0] >= m + sy + w_ and ref.shape[1] >= m + sx + w_)
     assert best < 1e-4, f"no integer shift aligns level-2 cH ({best:.3f})"
+
+
+FUZZ_PARITY_WAVELETS = ["db2", "db3", "db4", "db5", "db6", "db7", "db8",
+                        "db9", "db10", "sym4", "sym5", "sym6", "sym7",
+                        "sym8", "coif1", "coif2", "coif3", "coif4", "haar"]
+
+
+@pytest.mark.parametrize("name", FUZZ_PARITY_WAVELETS)
+@pytest.mark.parametrize("level", [2, 3])
+def test_polyphase_branch_fuzz(name, level, rng):
+    """_parity_rolls across the whole supported wavelet family and level
+    2-3: the recursion must land on pywt's polyphase branch (coefficients
+    equal at SOME integer shift in the interior) for every filter length
+    parity, not just the db2/db4/db9 trio the level-2 bug was fixed on."""
+    import jax.numpy as jnp
+
+    from tests.refshims import _shim_wavedec2
+
+    n = 512 if level == 3 else 256
+    x = rng.standard_normal((n, n)).astype(np.float64)
+    ours = np.asarray(wv.wavedec2(jnp.asarray(x, jnp.float32),
+                                  name, level)[1][0])
+    ref = _shim_wavedec2(x, name, level=level)[1][0]
+    m = 24
+    w_ = 12
+    span = 22
+    best = min(
+        np.abs(ref[m + sy:m + sy + w_, m + sx:m + sx + w_]
+               - ours[m:m + w_, m:m + w_]).max()
+        for sy in range(0, span) for sx in range(0, span)
+        if ref.shape[0] >= m + sy + w_ and ref.shape[1] >= m + sx + w_)
+    assert best < 1e-4, f"{name} L{level}: no integer shift aligns ({best:.3f})"
