@@ -145,3 +145,51 @@ def test_pairwise_alignments_match_reference_and_truth(tree):
                 (axis, k0, k1, our_off, t)
             n_checked += 1
     assert n_checked >= 10
+
+
+@pytest.mark.parametrize("seed,n_x,n_y,jitter", [
+    (21, 3, 2, 3),
+    (22, 2, 3, 1),
+    (23, 3, 1, 2),
+])
+def test_scan_alignments_golden_fuzz(tmp_path, seed, n_x, n_y, jitter):
+    """Geometry fuzz of the dragonfly scan path: other grid extents and
+    jitters (same tile shape, so the jitted NCC programs are shared with
+    the fixture tests) — discovery, pairwise alignments and truth
+    recovery vs the reference Scanner run verbatim."""
+    root = tmp_path / "tree"
+    rng = np.random.default_rng(seed)
+    truth, _ = write_dragonfly_tree(root, rng, n_x=n_x, n_y=n_y,
+                                    jitter=jitter)
+    rscan = _load_reference_scan()
+    ref = rscan.Scanner(Path(root), voxel_size=(1, 1, 1),
+                        z_stepper_distance=Z_STEP, piezo_distance=SUB_PLANES,
+                        z_skip=2, x_slop=5, y_slop=5, z_slop=Z_SLOP,
+                        dark=100, decimate=1, min_support=1, n_cores=1)
+    ref.align_all_stacks()
+    stacks = discover_scan_stacks(Path(root), (1, 1, 1),
+                                  z_stepper_distance=Z_STEP,
+                                  piezo_distance=SUB_PLANES)
+    assert set(stacks) == set(ref._stacks) == set(truth)
+    ours = OurScanner(stacks, dark=100.0, slop=(5, 5, 4))
+    ours.align_all_stacks(rounds=1)
+    n_checked = 0
+    for axis, k0, k1 in _adjacent_pairs(truth):
+        t = np.array(truth[k1]) - np.array(truth[k0])
+        score, rx, ry, rz = ref.get_alignment(k0, k1)
+        if axis == 0:
+            ref_off = np.array([rx, -ry, rz])
+        elif axis == 1:
+            ref_off = np.array([-rx, ry, rz])
+        else:
+            ref_off = np.array([-rx, -ry, SUB_PLANES + rz])
+        cv, ch, cd = ours.alignments[(k0, k1)]
+        our_off = np.array([ch, cv, cd])
+        observable = t[2] < SUB_PLANES if axis == 2 else True
+        if observable:
+            assert np.all(np.abs(ref_off - t) <= 1), \
+                (axis, k0, k1, ref_off, t, score)
+            assert np.all(np.abs(our_off - t) <= 1), \
+                (axis, k0, k1, our_off, t)
+            n_checked += 1
+    assert n_checked >= (n_x - 1) * n_y + (n_y - 1) * n_x
