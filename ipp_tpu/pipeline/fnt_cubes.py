@@ -222,7 +222,11 @@ def main(argv=None) -> int:
                         "reference semantics)")
     p.add_argument("--destripe-sigma", type=float, default=0.0,
                    help="plain per-plane destripe at this sigma")
-    p.add_argument("--no-deconvolution", action="store_true")
+    p.add_argument("--deconvolution", "-d", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="apply deconvolution (reference flag surface: "
+                        "--deconvolution / --no-deconvolution, "
+                        "fnt_cube_processor.py:337)")
     p.add_argument("--psf-file", type=Path, default=None,
                    help="custom PSF volume (.npy or multi-page .tif) — "
                         "the reference's --doubled_psf OTF role")
@@ -254,7 +258,7 @@ def main(argv=None) -> int:
         contrast_enhancement_factor=args.contrast_enhancement_factor,
         axial_destripe=args.destripe,
         destripe_sigma=args.destripe_sigma,
-        deconvolve=not args.no_deconvolution,
+        deconvolve=args.deconvolution,
         psf_file=args.psf_file, resume=args.resume)
     return 0
 

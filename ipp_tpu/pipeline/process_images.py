@@ -626,6 +626,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export each stitched channel to a TeraFly pyramid")
     p.add_argument("--rgb-composite", action="store_true",
                    help="align channels and write RGB composites")
+    p.add_argument("--composite", type=str, default=None,
+                   help="path for the composite RGB tif files; implies "
+                        "--rgb-composite (reference flag, "
+                        "process_images.py:1638-1640)")
+    # GPU-scheduling knobs from the reference surface: accepted so
+    # reference launch scripts run unchanged; meaningless on TPU
+    p.add_argument("--exclude_gpus", nargs="+", default=[],
+                   help="no-op on TPU (reference GPU-index exclusion, "
+                        "process_images.py:1718)")
+    p.add_argument("--vram_mem_fraction_gpu0", type=float, default=1.0,
+                   help="no-op on TPU (reference GPU0 VRAM cap, "
+                        "process_images.py:1720)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--stitch-mip", "--stitch_mip", dest="stitch_mip",
                    action=argparse.BooleanOptionalAction, default=False,
@@ -867,13 +879,15 @@ def main(argv=None) -> int:
     for f in export_futs:
         f.result()  # surface export errors before declaring success
     export_pool.shutdown(wait=True)
-    if args.rgb_composite and len(channels) >= 2:
+    if (args.rgb_composite or args.composite) and len(channels) >= 2:
         # channel alignment + composite (reference align_main +
         # merge_all_channels, process_images.py:860-1000,1393-1419)
         from .merge_channels import main as merge_main
 
         color_of = dict(ALL_CHANNELS)
-        argv2 = ["--output", str(stitched_root / "composite")]
+        composite_dir = (Path(args.composite) if args.composite
+                         else stitched_root / "composite")
+        argv2 = ["--output", str(composite_dir)]
         used = set()
         for ch in channels:
             c = color_of.get(ch, "g")

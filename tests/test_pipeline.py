@@ -184,6 +184,34 @@ def test_process_images_multichannel_exports(tmp_path, rng):
     assert img[..., 0].max() == 0
 
 
+def test_process_images_composite_path_flag(tmp_path, rng):
+    """The reference's path-valued --composite flag (process_images.py:
+    1638-1640) implies the RGB composite and directs it to the given
+    directory."""
+    from ipp_tpu.pipeline.process_images import main
+
+    vol = make_phantom(rng, (3, 150, 150), smooth=6.0)
+    for ch in ("Ex_488_Em_525", "Ex_561_Em_600"):
+        tiles, _ = cut_tiles(vol, 2, 2, (96, 96), 48, jitter=1, rng=rng)
+        ch_dir = tmp_path / "raw" / ch
+        ch_dir.mkdir(parents=True)
+        write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
+                        voxel_um=(0.41, 0.41, 0.1))
+    rc = main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess",
+        "--search-radius", "4", "--subvol-dim", "3",
+        "--composite", str(tmp_path / "rgb_out"),
+        "--exclude_gpus", "0", "--vram_mem_fraction_gpu0", "0.8",
+    ])
+    assert rc == 0
+    comps = sorted((tmp_path / "rgb_out").glob("*.tif"))
+    assert len(comps) == 3
+    img = tio.imread(comps[0])
+    assert img.ndim == 3 and img.shape[2] == 3
+
+
 def test_deconvolve_pipeline_mesh_matches_single_device(tmp_path, rng):
     """The mesh-batched pipeline path produces the same bricks and output
     series as the single-device path (VERDICT round-1 item 2: the pipeline,
