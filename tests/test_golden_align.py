@@ -123,3 +123,28 @@ def test_sections_similarity_weights_overlap():
     shifted = roll_pad(vol.copy(), (0, 0, 32))
     assert _sections_similarity(vol, vol) > _sections_similarity(
         vol, shifted)
+
+
+@pytest.mark.parametrize("seed,shift", [
+    (31, (0, 1, 3)),
+    (32, (-2, -1, 1)),
+    (33, (1, 4, -4)),
+])
+def test_align_volumes_golden_fuzz(seed, shift):
+    """Seeded shift fuzz: random channel offsets through BOTH engines
+    (reference align_images run verbatim where its unguarded ECC loop
+    converges) — totals must equal the planted truth."""
+    ra = _load_reference_align()
+    vol, moved = _channel_pair(shift, seed=seed)
+    _aligned, our_total = align_volumes(vol, moved, max_iter=8)
+    assert np.array_equal(np.array(our_total), np.array(shift)), \
+        (seed, shift, our_total)
+    try:
+        x_m, y_m, z_m, _ = ra.align_images(
+            vol.copy(), moved.copy(), max_iter=8, make_copy=False,
+            verbose=False)
+    except Exception:
+        return  # the reference's unguarded ECC diverged on this fixture
+    ref_total = np.array([sum(z_m), sum(y_m), sum(x_m)])
+    assert np.array_equal(ref_total, np.array(shift)), (seed, shift,
+                                                        ref_total)
