@@ -88,3 +88,28 @@ def test_crop_ims_matches_reference_crop(ref_crop, ims_volume, tmp_path):
     ours_8 = tio.read_tiff_stack(p8)
     assert ours_8.dtype == ref_8.dtype
     np.testing.assert_array_equal(ours_8, ref_8)
+
+
+def test_crop_ims_golden_roi_fuzz(ref_crop, ims_volume, tmp_path):
+    """Seeded ROI fuzz: random crop boxes and bit shifts through crop_ims
+    vs the reference's read_ims + convert_16bit_to_8bit_fun
+    (supplements/croping.py)."""
+    path, vol = ims_volume
+    r = np.random.default_rng(20260819)
+    for i in range(6):
+        z0 = int(r.integers(0, 8)); z1 = int(r.integers(z0 + 2, 13))
+        y0 = int(r.integers(0, 40)); y1 = int(r.integers(y0 + 4, 65))
+        x0 = int(r.integers(0, 32)); x1 = int(r.integers(x0 + 4, 49))
+        shift = int(r.integers(0, 9))
+        out = tmp_path / f"f{i}"
+        out.mkdir()
+        p16 = crop_ims(path, out, z0, z1, y0, y1, x0, x1,
+                       right_shift=shift)
+        ref_roi = ref_crop.read_ims(path, (z0, y0, x0),
+                                    zyx_extents=(z1 - z0, y1 - y0,
+                                                 x1 - x0))
+        np.testing.assert_array_equal(tio.read_tiff_stack(p16), ref_roi)
+        ref_8 = ref_crop.convert_16bit_to_8bit_fun(ref_roi.copy(),
+                                                   right_shift=shift)
+        p8 = p16.with_name(p16.name.replace("_16bit", "_8bit"))
+        np.testing.assert_array_equal(tio.read_tiff_stack(p8), ref_8)
