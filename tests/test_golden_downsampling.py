@@ -58,3 +58,22 @@ def test_downsample_matches_block_reduce(ref_ds, shape, down):
     ours = np.asarray(block_reduce(trunc, down, "mean"))
     assert ref.shape == ours.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_downsample_golden_fuzz(ref_ds):
+    """Seeded fuzz: random shapes and factor triples (incl. factor-1
+    axes and non-divisible extents) vs the reference's downsample."""
+    r = np.random.default_rng(20260819)
+    for _ in range(10):
+        shape = tuple(int(r.integers(4, 30)) for _ in range(3))
+        down = tuple(int(r.integers(1, 7)) for _ in range(3))
+        if any(s < d for s, d in zip(shape, down)):
+            continue
+        vol = r.random(shape).astype(np.float64) * 100.0
+        ref = ref_ds.downsample(vol, list(down))
+        trunc = vol[tuple(slice(0, (s // d) * d)
+                          for s, d in zip(shape, down))]
+        ours = np.asarray(block_reduce(trunc, down, "mean"))
+        assert ref.shape == ours.shape, (shape, down)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4,
+                                   err_msg=str((shape, down)))

@@ -162,3 +162,47 @@ def test_correct_bleaching_golden_fuzz(rng):
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5,
                                    err_msg=str((h, w, tau, freq,
                                                 max_method)))
+
+
+def test_hist_match_golden_fuzz(rng):
+    """Seeded fuzz: random source/template value ranges and shapes
+    (incl. constant templates and heavy value repetition) through the
+    reference's hist_match (pystripe/core.py:426-470)."""
+    core = load_pystripe_core()
+    import jax.numpy as jnp
+
+    from ipp_tpu.ops.intensity import hist_match
+
+    r = np.random.default_rng(20260819)
+    for i in range(8):
+        sh = (int(r.integers(16, 97)), int(r.integers(16, 97)))
+        th = (int(r.integers(8, 65)), int(r.integers(8, 65)))
+        s_hi = int(r.choice([16, 255, 4000, 65535]))
+        t_lo = int(r.integers(0, 1000))
+        t_hi = t_lo + int(r.choice([1, 50, 30000]))
+        src = r.integers(0, s_hi + 1, sh).astype(np.uint16)
+        tmpl = r.integers(t_lo, t_hi + 1, th).astype(np.uint16)
+        ref = core.hist_match(src, tmpl)
+        ours = np.asarray(hist_match(jnp.asarray(src), jnp.asarray(tmpl)))
+        np.testing.assert_allclose(ours, np.asarray(ref, np.float64),
+                                   rtol=0, atol=1.0,
+                                   err_msg=str((i, sh, th, s_hi, t_lo,
+                                                t_hi)))
+
+
+def test_estimate_bit_shift_golden_fuzz(rng):
+    """Seeded fuzz over image peak ranges and thresholds (reference
+    estimate_bit_shift, process_images.py)."""
+    install_shims()
+    install_process_images_shims()
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    import process_images as rp
+
+    r = np.random.default_rng(20260819)
+    for _ in range(12):
+        peak = float(r.choice([50, 200, 900, 4000, 20000, 60000]))
+        thr = float(r.choice([0.1, 0.5, 1.0, 2.0, 5.0]))
+        img = np.log1p(r.random((64, 64)).astype(np.float32) * peak)
+        assert rp.estimate_bit_shift(img, thr) == \
+            estimate_bit_shift(img, thr), (peak, thr)
