@@ -369,6 +369,24 @@ def write_composite_series(
     return out_dir
 
 
+def _pad_to_shape(vol: np.ndarray, shape: Tuple[int, ...]) -> np.ndarray:
+    """Center-pad with zeros to `shape` (reference align_images.py:103)."""
+    if tuple(vol.shape) == tuple(shape):
+        return vol
+    pad = [(max(0, t - s) // 2, (max(0, t - s) + 1) // 2)
+           for s, t in zip(vol.shape, shape)]
+    return np.pad(vol, pad)
+
+
+def _trim_to_shape(vol: np.ndarray, shape: Tuple[int, ...]) -> np.ndarray:
+    """Center-crop to `shape` (reference align_images.py:111)."""
+    if tuple(vol.shape) == tuple(shape):
+        return vol
+    sl = tuple(slice((s - t) // 2, s - ((s - t) + 1) // 2)
+               for s, t in zip(vol.shape, shape))
+    return vol[sl]
+
+
 def main(argv=None) -> int:
     """Standalone channel-alignment CLI — the reference align_images.py
     surface (align_images.py:716-756): per channel a pair of paths
@@ -421,6 +439,14 @@ def main(argv=None) -> int:
     ref = args.reference
     dtype = np.dtype(args.dtype)
 
+    # channels may be downsampled to slightly different shapes; the
+    # reference center-pads all to a common shape before aligning and
+    # trims the outputs back to the reference channel's original shape
+    # (align_images.py:103-119 pad_to_shape/trim_to_shape, :624)
+    ref_shape = down[ref].shape
+    common = tuple(max(s) for s in zip(*(v.shape for v in down.values())))
+    down = {c: _pad_to_shape(v, common) for c, v in down.items()}
+
     offsets = {c: (0, 0, 0) for c in pairs}
     aligned = dict(down)
     for c in pairs:
@@ -430,6 +456,7 @@ def main(argv=None) -> int:
             down[ref].astype(np.float32), down[c].astype(np.float32),
             max_iter=args.max_iterations, log=log)
         aligned[c] = aligned[c].astype(down[c].dtype)
+    aligned = {c: _trim_to_shape(v, ref_shape) for c, v in aligned.items()}
 
     # aligned downsampled outputs: RGB composite (+ singles)
     down_dir = args.output / "downsampled"
@@ -437,10 +464,10 @@ def main(argv=None) -> int:
     rgb_dir.mkdir(parents=True, exist_ok=True)
     info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
     depth = max(v.shape[0] for v in aligned.values())
+    h = max(v.shape[1] for v in aligned.values())
+    w = max(v.shape[2] for v in aligned.values())
     cidx = {"red": 0, "green": 1, "blue": 2}
     for z in range(depth):
-        h = max(v.shape[1] for v in aligned.values())
-        w = max(v.shape[2] for v in aligned.values())
         comp = np.zeros((h, w, 3), np.float32)
         for c, v in aligned.items():
             if z < v.shape[0]:
@@ -467,8 +494,9 @@ def main(argv=None) -> int:
     for c, (orig, _d) in pairs.items():
         if orig is None:
             continue
-        scaled = tuple(int(round(offsets[c][i] / ratios[i]))
-                       for i in range(3))
+        # int() truncation, not round — the reference scales with
+        # int(alignment / ratio) (align_images.py:668)
+        scaled = tuple(int(offsets[c][i] / ratios[i]) for i in range(3))
         log.info(f"{c}: downsampled offsets {offsets[c]} -> original "
                  f"{scaled} (voxel ratios {ratios})")
         orig_dirs[c] = write_aligned_series(

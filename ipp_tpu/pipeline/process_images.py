@@ -727,6 +727,11 @@ def main(argv=None) -> int:
     preproc_root = args.preprocessed or args.input.parent / (
         args.input.name + "_preprocessed")
     log.info(f"channels: {channels}")
+    if args.composite and not Path(args.composite).exists():
+        # the reference requires the composite PARENT dir to exist up
+        # front (process_images.py:1104-1107)
+        log.error(f"composite path {args.composite} does not exist")
+        return 2
     if args.mip_calibrate is not None:
         return mip_calibrate(args.input, channels, args.mip_calibrate, log)
     if args.stitch_test:
@@ -856,7 +861,8 @@ def main(argv=None) -> int:
         # host-only (pyramid build + HDF5 write), so they hide behind the
         # next channel's device work and IO
         def _exports(ch=ch, out_dir=out_dir, vox=(vz, vy, vx)):
-            color = dict(ALL_CHANNELS).get(ch, "g")
+            base = ch[:-4] if ch.endswith("_MIP") else ch
+            color = dict(ALL_CHANNELS).get(base, "g")
             if args.terafly and (not args.terafly_channels
                                  or ch in args.terafly_channels):
                 from ..io.terafly import tif_series_to_terafly
@@ -885,12 +891,24 @@ def main(argv=None) -> int:
         from .merge_channels import main as merge_main
 
         color_of = dict(ALL_CHANNELS)
-        composite_dir = (Path(args.composite) if args.composite
-                         else stitched_root / "composite")
+        if args.composite:
+            # the reference treats --composite as a PARENT directory and
+            # appends "<input>_composite[_MIP]" (process_images.py:
+            # 1100-1108; existence validated at startup above)
+            composite_dir = Path(args.composite) / (
+                args.input.name + "_composite"
+                + ("_MIP" if args.stitch_mip else ""))
+        else:
+            composite_dir = stitched_root / "composite"
         argv2 = ["--output", str(composite_dir)]
+        if not args.resume:
+            argv2.append("--no-resume")
         used = set()
         for ch in channels:
-            c = color_of.get(ch, "g")
+            # --stitch-mip channels carry a "_MIP" suffix that the color
+            # table doesn't know (reference keeps MIP color per base name)
+            base = ch[:-4] if ch.endswith("_MIP") else ch
+            c = color_of.get(base, "g")
             flag = {"r": "--red", "g": "--green", "b": "--blue"}[c]
             if flag in used:
                 log.warn(f"skipping {ch}: color {c} already assigned")

@@ -186,8 +186,8 @@ def test_process_images_multichannel_exports(tmp_path, rng):
 
 def test_process_images_composite_path_flag(tmp_path, rng):
     """The reference's path-valued --composite flag (process_images.py:
-    1638-1640) implies the RGB composite and directs it to the given
-    directory."""
+    1638-1640) implies the RGB composite and writes it under the given
+    PARENT directory as <input>_composite (process_images.py:1100-1108)."""
     from ipp_tpu.pipeline.process_images import main
 
     vol = make_phantom(rng, (3, 150, 150), smooth=6.0)
@@ -197,6 +197,7 @@ def test_process_images_composite_path_flag(tmp_path, rng):
         ch_dir.mkdir(parents=True)
         write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
                         voxel_um=(0.41, 0.41, 0.1))
+    (tmp_path / "rgb_out").mkdir()
     rc = main([
         "--input", str(tmp_path / "raw"),
         "--stitched", str(tmp_path / "stitched"),
@@ -206,8 +207,16 @@ def test_process_images_composite_path_flag(tmp_path, rng):
         "--exclude_gpus", "0", "--vram_mem_fraction_gpu0", "0.8",
     ])
     assert rc == 0
-    comps = sorted((tmp_path / "rgb_out").glob("*.tif"))
+    comps = sorted((tmp_path / "rgb_out" / "raw_composite").glob("*.tif"))
     assert len(comps) == 3
+    # a missing --composite parent is an up-front error, as in the
+    # reference (process_images.py:1104-1107)
+    assert main([
+        "--input", str(tmp_path / "raw"),
+        "--stitched", str(tmp_path / "stitched"),
+        "--objective", "15x", "--no-preprocess",
+        "--composite", str(tmp_path / "missing_parent"),
+    ]) == 2
     img = tio.imread(comps[0])
     assert img.ndim == 3 and img.shape[2] == 3
 
@@ -838,17 +847,20 @@ def test_stitch_mip_mode(tmp_path, rng):
     from ipp_tpu.pipeline.process_images import main
 
     vol = make_phantom(rng, (1, 200, 200), smooth=8.0)
-    tiles, _ = cut_tiles(vol, 2, 2, (120, 120), 48, jitter=2, rng=rng)
-    ch_dir = tmp_path / "raw" / "Ex_488_Em_525_MIP"
-    ch_dir.mkdir(parents=True)
-    write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
-                    voxel_um=(0.41, 0.41, 0.1))
+    for ch in ("Ex_488_Em_525_MIP", "Ex_561_Em_600_MIP"):
+        tiles, _ = cut_tiles(vol, 2, 2, (120, 120), 48, jitter=2, rng=rng)
+        ch_dir = tmp_path / "raw" / ch
+        ch_dir.mkdir(parents=True)
+        write_tile_grid(ch_dir, tiles, overlap_nominal_px=48,
+                        voxel_um=(0.41, 0.41, 0.1))
+    (tmp_path / "rgb_out").mkdir()
     rc = main([
         "--input", str(tmp_path / "raw"),
         "--stitched", str(tmp_path / "stitched"),
         "--objective", "15x", "--no-preprocess", "--stitch-mip",
         "--search-radius", "8",
         "--downsampled-voxel", "16",  # must be ignored in MIP mode
+        "--composite", str(tmp_path / "rgb_out"),
     ])
     assert rc == 0
     out_dir = tmp_path / "stitched" / "Ex_488_Em_525_MIP"
@@ -856,6 +868,14 @@ def test_stitch_mip_mode(tmp_path, rng):
     assert len(outs) == 1
     assert tio.imread(outs[0]).max() > 0
     assert not list((tmp_path / "stitched").glob("*.npz"))
+    # MIP composite: lands in <parent>/<input>_composite_MIP (reference
+    # process_images.py:1108) and both _MIP channels keep their base
+    # colors (488 -> blue ch, 561 -> green ch), not a single-channel 'g'
+    comps = sorted((tmp_path / "rgb_out" / "raw_composite_MIP")
+                   .glob("*.tif"))
+    assert len(comps) == 1
+    img = tio.imread(comps[0])
+    assert img[..., 1].max() > 0 and img[..., 2].max() > 0
 
 
 def test_align_images_cli(tmp_path, rng):
@@ -905,3 +925,32 @@ def test_align_images_cli(tmp_path, rng):
 
     r = ImarisReader(out / "downsampled" / "green.ims")
     assert r.shape == (16, 96, 96)
+
+
+def test_align_images_cli_mismatched_shapes(tmp_path, rng):
+    """Per-channel downsampled stacks of different shapes are center-padded
+    to a common shape before aligning and the outputs trimmed back to the
+    reference channel's shape (reference align_images.py:103-119,624)."""
+    from ipp_tpu.pipeline.align_channels import main
+
+    red = make_phantom(rng, (12, 64, 64), smooth=5.0).astype(np.uint16)
+    green = np.pad(red, ((0, 1), (0, 0), (2, 2)))  # (13, 64, 68)
+    rp, gp = tmp_path / "red.tif", tmp_path / "green.tif"
+    tio.write_tiff_stack(rp, red)
+    tio.write_tiff_stack(gp, green)
+    for name, v in (("red", red), ("green", green)):
+        d = tmp_path / f"{name}_orig"
+        d.mkdir()
+        for z in range(v.shape[0]):
+            tio.imwrite(d / f"img_{z:06d}.tif", v[z])
+    out = tmp_path / "aligned"
+    rc = main([
+        "--red", str(tmp_path / "red_orig"), str(rp),
+        "--green", str(tmp_path / "green_orig"), str(gp),
+        "-o", str(out), "--dtype", "uint16",
+        "--dx", "1", "1", "--dy", "1", "1", "--dz", "1", "1",
+    ])
+    assert rc == 0
+    rgb = sorted((out / "downsampled" / "RGB").glob("img_*.tif"))
+    assert len(rgb) == 12  # trimmed back to the reference channel depth
+    assert tio.imread(rgb[0]).shape == (64, 64, 3)
