@@ -74,6 +74,22 @@ def _lane(n: int) -> int:
     return -(-n // 128) * 128
 
 
+# Measured per-voxel RL cost relative to 256^3 = 2.384 ns/vox (v5e,
+# 10-iter RL, scripts/blocksize_sweep.py round-4 runs).  Keys are padded
+# work shapes; values override the per-axis creep model in `_block_cost`
+# (the model's independent-axis assumption over-penalizes cube-ish
+# blocks by ~10%, enough to flip the reference-volume plan).
+_MEASURED_RATIO = {
+    (256, 256, 256): 1.000,
+    (256, 512, 512): 1.031,
+    (512, 512, 256): 1.044,
+    (512, 512, 512): 1.013,
+    (256, 512, 768): 1.065,
+    (768, 256, 512): 1.104,
+    (256, 768, 768): 1.185,
+}
+
+
 def _block_cost(padded: Tuple[int, ...]) -> float:
     """Relative per-block RL cost model, recalibrated on v5e after the
     round-4 scoped-VMEM fix let the fused Pallas radix walk compile at
@@ -93,13 +109,34 @@ def _block_cost(padded: Tuple[int, ...]) -> float:
     edge waste (e.g. 512x2048^2: 45 x 256 ms (256,512,768)-blocks =
     11.5 s beats 75 x 165 ms (256,512,512)-blocks = 12.4 s, measured).
     The per-block dispatch constant measured ~0 at 256^3+ (40 ms vs
-    4x165 ms); a small residual keeps tiny blocks from proliferating."""
+    4x165 ms); a small residual keeps tiny blocks from proliferating.
+
+    The multiplicative per-axis creep is CONSERVATIVE for cube-ish big
+    blocks — the axes INTERACT: (512,512,512) measures 2.414 ns/vox =
+    1.013x where the model predicts 1.12x, because a large z batches the
+    x/y radix walks, offsetting the z-stage creep.  Six calibration
+    points can't identify a trustworthy interaction model, so measured
+    shapes rank by `_MEASURED_RATIO` directly and the per-axis model
+    covers everything else — and the model errs BOTH ways ((256,768,768)
+    measures 1.185x vs 1.136 predicted), so any shape the planner starts
+    preferring over the measured set should be swept on-chip and added
+    to the table (scripts/blocksize_sweep.py).  The default budget is
+    160 Mi-elems so 512^3 (128 Mi-elems, 512 MB f32, measured fine in
+    v5e's 16 GB HBM alongside the RL working set) is admissible; with
+    the table the reference-volume plan moves (512,512,256) ->
+    (512,512,512) (measured +10% core rate, half the dispatches)."""
     vox = 1.0
+    ratio = _MEASURED_RATIO.get(tuple(padded))
     for ax, p in enumerate(padded):
         lane_f = (2 * p + _lane(p)) / (3.0 * p)
-        slope = 0.05 if ax == 0 else 0.033
-        stage_f = 1 + slope * (p / 256 - 1) if p % 256 == 0 else 1.77
+        if ratio is None:
+            slope = 0.05 if ax == 0 else 0.033
+            stage_f = 1 + slope * (p / 256 - 1) if p % 256 == 0 else 1.77
+        else:
+            stage_f = 1.0
         vox *= p * lane_f * stage_f
+    if ratio is not None:
+        vox *= ratio
     return vox + 0.02 * (256 ** 3)  # per-block fixed overhead
 
 
@@ -120,7 +157,7 @@ def _axis_candidates(n: int, h: int, max_dim: int) -> List[int]:
 
 
 def autosplit(vol_shape: Tuple[int, int, int], psf_shape: Tuple[int, int, int],
-              max_block_elems: int = 96 * 2 ** 20,
+              max_block_elems: int = 160 * 2 ** 20,
               strict_accuracy: bool = False,
               ):
     """Split a volume into lane-aligned overlap-save blocks; returns
@@ -376,7 +413,7 @@ def deconvolve_volume(
     amplification: float = 1.0,
     clip_percentile: float = 99.999,
     batch_blocks: Optional[int] = None,
-    max_block_elems: int = 96 * 2 ** 20,
+    max_block_elems: int = 160 * 2 ** 20,
     resume: bool = False,
     classic_rl: bool = True,
     mesh=None,
@@ -803,7 +840,7 @@ def build_parser():
     p.add_argument("--bit-depth", type=int, default=16, choices=[8, 16])
     p.add_argument("--amplification", type=float, default=1.0)
     p.add_argument("--clip-percentile", type=float, default=99.999)
-    p.add_argument("--max-block-mvox", type=float, default=96.0)
+    p.add_argument("--max-block-mvox", type=float, default=160.0)
     p.add_argument("--reference-scheme", action="store_true",
                    help="use the reference's bl-as-y RL variant")
     p.add_argument("--fft-precision", default=None,

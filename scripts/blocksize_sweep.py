@@ -11,7 +11,15 @@ calibration set (pipeline/deconvolve.py):
     (256, 512, 768): 256 ms       2.540 (1.065x)core 309.5
     (768, 256, 512): 265 ms       2.633 (1.104x)core 298.6
     (384, 512, 512): 438 ms       4.350 (1.82x — non-256-multiple axis)
-    (512, 512, 256): 167 ms       2.489 (bench.py headline stage)
+    (512, 512, 256): 167 ms       2.489 (headline stage until 512^3)
+    (512, 512, 512): 324 ms       2.414 (1.013x — near-FLAT: big z
+                     batches the x/y radix walks) core 341.4 Mvox/s.
+                     Admitted by raising the default block budget to
+                     160 Mi-elems; now the planned production block
+                     for the reference volume (bench.py headline).
+    (256, 768, 768): 426 ms       2.825 (1.185x — the model predicted
+                     1.136: axis interactions err both ways, hence the
+                     `_MEASURED_RATIO` table in pipeline/deconvolve.py)
 
 Fused 256-multiple axes are per-voxel near-flat (small creep, steeper
 when the big axis sits in z); per-block dispatch overhead is ~0.
@@ -35,7 +43,8 @@ niter = 10
 
 for shape, reps in [((256, 256, 256), 15), ((256, 512, 512), 5),
                     ((512, 512, 256), 5), ((384, 512, 512), 4),
-                    ((256, 512, 768), 4), ((768, 256, 512), 4)]:
+                    ((256, 512, 768), 4), ((768, 256, 512), 4),
+                    ((512, 512, 512), 4), ((256, 768, 768), 4)]:
     vol = jnp.asarray(rng.random(shape, dtype=np.float32) * 1000.0)
     core = np.prod([s - 2 * halo for s in shape])
 
