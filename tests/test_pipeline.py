@@ -95,6 +95,25 @@ def test_autosplit_halo_and_coverage():
     assert (seen == 1).all()
 
 
+def test_autosplit_production_plan_is_measured_512_cube():
+    """The reference benchmark volume (835.7 Gvox,
+    LsDeconvolveMultiGPU/README.md:58-61) must plan the on-chip-measured
+    best block: (512,512,512) at 2.414 ns/vox beats every other measured
+    shape per CORE voxel (scripts/blocksize_sweep.py round-4 table), and
+    the default budget admits it.  Guards the `_MEASURED_RATIO`
+    calibration against model drift re-flipping the plan."""
+    from ipp_tpu.pipeline.deconvolve import _MEASURED_RATIO, autosplit
+
+    plans, halo, planned = autosplit((7912, 12778, 8266), (9, 9, 9))
+    assert planned == (512, 512, 512)
+    assert halo == (16, 16, 16)
+    assert len(plans) == 8262
+    # every measured 256-multiple shape must rank by its table entry,
+    # and the planner must never silently prefer an unmeasured shape
+    # over 512^3 for this volume (the table is the evidence base)
+    assert planned in _MEASURED_RATIO
+
+
 def test_autosplit_strict_accuracy_gate():
     """Strict mode (the deconvolve_volume default) refuses a block budget
     that forces the halo to <=2x the PSF half-extent (core NRMSE beyond the
