@@ -387,13 +387,7 @@ def _trim_to_shape(vol: np.ndarray, shape: Tuple[int, ...]) -> np.ndarray:
     return vol[sl]
 
 
-def main(argv=None) -> int:
-    """Standalone channel-alignment CLI — the reference align_images.py
-    surface (align_images.py:716-756): per channel a pair of paths
-    (ORIGINAL series dir, DOWNSAMPLED stack), ECC alignment on the
-    downsampled volumes, aligned downsampled RGB (+ singles,
-    alignments.txt), offsets scaled by the voxel ratios and applied to
-    the original series, optional .ims exports."""
+def build_parser():
     import argparse
 
     p = argparse.ArgumentParser(
@@ -418,7 +412,17 @@ def main(argv=None) -> int:
                    metavar=("ORIG_UM", "DOWN_UM"))
     p.add_argument("--dy", required=True, nargs=2, type=float)
     p.add_argument("--dz", required=True, nargs=2, type=float)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    """Standalone channel-alignment CLI — the reference align_images.py
+    surface (align_images.py:716-756): per channel a pair of paths
+    (ORIGINAL series dir, DOWNSAMPLED stack), ECC alignment on the
+    downsampled volumes, aligned downsampled RGB (+ singles,
+    alignments.txt), offsets scaled by the voxel ratios and applied to
+    the original series, optional .ims exports."""
+    args = build_parser().parse_args(argv)
     log = Logger()
 
     def _load(path):

@@ -75,6 +75,7 @@ def tif_series_to_fnt(tif_dir: Path, out_dir: Path, cube: int = 128,
 def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
                         start: Optional[int] = None,
                         end: Optional[int] = None,
+                        frame_repeat: int = 1,
                         log: Optional[Logger] = None) -> Path:
     """Render a TIFF series to a video file (the ffmpeg leg of the
     reference, convert.py:231-247) via cv2.VideoWriter.  Non-8-bit planes
@@ -115,7 +116,8 @@ def tif_series_to_movie(tif_dir: Path, movie_path: Path, fps: int = 60,
                           0, 255).astype(np.uint8)
         if img.ndim == 2:
             img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
-        vw.write(img)
+        for _ in range(max(1, frame_repeat)):
+            vw.write(img)
     vw.release()
     log.info(f"{len(paths)} frames -> {movie_path}")
     return movie_path
@@ -188,6 +190,10 @@ def convert(
     to_movie: Optional[Path] = None,
     fnt_cube: int = 128,
     movie_fps: int = 60,
+    movie_start: int = 0,
+    movie_end: Optional[int] = None,
+    movie_frame_duration: int = 1,
+    save_images: bool = True,
     halve: str = "mean",
     block_format: str = "tiff2d",
     resume: bool = False,
@@ -202,6 +208,14 @@ def convert(
 ) -> Path:
     enable_persistent_cache()
     log = log or Logger()
+    if not save_images and (to_terafly or to_imaris or to_bdv
+                            or to_precomputed or to_fnt or to_movie):
+        # every export reads the written series back; honor the
+        # reference's "downsample only" contract only when nothing else
+        # needs the planes (convert.py:397)
+        log.warning("--no-save-images ignored: an export needs the "
+                    "full-res series")
+        save_images = True
     reader, nz = _open_source(Path(source), channel=channel)
     if read_timeout and read_timeout > 0:
         # hung/corrupt plane reads become zero planes after the deadline
@@ -362,7 +376,7 @@ def convert(
         tasks, dev, n = item
         arr = np.asarray(dev)[:n]
         for (zz, outp), pl in zip(tasks, arr):
-            _finish_plane(outp, pl, write=True)
+            _finish_plane(outp, pl, write=save_images)
 
     def _flush_raw():
         if not raw_batch:
@@ -423,7 +437,7 @@ def convert(
                        else tio.imread(out), write=False)
             continue
         if z == 0 and plane0 is not None:
-            _emit_host(out, plane0, write=True)
+            _emit_host(out, plane0, write=save_images)
             continue
         raw = np.asarray(reader(z))
         if src_hw is None:
@@ -433,7 +447,7 @@ def convert(
             # semantics of process_img, reference pystripe/core.py:1241);
             # per-plane-stat cfgs (bleach otsu) also stay per-plane
             _emit_host(out, process_img(raw, cfg) if cfg is not None
-                       else raw, write=True)
+                       else raw, write=save_images)
             continue
         if raw_batch and (raw_batch[0][2].shape != raw.shape
                           or raw_batch[0][2].dtype != raw.dtype):
@@ -492,7 +506,9 @@ def convert(
                           voxel_um=voxel_um, log=log)
     if to_movie:
         log.info("rendering movie ...")
-        tif_series_to_movie(tif_dir, Path(to_movie), fps=movie_fps, log=log)
+        tif_series_to_movie(tif_dir, Path(to_movie), fps=movie_fps,
+                            start=movie_start or None, end=movie_end,
+                            frame_repeat=movie_frame_duration, log=log)
     return tif_dir
 
 
@@ -535,10 +551,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compression-level", "-zl", type=int, default=1,
                    help="0 disables compression (reference default 1)")
     p.add_argument("--new-size", type=int, nargs=2, default=None)
+    p.add_argument("--new-size-x", "-nsx", type=int, default=0,
+                   help="reference per-axis resize spelling; both "
+                        "-nsx and -nsy are required together "
+                        "(convert.py:54-57)")
+    p.add_argument("--new-size-y", "-nsy", type=int, default=0)
     p.add_argument("--voxel", type=float, nargs=3, default=(1.0, 1.0, 1.0),
                    metavar=("Z", "Y", "X"))
-    p.add_argument("--terafly", "-f", nargs="?", const=True, default=False,
-                   metavar="DIR",
+    p.add_argument("--terafly", "--teraFly", "-f", nargs="?", const=True,
+                   default=False, metavar="DIR",
                    help="TeraFly pyramid; optional explicit output dir "
                         "(reference --teraFly PATH)")
     p.add_argument("--imaris", nargs="?", const=True, default=False,
@@ -555,12 +576,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TeraFly block layout: 2D TIFF series or Vaa3D "
                         "raw stacks (reference mergeTilesVaa3DRaw, "
                         "StackStitcher.h:338)")
-    p.add_argument("--fnt", type=Path, default=None,
+    p.add_argument("--fnt", "-fnt", type=Path, default=None,
                    help="cut FNT .nrrd cubes into this directory")
     p.add_argument("--fnt-cube", type=int, default=128)
-    p.add_argument("--movie", type=Path, default=None,
+    p.add_argument("--movie", "-m", type=Path, default=None,
                    help="render the series to this .mp4/.avi")
     p.add_argument("--movie-fps", type=int, default=60)
+    p.add_argument("--movie-start", type=int, default=0,
+                   help="first frame index (reference convert.py:372)")
+    p.add_argument("--movie-end", type=int, default=None,
+                   help="one past the last frame index")
+    p.add_argument("--movie-frame-duration", type=int, default=1,
+                   help="times each plane repeats in the movie.  The "
+                        "reference default is 5, but its input-side "
+                        "'-r 60' makes ffmpeg ignore the concat "
+                        "durations entirely (convert.py:239-241), so its "
+                        "effective duration is 1 frame — our default "
+                        "matches that effective behavior")
     p.add_argument("--channel", "-c", type=int, default=0,
                    help="IMS channel to convert")
     p.add_argument("--rotation", "-r", type=int, default=0,
@@ -568,7 +600,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flip-upside-down", "--flip_upside_down",
                    action="store_true")
     p.add_argument("--gaussian", "-g", action="store_true")
-    p.add_argument("--padding-mode", "--padding_mode", default="reflect")
+    p.add_argument("--padding-mode", "--padding_mode", "-w",
+                   default="reflect")
     p.add_argument("--timeout", type=float, default=None,
                    help="per-plane read timeout (s); failed reads "
                         "become zero planes")
@@ -587,11 +620,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="alternating max/mean xy rungs; default all-mean "
                         "(the reference converter's effective default, "
                         "convert.py:129)")
+    p.add_argument("--save-images", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="--no-save-images skips the full-res TIFF "
+                        "series and only produces the -dt downsample/npz "
+                        "(reference convert.py:397)")
+    # accepted for reference compatibility: RAM admission is internal
+    # (utils/memory.py) and there is one device stream, not a GPU pool
+    p.add_argument("--needed-memory", type=int, default=1,
+                   help="no-op (reference per-thread GB gate, "
+                        "convert.py:395)")
+    p.add_argument("--threads-per-gpu", type=int, default=1,
+                   help="no-op (reference GPU batching knob, "
+                        "convert.py:400)")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    p = build_parser()
+    args = p.parse_args(argv)
+    if bool(args.new_size_x) != bool(args.new_size_y):
+        p.error("both --new-size-x and --new-size-y are needed "
+                "(reference convert.py:54-57)")
+    if args.new_size_x and args.new_size_y:
+        args.new_size = [args.new_size_y, args.new_size_x]
     cfg = None
     sigma = (args.sigma1, args.sigma2)
     if args.destripe and sigma == (0.0, 0.0):
@@ -643,7 +695,10 @@ def main(argv=None) -> int:
             to_terafly=args.terafly, to_imaris=args.imaris,
             to_bdv=args.bdv, to_precomputed=args.precomputed,
             to_fnt=args.fnt, to_movie=args.movie, fnt_cube=args.fnt_cube,
-            movie_fps=args.movie_fps, halve=args.halve,
+            movie_fps=args.movie_fps, movie_start=args.movie_start,
+            movie_end=args.movie_end,
+            movie_frame_duration=args.movie_frame_duration,
+            save_images=args.save_images, halve=args.halve,
             block_format=args.block_format, resume=args.resume,
             channel=args.channel, read_timeout=args.timeout,
             target_voxel_um=args.voxel_size_target,

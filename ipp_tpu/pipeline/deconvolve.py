@@ -430,8 +430,10 @@ def deconvolve_volume(
     With more than one device (or an explicit `mesh`), blocks run as
     data-parallel batches sharded over the mesh's 'data' axis — the role of
     the reference's per-GPU parfor work-stealing (LsDeconv.m:644-706).
-    Early stop (stop_criterion) only applies on the single-device path;
-    batched blocks run all `niter` iterations.
+    Early stop (stop_criterion) applies on both paths: per block on the
+    single-device path, and per block inside the mesh batch too (each
+    block's while_loop exits independently under lax.map, matching the
+    reference's per-block stop, decon.m:155-204).
     """
     enable_persistent_cache()
     import jax
@@ -612,9 +614,13 @@ def deconvolve_volume(
             psf_n = psf_j / jnp.sum(psf_j)
             x = edge_taper_3d(x, psf_n)
             x, pre, post = pad_to_shape(x, fft_shape)
+            # stop_criterion passes through: each block's lax.while_loop
+            # exits on its own relative-norm criterion (decon.m:155-204
+            # fires per block there too), and under lax.map a converged
+            # block really does skip its remaining iterations
             out = _rl_fft_iterations(
                 x, psf_n, niter=int(niter), fft_shape=fft_shape,
-                lam=float(lam), stop_criterion=0.0,
+                lam=float(lam), stop_criterion=float(stop_criterion),
                 regularize_interval=int(regularize_interval),
                 classic=bool(classic_rl))
             core, qmin, qmax = finish(unpad(out, pre, post))

@@ -80,7 +80,7 @@ def flip_series(input_dir: Path, output_dir: Optional[Path] = None,
     return len(paths)
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="flip TIFF series")
     p.add_argument("--input", "-i", required=True, type=Path)
     p.add_argument("--output", "-o", type=Path, default=None,
@@ -92,6 +92,11 @@ def main(argv=None) -> int:
     p.add_argument("--flip-z", "--z", "-z", dest="flip_z",
                    action="store_true")
     p.add_argument("--workers", "--num_threads", "-n", type=int, default=8)
+    return p
+
+
+def main(argv=None) -> int:
+    p = build_parser()
     args = p.parse_args(argv)
     if not (args.flip_x or args.flip_y or args.flip_z):
         p.error("no axis to flip over (pass -x, -y and/or -z)")

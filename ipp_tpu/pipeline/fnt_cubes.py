@@ -56,6 +56,7 @@ def process_cubes(
     contrast_enhancement_factor: float = 1.0,
     deconvolve: bool = True,
     psf_file: Optional[Path] = None,
+    doubled_psf: bool = False,
     resume: bool = False,
     log: Optional[Logger] = None,
 ) -> int:
@@ -96,6 +97,12 @@ def process_cubes(
                 lambda_em=lambda_em, fcyl=fcyl, slitwidth=slitwidth,
                 sample_at_data_pitch=True)
             psf_zyx = np.transpose(psf, (2, 1, 0))
+            if doubled_psf:
+                # camera "doubling" artifact PSF: the reference stacks
+                # the sampled PSF twice along z and renormalizes
+                # (psf_generator.py:186-195)
+                psf_zyx = np.concatenate([psf_zyx, psf_zyx], axis=0)
+                psf_zyx /= psf_zyx.sum()
             log.info(f"PSF {psf_zyx.shape}, FWHM xy {fwhm_xy:.0f} nm "
                      f"z {fwhm_z:.0f} nm")
     prog = ProgressReporter(len(cubes), desc="cubes")
@@ -182,27 +189,27 @@ def process_cubes(
     return done
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="deconvolve FNT .nrrd cubes")
     p.add_argument("--input", "-i", required=True, type=Path)
     p.add_argument("--output", "-o", required=True, type=Path)
     p.add_argument("--voxel", type=float, nargs=3, default=(1.0, 0.4, 0.4),
                    metavar=("Z", "Y", "X"))
-    p.add_argument("--dxy", type=float, default=None,
+    p.add_argument("--dxy", "-dxy", type=float, default=None,
                    help="xy pitch in um (reference flag; overrides "
                         "--voxel y/x)")
-    p.add_argument("--dz", type=float, default=None,
+    p.add_argument("--dz", "-dz", type=float, default=None,
                    help="z pitch in um (reference flag)")
-    p.add_argument("--na", type=float, default=0.4)
+    p.add_argument("--na", "-na", type=float, default=0.4)
     p.add_argument("--nimm", "-im", "--rf", dest="nimm", type=float,
                    default=1.42, help="immersion refractive index")
-    p.add_argument("--wavelength-ex", "--wavelength_ex", type=float,
+    p.add_argument("--wavelength-ex", "--wavelength_ex", "-ex", type=float,
                    default=488.0)
-    p.add_argument("--wavelength-em", "--wavelength_em", type=float,
+    p.add_argument("--wavelength-em", "--wavelength_em", "-em", type=float,
                    default=525.0)
-    p.add_argument("--f-cylinder-lens", "--f_cylinder_lens", type=float,
-                   default=80000.0)
-    p.add_argument("--slit-width", "--slit_width", type=float,
+    p.add_argument("--f-cylinder-lens", "--f_cylinder_lens", "-fc",
+                   type=float, default=80000.0)
+    p.add_argument("--slit-width", "--slit_width", "-dw", type=float,
                    default=12000.0)
     p.add_argument("--niter", "--n_iters", "-it", dest="niter", type=int,
                    default=10)
@@ -217,9 +224,10 @@ def main(argv=None) -> int:
     p.add_argument("--contrast-enhancement-factor",
                    "--contrast_enhancement_factor", "-cef", type=float,
                    default=1.0)
-    p.add_argument("--destripe", action="store_true",
+    p.add_argument("--destripe", "-ds", default=False,
+                   action=argparse.BooleanOptionalAction,
                    help="axial destripe (rot90 + db9 sigma 1, the "
-                        "reference semantics)")
+                        "reference semantics; fnt_cube_processor.py:335)")
     p.add_argument("--destripe-sigma", type=float, default=0.0,
                    help="plain per-plane destripe at this sigma")
     p.add_argument("--deconvolution", "-d", default=True,
@@ -228,19 +236,27 @@ def main(argv=None) -> int:
                         "--deconvolution / --no-deconvolution, "
                         "fnt_cube_processor.py:337)")
     p.add_argument("--psf-file", type=Path, default=None,
-                   help="custom PSF volume (.npy or multi-page .tif) — "
-                        "the reference's --doubled_psf OTF role")
+                   help="custom PSF volume (.npy or multi-page .tif)")
+    p.add_argument("--doubled_psf", "-dpsf", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="z-doubled PSF for the camera doubling artifact "
+                        "(reference fnt_cube_processor.py:385, "
+                        "psf_generator.py:186-195)")
     p.add_argument("--resume", action="store_true")
     # accepted for reference compatibility and ignored: cubes stream
     # through one device with a lagged fetch instead of a GPU worker
     # pool (fnt_cube_processor.py:227-388)
-    p.add_argument("--num_processes", type=int, default=None,
+    p.add_argument("--num_processes", "-n", type=int, default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--threads_per_gpu", type=int, default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--exclude_gpus", nargs="+", default=None,
                    help=argparse.SUPPRESS)
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     voxel = list(args.voxel)
     if args.dz is not None:
         voxel[0] = args.dz
@@ -259,7 +275,8 @@ def main(argv=None) -> int:
         axial_destripe=args.destripe,
         destripe_sigma=args.destripe_sigma,
         deconvolve=args.deconvolution,
-        psf_file=args.psf_file, resume=args.resume)
+        psf_file=args.psf_file, doubled_psf=args.doubled_psf,
+        resume=args.resume)
     return 0
 
 

@@ -26,7 +26,7 @@ def _load_central_block(tif_dir: Path, max_planes: int = 32) -> np.ndarray:
     return np.stack(planes).astype(np.float32)
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="align channels and write RGB/CMYK composites "
                     "(reference merge_channels.py surface)")
@@ -50,11 +50,15 @@ def main(argv=None) -> int:
                    help="skip composite planes that already exist "
                         "(reference merge_channels.py --resume, default "
                         "on there too)")
-    p.add_argument("--num_processes", type=int, default=None,
+    p.add_argument("--num_processes", "-n", type=int, default=None,
                    help="accepted for reference compatibility; the "
                         "composite writer is single-process (host IO "
                         "threads are internal)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     enable_persistent_cache()
     log = Logger()
 

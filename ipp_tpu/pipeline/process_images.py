@@ -500,9 +500,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma1", type=float, default=250.0)
     p.add_argument("--sigma2", type=float, default=250.0)
     p.add_argument("--wavelet", default="db9")
-    p.add_argument("--padding-mode", default="reflect",
+    p.add_argument("--padding-mode", "--padding_mode", default="reflect",
                    help="destripe pad mode; the reference's production "
-                        "call hardwires 'reflect' (process_images.py:436)")
+                        "call hardwires 'reflect' (process_images.py:436; "
+                        "the CLI-level default there is 'wrap', "
+                        "process_images.py:1671)")
     p.add_argument("--bidirectional", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="filter streaks in both directions (the "
@@ -547,9 +549,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--subvol-dim", type=int, default=100)
     p.add_argument("--threshold", type=float, default=0.65,
                    help="displacement reliability threshold (step 4)")
-    p.add_argument("--downsampled-voxel", "--voxel_size_target",
+    p.add_argument("--downsampled-voxel", "--voxel_size_target", "-dt",
                    type=float, default=None,
-                   help="isotropic target voxel (um) for npz export")
+                   help="isotropic target voxel (um) for npz export "
+                        "(reference short -dt, process_images.py:1704)")
     p.add_argument("--isotropic", action="store_true",
                    help="resize tiles in-plane during preprocessing so "
                         "voxels become isotropic (x = y = z)")
@@ -557,15 +560,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-tile read timeout in seconds during "
                         "preprocessing (hung/corrupt reads become zero "
                         "tiles)")
-    p.add_argument("--convert-to-8bit", action="store_true")
+    p.add_argument("--convert-to-8bit", "--convert_to_8bit",
+                   action="store_true")
     p.add_argument("--bit-shift", type=int, default=None,
                    help="right bit shift for 8-bit conversion; default: "
                         "auto when --auto-params, else 8")
     p.add_argument("--compression", type=str, default=None,
                    help="output TIFF compression ('zlib:N' or None)")
-    p.add_argument("--compression_method", "-cm", type=str, default=None,
-                   help="reference-style method name (ADOBE_DEFLATE, ...)")
-    p.add_argument("--compression_level", "-cl", type=int, default=1)
+    p.add_argument("--compression_method", "-cm", "-zm", type=str,
+                   default=None,
+                   help="reference-style method name (ADOBE_DEFLATE, ...; "
+                        "reference short -zm, process_images.py:1697)")
+    p.add_argument("--compression_level", "-cl", "-zl", type=int, default=1)
     p.add_argument("--background-subtraction", "--background_subtraction",
                    action="store_true",
                    help="lightsheet local-percentile background cleaning "
@@ -599,9 +605,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="TeraFly export destination (default: "
                         "STITCHED/<channel>_terafly)")
-    p.add_argument("--terafly-channels", "--terafly_channels", nargs="+",
-                   default=[],
-                   help="restrict TeraFly export to these channels")
+    p.add_argument("--terafly-channels", "--terafly_channels", "-f",
+                   nargs="+", default=[],
+                   help="restrict TeraFly export to these channels "
+                        "(reference short -f, process_images.py:1651); "
+                        "implies --terafly for the listed channels")
     p.add_argument("--nthreads", "-n", type=int, default=8,
                    help="host IO worker threads for preprocessing")
     p.add_argument("--rot90", action="store_true",
@@ -620,8 +628,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-params", action="store_true",
                    help="estimate dark level and bit shift from sample "
                         "planes (multi-Otsu)")
-    p.add_argument("--imaris", action="store_true",
-                   help="export each stitched channel to .ims")
+    p.add_argument("--imaris", "-o", nargs="?", const=True, default=False,
+                   help="export each stitched channel to .ims; with a "
+                        "path value, write there (reference path form "
+                        "--imaris/-o, process_images.py:1649)")
     p.add_argument("--terafly", action="store_true",
                    help="export each stitched channel to a TeraFly pyramid")
     p.add_argument("--rgb-composite", action="store_true",
@@ -863,8 +873,12 @@ def main(argv=None) -> int:
         def _exports(ch=ch, out_dir=out_dir, vox=(vz, vy, vx)):
             base = ch[:-4] if ch.endswith("_MIP") else ch
             color = dict(ALL_CHANNELS).get(base, "g")
-            if args.terafly and (not args.terafly_channels
-                                 or ch in args.terafly_channels):
+            # a bare --terafly exports every channel; -f/--terafly_channels
+            # implies TeraFly for just the listed channels (reference
+            # process_images.py:1216 enables conversion iff the list is
+            # non-empty)
+            if (args.terafly or args.terafly_channels) and (
+                    not args.terafly_channels or ch in args.terafly_channels):
                 from ..io.terafly import tif_series_to_terafly
 
                 tf_root = args.terafly_path or stitched_root
@@ -874,13 +888,23 @@ def main(argv=None) -> int:
             if args.imaris:
                 from ..io.ims import tif_series_to_imaris
 
+                # path form: one channel -> the given file; several ->
+                # siblings named <channel>.ims next to it (reference
+                # process_images.py:1121-1125)
+                if isinstance(args.imaris, str):
+                    tgt = Path(args.imaris)
+                    ims_out = (tgt if len(channels) == 1
+                               else tgt.parent / f"{ch}.ims")
+                    ims_out.parent.mkdir(parents=True, exist_ok=True)
+                else:
+                    ims_out = stitched_root / f"{ch}.ims"
                 log.info(f"Imaris export for {ch} ...")
                 tif_series_to_imaris(
-                    out_dir, stitched_root / f"{ch}.ims", voxel_um=vox,
+                    out_dir, ims_out, voxel_um=vox,
                     channel_color={"r": "Red", "g": "Green",
                                    "b": "Blue"}[color])
 
-        if args.terafly or args.imaris:
+        if args.terafly or args.terafly_channels or args.imaris:
             export_futs.append(export_pool.submit(_exports))
     for f in export_futs:
         f.result()  # surface export errors before declaring success

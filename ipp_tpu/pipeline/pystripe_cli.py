@@ -199,7 +199,7 @@ def build_parser() -> argparse.ArgumentParser:
                    type=str, default="reflect",
                    help="destripe pad mode (reference CLI default "
                         "'reflect', pystripe/core.py:2079)")
-    p.add_argument("--bidirectional", action="store_true")
+    p.add_argument("--bidirectional", "-dr", action="store_true")
     p.add_argument("--dark", "-d", type=float, default=0)
     p.add_argument("--flat", "-f", type=Path, default=None)
     p.add_argument("--gaussian", action="store_true",

@@ -462,7 +462,7 @@ def simple_stitch(path, output_pattern: str, voxel_size_x: float,
                                   resume=resume, cosine=cosine)
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="tsv mini tools")
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser(
@@ -544,8 +544,8 @@ def main(argv=None) -> int:
                              "(tsv/renumber_directories.py)")
     rd.add_argument("--path", required=True, type=Path)
     n = sub.add_parser("npz")
-    n.add_argument("--input", required=True, type=Path)
-    n.add_argument("--output", required=True, type=Path)
+    n.add_argument("--input", "-i", required=True, type=Path)
+    n.add_argument("--output", "-o", required=True, type=Path)
     n.add_argument("--voxel", type=float, nargs=3, default=None,
                    metavar=("Z", "Y", "X"))
     # reference spellings (downsampled_npz_generator.py CLI)
@@ -602,6 +602,11 @@ def main(argv=None) -> int:
     pc.add_argument("--voxel-nm", type=float, nargs=3,
                     default=(1000.0, 1000.0, 1000.0), metavar=("Z", "Y", "X"))
     pc.add_argument("--levels", type=int, default=3)
+    return p
+
+
+def main(argv=None) -> int:
+    p = build_parser()
     args = p.parse_args(argv)
     log = Logger()
     if args.cmd == "convert":
