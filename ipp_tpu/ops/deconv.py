@@ -489,14 +489,20 @@ def richardson_lucy_batched(
     edge_taper: bool = True,
     sharding=None,
     classic: bool = True,
+    stop_criterion: float = 0.0,
 ) -> jnp.ndarray:
     """Data-parallel RL over a batch of equal-shape blocks (B, D, H, W).
 
     The multi-device replacement for LsDeconv's per-GPU block work-stealing
     (LsDeconv.m:644-706): blocks batch along the leading axis and shard over
     the mesh 'data' axis; optionally the z axis also shards over 'z'
-    (sequence-parallel FFTs with XLA-inserted collectives).  Early stop is
-    disabled in the batched path (blocks would stop at different iterations).
+    (sequence-parallel FFTs with XLA-inserted collectives).
+
+    stop_criterion > 0 enables the reference's per-block relative-norm
+    early stop (decon.m:155-204): the batch runs as a vmapped while_loop,
+    whose batching rule freezes converged lanes (lax.select per lane) and
+    exits once EVERY block has converged — bitwise the same per-block
+    results as the single-device early-stopped path.
     """
     vols = jnp.asarray(vols, jnp.float32)
     psf = jnp.asarray(psf, jnp.float32)
@@ -512,6 +518,16 @@ def richardson_lucy_batched(
     vols = jnp.pad(vols, [(0, 0)] + list(zip(pre, post)))
     if sharding is not None:
         vols = jax.lax.with_sharding_constraint(vols, sharding)
+    if stop_criterion and stop_criterion > 0:
+        out = jax.vmap(lambda v: _rl_fft_iterations(
+            v, psf, niter=int(niter),
+            fft_shape=tuple(int(s) for s in fft_shape),
+            lam=float(lam), stop_criterion=float(stop_criterion),
+            regularize_interval=int(regularize_interval),
+            classic=bool(classic)))(vols)
+        sl = tuple([slice(None)] + [slice(p, s - q) for p, q, s in
+                                    zip(pre, post, out.shape[1:])])
+        return out[sl]
     conv, conv_conj_ratio, update = _make_convolver(psf, fft_shape)
     R = jnp.asarray(_tikhonov_kernel())
     bl = vols

@@ -106,6 +106,45 @@ def test_rl_regularized_reference_mode_matches_batched(rng):
     np.testing.assert_allclose(single, batched, rtol=1e-4, atol=1e-3)
 
 
+def test_rl_batched_early_stop_matches_single(rng):
+    """VERDICT r4 item 4: per-block early stop on the batched path.
+
+    Blocks with different content converge at different iterations; the
+    batched result must equal each block's single-device early-stopped
+    result (the vmapped while_loop freezes converged lanes), and must
+    differ from the run-all-niter batched result (i.e. the stop really
+    fired before niter).  Reference: decon.m:155-204 fires per block."""
+    psf = gaussian_psf((5, 5, 5), (1.2, 1.2, 1.2))
+    # block 0: near-flat (converges almost immediately at a loose stop);
+    # block 1: structured (keeps changing longer)
+    flat = np.full((16, 16, 16), 100.0, np.float32)
+    flat += rng.random(flat.shape).astype(np.float32) * 0.1
+    truth = np.zeros((16, 16, 16), np.float32)
+    truth[4:12, 4:12, 4:12] = rng.random((8, 8, 8)).astype(np.float32) * 500
+    sharp = ndi_convolve(truth, psf, mode="constant").astype(np.float32)
+    vols = np.stack([flat, sharp])
+    kw = dict(niter=12, edge_taper=False, fft_shape=(20, 20, 20))
+
+    batched = np.asarray(dc.richardson_lucy_batched(
+        vols, psf, stop_criterion=1.0, **kw))
+    for b in range(2):
+        single = np.asarray(dc.richardson_lucy(
+            vols[b], psf, stop_criterion=1.0, **kw))
+        np.testing.assert_allclose(batched[b], single, rtol=1e-5,
+                                   atol=1e-3, err_msg=f"block {b}")
+    # prove the stop is actually plumbed into the loop (not a no-op):
+    # an always-true criterion exits every block at iteration 2, which
+    # must differ from the full-niter run on the structured block
+    stopped2 = np.asarray(dc.richardson_lucy_batched(
+        vols, psf, stop_criterion=1e6, **kw))
+    full = np.asarray(dc.richardson_lucy_batched(vols, psf, **kw))
+    assert not np.allclose(stopped2[1], full[1], rtol=1e-4), \
+        "early stop never fired"
+    two_iter = np.asarray(dc.richardson_lucy_batched(
+        vols, psf, **{**kw, "niter": 2}))
+    np.testing.assert_allclose(stopped2, two_iter, rtol=1e-5, atol=1e-3)
+
+
 def test_fft_shape_smooth():
     s = dc.fft_shape_for((100, 101, 97), (11, 11, 11))
     for v in s:

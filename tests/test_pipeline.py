@@ -294,6 +294,48 @@ def test_deconvolve_pipeline_mesh_matches_single_device(tmp_path, rng):
         assert np.abs(a - b).max() <= 1  # u16 rounding of float-tol diffs
 
 
+def test_deconvolve_pipeline_mesh_early_stop_matches_single(tmp_path, rng):
+    """VERDICT r4 item 4: stop_criterion now applies on the mesh path too
+    (per block, inside lax.map — decon.m:155-204 fires per block).  The
+    8-device mesh run with a live stop must match the single-device
+    early-stopped run, and must differ from the run-all-niter mesh run
+    (proof the stop fired on the mesh path)."""
+    from ipp_tpu.parallel.mesh import make_mesh
+    from ipp_tpu.pipeline.deconvolve import deconvolve_volume
+
+    truth = np.zeros((10, 48, 48), np.float32)
+    truth[rng.integers(2, 8, 15), rng.integers(4, 44, 15),
+          rng.integers(4, 44, 15)] = 3000.0
+    psf = gaussian_psf((5, 5, 5), (1.0, 1.2, 1.2))
+    blurred = ndi_convolve(truth, psf, mode="constant")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for z in range(truth.shape[0]):
+        tio.imwrite(in_dir / f"img_{z:06d}.tif",
+                    np.clip(blurred[z], 0, 65535).astype(np.uint16))
+
+    kw = dict(niter=8, max_block_elems=18 * 32 * 32,
+              strict_accuracy=False)
+    # an always-true criterion pins the iteration count to 2 on every
+    # block, so mesh-vs-single parity below is exact-iteration parity
+    out1 = deconvolve_volume(in_dir, tmp_path / "d1", psf,
+                             stop_criterion=1e6, **kw)
+    out8 = deconvolve_volume(in_dir, tmp_path / "d8", psf,
+                             stop_criterion=1e6, mesh=make_mesh(8), **kw)
+    full8 = deconvolve_volume(in_dir, tmp_path / "f8", psf,
+                              mesh=make_mesh(8), **kw)
+    p_single = sorted(out1.glob("img_*.tif"))
+    assert p_single
+    fired = False
+    for p1 in p_single:
+        a = tio.imread(p1).astype(np.int32)
+        b = tio.imread(out8 / p1.name).astype(np.int32)
+        c = tio.imread(full8 / p1.name).astype(np.int32)
+        assert np.abs(a - b).max() <= 1  # u16 rounding of float-tol diffs
+        fired = fired or np.abs(b - c).max() > 2
+    assert fired, "mesh early stop produced the full-niter output"
+
+
 def test_streamed_channel_alignment_matches_in_ram(tmp_path, rng):
     """VERDICT round-1 item 6: big-volume channel alignment streams from
     disk (sections + one strip in RAM) and recovers the same offsets as
