@@ -100,6 +100,23 @@ def main() -> int:
         + rng.normal(0, 0.01, (n_dev, 48, 40)).astype(np.float32)
     maps = _ncc_maps_sharded(mips_a, mips_b, 5, 5, mesh)
 
+    # --- z-sharded RL: ppermute halos ACROSS the process boundary ---------
+    # (VERDICT r4 item 5: the halo exchange in parallel/halo.py:22-40 only
+    # ever ran in-process before; with z_parallel = all global devices the
+    # edge planes of rank 0's last device travel to rank 1's first device.
+    # Reference analog: the z-slab decomposition, LsDeconv.m:308-385.)
+    from ipp_tpu.ops.deconv import richardson_lucy_sharded_z
+    from ipp_tpu.parallel.distributed import global_mesh as _gm
+
+    mesh_z = _gm(z_parallel=n_dev)
+    Z = n_dev * 6
+    volz = rng.random((Z, 24, 24)).astype(np.float32) * 100
+    shz = jax.sharding.NamedSharding(mesh_z, P("z", None, None))
+    z_lo, z_hi = process_slice(Z)
+    g_volz = device_put_global(volz[z_lo:z_hi], shz)
+    assert g_volz.shape == volz.shape
+    outz = richardson_lucy_sharded_z(g_volz, psf, mesh_z, niter=3)
+
     # --- stitch step 6: z-slab partitioned merge --------------------------
     # each process blends/writes its own contiguous z range (the
     # master_step6 output-slab fan-out, Parastitcher.py:519-620)
@@ -140,10 +157,12 @@ def main() -> int:
 
     dec_rows, dec_idx = local_rows(out)
     des_rows, des_idx = local_rows(striped)
+    z_rows, z_idx = local_rows(outz)
     np.savez(args.out, decon=dec_rows, decon_idx=np.asarray(dec_idx),
              destripe=des_rows, destripe_idx=np.asarray(des_idx),
              total=np.float64(total), stripe_total=np.uint64(stripe_total),
-             ncc_maps=maps, lo=lo, hi=hi)
+             ncc_maps=maps, lo=lo, hi=hi,
+             zrl=z_rows, zrl_lo=z_lo, zrl_hi=z_hi)
     return 0
 
 

@@ -102,6 +102,22 @@ def test_two_process_jax_distributed(tmp_path, local_devices):
     np.testing.assert_allclose(d0["ncc_maps"], ref_maps, atol=1e-5)
     np.testing.assert_allclose(d1["ncc_maps"], ref_maps, atol=1e-5)
 
+    # --- z-sharded RL: cross-process ppermute halos (VERDICT r4 item 5) ---
+    # reassemble the two ranks' z rows and compare with a single-process
+    # run on an equivalent all-z mesh (same decomposition -> same numerics)
+    from ipp_tpu.ops.deconv import richardson_lucy_sharded_z
+    from ipp_tpu.parallel.mesh import make_mesh
+
+    Z = n_dev * 6
+    volz = rng.random((Z, 24, 24)).astype(np.float32) * 100
+    assert d0["zrl_lo"] == 0 and d1["zrl_hi"] == Z
+    assert d0["zrl_hi"] == d1["zrl_lo"] == Z // 2
+    got_z = np.concatenate([d0["zrl"], d1["zrl"]])
+    ref_z = np.asarray(richardson_lucy_sharded_z(
+        jnp.asarray(volz), jnp.asarray(psf),
+        make_mesh(n_dev, z_parallel=n_dev), niter=3))
+    np.testing.assert_allclose(got_z, ref_z, rtol=2e-5, atol=2e-3)
+
     # --- stitch step 6: the two ranks' z slabs assemble the full series ---
     from ipp_tpu.geometry.stacks import TileGrid
     from ipp_tpu.io import tiff as tio
