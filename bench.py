@@ -201,6 +201,15 @@ def bench_brick_cache() -> None:
         metrics["slab_native_mb_s"] = round(slab_mb / t_nat, 1)
         metrics["slab_serial_mb_s"] = round(slab_mb / t_py, 1)
         metrics["slab_native_vs_serial"] = round(t_py / t_nat, 1)
+        # runtime pick (VERDICT r4 item 8): load_slab_auto calibrates on
+        # first use; report the mode it lands on and its measured rate
+        native._slab_choice["mode"] = None
+        native.load_slab_auto(bricks, 64, 1024, 1024, dtype=np.uint16)
+        metrics["slab_mode_chosen"] = native.slab_mode()
+        metrics["slab_auto_mb_s"] = (
+            metrics["slab_native_mb_s"]
+            if metrics["slab_mode_chosen"] == "native"
+            else metrics["slab_serial_mb_s"])
     print(
         "brick cache (host only, 64x256^2 u16 bricks): "
         f"save native {metrics['brick_save_native_mb_s']:.0f}"
@@ -212,6 +221,7 @@ def bench_brick_cache() -> None:
         f"slab 8-thr {metrics['slab_native_mb_s']:.0f}"
         f" vs serial {metrics['slab_serial_mb_s']:.0f} MB/s "
         f"({metrics['slab_native_vs_serial']:.1f}x; "
+        f"auto mode {metrics.get('slab_mode_chosen')}; "
         f"nproc={metrics.get('host_nproc', '?')} — thread scaling is "
         "capped by the cgroup CPU pin)", file=sys.stderr)
 

@@ -106,6 +106,19 @@ def test_load_slab_assembly(tmp_path, rng):
     out = native.load_slab(bricks, 4, 40, 60, np.float32)
     np.testing.assert_array_equal(out, slab)
 
+    # serial path and first-use calibrated auto path assemble identically
+    # (VERDICT r4 item 8: ship whichever mode is faster on this host,
+    # never the slower one)
+    ser = native.load_slab_serial(bricks, 4, 40, 60, np.float32)
+    np.testing.assert_array_equal(ser, slab)
+    native._slab_choice["mode"] = None
+    auto = native.load_slab_auto(bricks, 4, 40, 60, np.float32)
+    np.testing.assert_array_equal(auto, slab)
+    assert native.slab_mode() in ("native", "serial")
+    # cached mode path (no recalibration) still assembles correctly
+    auto2 = native.load_slab_auto(bricks, 4, 40, 60, np.float32)
+    np.testing.assert_array_equal(auto2, slab)
+
 
 def _write_tiff_predictor2(path, img: np.ndarray, samples: int = 1):
     """Hand-craft a classic little-endian TIFF with deflate compression and
