@@ -30,7 +30,22 @@ orig = pallas_fft._compiler_params
 
 
 def run_case(name, params_fn, reps=15):
-    pallas_fft._compiler_params = params_fn
+    # sanity probe (ADVICE r4): the A/B only measures anything if the
+    # monkey-patched _compiler_params is re-resolved after clear_caches —
+    # wrap it with a call counter and assert it fired during the retrace.
+    # A refactor that binds params at import time (or imports the symbol
+    # directly) would otherwise silently yield a bogus ~1.0 ratio.
+    calls = {"n": 0}
+
+    def counted(pltpu):
+        calls["n"] += 1
+        p = params_fn(pltpu)
+        if calls["n"] == 1:
+            print(f"  params_fn active: vmem_limit_bytes="
+                  f"{getattr(p, 'vmem_limit_bytes', None)}")
+        return p
+
+    pallas_fft._compiler_params = counted
     # distinct cache-key: compiler params feed the executable, but the
     # jitted wrappers cache on python-level args — clear them
     jax.clear_caches()
@@ -45,6 +60,9 @@ def run_case(name, params_fn, reps=15):
     t0 = time.time()
     run_many()
     warm = time.time() - t0
+    assert calls["n"] > 0, (
+        "params_fn never fired after clear_caches — the monkey-patch is "
+        "dead and both arms would measure the same executable")
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -52,7 +70,13 @@ def run_case(name, params_fn, reps=15):
         best = min(best, (time.time() - t0) / reps)
     ns_vox = best / np.prod(shape) * 1e9
     core = np.prod([s - 32 for s in shape]) / best / 1e6
-    print(f"{name}: warm {warm:.1f}s best {best * 1e3:.1f} ms/block "
+    # NOTE (ADVICE r4): with the persistent compilation cache on, 'warm'
+    # can be served from disk for the production cap while the other arm
+    # compiles cold — warm times are NOT comparable across arms; only the
+    # best-of-3 steady-state figures are.
+    print(f"{name}: warm {warm:.1f}s (incl. possible asymmetric "
+          f"persistent-cache hits; not comparable across arms) "
+          f"best {best * 1e3:.1f} ms/block "
           f"{ns_vox:.3f} ns/vox core {core:.1f} Mvox/s")
     return best
 
