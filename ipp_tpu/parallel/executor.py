@@ -61,6 +61,7 @@ def run_tile_pipeline(
     read_timeout: Optional[float] = 300.0,
     expected_shape: Optional[Tuple[int, int]] = None,
     expected_dtype=np.uint16,
+    read_sandbox: str = "thread",
 ) -> Dict[str, int]:
     """Run `process_batch` over all tasks; returns counters
     {'done', 'skipped', 'failed'}.
@@ -71,7 +72,14 @@ def run_tile_pipeline(
     the stitcher would see holes in the output series.  The dummy shape
     comes from the first successful read in the same input directory, then
     any successful read, then `expected_shape`.  Dummies count once, under
-    'failed'."""
+    'failed'.
+
+    read_sandbox: 'thread' (default) abandons a hung decode on a daemon
+    thread; 'process' decodes in a kill-able worker process per reader
+    that is SIGKILLed and respawned on deadline — full resource reclaim
+    for hostile/corrupt-prone inputs, matching the reference's 1-task
+    ProcessPoolExecutor sandbox (pystripe/core.py:1710-1755).  The
+    process mode requires a picklable `reader`."""
     tasks = [t for t in tasks]
     counters = {"done": 0, "skipped": 0, "failed": 0}
     lock = threading.Lock()
@@ -134,7 +142,18 @@ def run_tile_pipeline(
 
     tile_nbytes = [0]  # set from the first decoded tile
 
+    assert read_sandbox in ("thread", "process"), read_sandbox
+    sandboxes: List = []  # live SandboxedReaders, closed on exit
+    sandbox_lock = threading.Lock()
+
     def read_worker():
+        sandbox = None
+        if read_sandbox == "process":
+            from .sandbox import SandboxedReader
+
+            sandbox = SandboxedReader(reader, timeout=read_timeout)
+            with sandbox_lock:
+                sandboxes.append(sandbox)
         while True:
             with iter_lock:
                 t = next(task_iter, None)
@@ -148,7 +167,9 @@ def run_tile_pipeline(
             ram_gate(4 * tile_nbytes[0])
             try:
                 # timeout sandbox: a hung/corrupt read becomes a zero tile
-                if t.frame is None:
+                if sandbox is not None:
+                    img = np.asarray(sandbox.read(t.input_path, t.frame))
+                elif t.frame is None:
                     img = np.asarray(_read_with_deadline(
                         read_fn, t.input_path))
                 else:
@@ -302,5 +323,9 @@ def run_tile_pipeline(
         out_q.put(None)
     for th in writers:
         th.join()
+    for sb in sandboxes:
+        sb.close()
+    if sandboxes:
+        counters["sandbox_respawns"] = sum(sb.respawns for sb in sandboxes)
     prog.close()
     return counters

@@ -143,6 +143,7 @@ def process_channel(
     placement_from: Optional[Path] = None,
     compression: Optional[str] = None,
     read_timeout: Optional[float] = None,
+    read_sandbox: str = "thread",
     skip_inspection: bool = False,
     io_workers: int = 8,
     resume: bool = False,
@@ -181,7 +182,8 @@ def process_channel(
                                 preprocess_cfg, resume=resume,
                                 workers=io_workers,
                                 read_timeout=(300.0 if read_timeout is None
-                                              else read_timeout))
+                                              else read_timeout),
+                                read_sandbox=read_sandbox)
         # (--timeout 0 disables the read sandbox: executor treats
         # non-positive as no timeout)
         log.info(f"preprocess counters: {counters}")
@@ -560,6 +562,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-tile read timeout in seconds during "
                         "preprocessing (hung/corrupt reads become zero "
                         "tiles)")
+    p.add_argument("--read-sandbox", choices=["thread", "process"],
+                   default="thread",
+                   help="'process' decodes tiles in kill-able worker "
+                        "processes (respawned on timeout) for corrupt-"
+                        "prone inputs — the reference's 1-task "
+                        "ProcessPoolExecutor sandbox "
+                        "(pystripe/core.py:1710-1755)")
     p.add_argument("--convert-to-8bit", "--convert_to_8bit",
                    action="store_true")
     p.add_argument("--bit-shift", type=int, default=None,
@@ -855,6 +864,7 @@ def main(argv=None) -> int:
             rotation=90 if args.rot90 else 0,
             compression=_resolve_compression(args),
             read_timeout=args.timeout,
+            read_sandbox=args.read_sandbox,
             skip_inspection=args.skip_inspection,
             io_workers=args.nthreads,
             placement_from=(

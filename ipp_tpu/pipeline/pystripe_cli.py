@@ -70,7 +70,8 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                  batch_size: int = 8, resume: bool = False,
                  compression: Optional[str] = None,
                  workers: int = 8, z_step: Optional[float] = None,
-                 read_timeout: Optional[float] = 300.0) -> dict:
+                 read_timeout: Optional[float] = 300.0,
+                 read_sandbox: str = "thread") -> dict:
     """Destripe a whole directory tree (reference batch_filter,
     pystripe/core.py:1806-2050).
 
@@ -176,6 +177,7 @@ def batch_filter(input_dir: Path, output_dir: Path, cfg: ProcessConfig,
                              compression=compression,
                              reader_threads=workers,
                              read_timeout=read_timeout,
+                             read_sandbox=read_sandbox,
                              progress_desc="destripe")
 
 
@@ -238,6 +240,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "names — reference process_dc_images)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--workers", "-n", type=int, default=8)
+    p.add_argument("--read-sandbox", choices=["thread", "process"],
+                   default="thread",
+                   help="'process' decodes in kill-able worker processes "
+                        "(respawned on timeout) — the reference's 1-task "
+                        "ProcessPoolExecutor sandbox "
+                        "(pystripe/core.py:1710-1755)")
     p.add_argument("--chunks", type=int, default=None,
                    help="accepted for reference-CLI compatibility; the "
                         "device batcher sizes its own dispatch batches")
@@ -322,7 +330,8 @@ def main(argv=None) -> int:
     log.info(f"destriping {args.input} -> {out}")
     counters = batch_filter(args.input, out, cfg, batch_size=args.batch_size,
                             resume=args.resume, compression=compression,
-                            workers=args.workers, z_step=args.zstep)
+                            workers=args.workers, z_step=args.zstep,
+                            read_sandbox=args.read_sandbox)
     log.info(f"done: {counters}")
     return 1 if counters["failed"] else 0
 

@@ -161,6 +161,78 @@ def test_run_tile_pipeline_resume_and_corrupt(tmp_path, rng):
     assert counters2["skipped"] == 6 and counters2["done"] == 0
 
 
+def _wedge_reader(path):
+    """Picklable shim codec for the sandbox test: wedges forever on files
+    named *wedge*, decodes everything else normally (spawned sandbox
+    workers import this by qualified name)."""
+    import time
+    from pathlib import Path as _P
+
+    from ipp_tpu.io import tiff as _tio
+
+    if "wedge" in _P(path).name:
+        time.sleep(600)
+    return _tio.imread(path)
+
+
+def test_run_tile_pipeline_process_sandbox_recovers(tmp_path):
+    """VERDICT r4 item 3: read_sandbox='process' decodes in a kill-able
+    worker.  A wedged decode (sleep in the shim codec) must be KILLED at
+    the deadline — not abandoned on a leaked thread — the worker
+    respawned, and the pool must finish the remaining tiles
+    (reference pystripe/core.py:1710-1755)."""
+    import time
+
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.executor import TileTask, run_tile_pipeline
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    tasks = []
+    wedge = in_dir / "a_wedge.tif"  # sorts first; single reader hits it
+    tio.imwrite(wedge, np.full((16, 16), 7, np.uint16))
+    tasks.append(TileTask(wedge, out_dir / "a_wedge.tif"))
+    for i in range(4):
+        p = in_dir / f"t{i}.tif"
+        tio.imwrite(p, np.full((16, 16), i + 1, np.uint16))
+        tasks.append(TileTask(p, out_dir / f"t{i}.tif"))
+
+    t0 = time.time()
+    counters = run_tile_pipeline(
+        tasks, lambda b: b * 2, batch_size=2, reader_threads=1,
+        writer_threads=1, reader=_wedge_reader, read_timeout=3.0,
+        read_sandbox="process", expected_shape=(16, 16))
+    elapsed = time.time() - t0
+    assert counters["done"] == 4
+    assert counters["failed"] == 1  # the wedged tile, zero-substituted
+    # the worker was killed and respawned (not waited out): well under
+    # the 600 s wedge, and the respawn counter observed the kill
+    assert elapsed < 120, elapsed
+    assert counters["sandbox_respawns"] >= 1
+    assert (tio.imread(out_dir / "a_wedge.tif") == 0).all()
+    for i in range(4):
+        assert (tio.imread(out_dir / f"t{i}.tif") == 2 * (i + 1)).all()
+
+
+def test_sandboxed_reader_decode_error_keeps_worker(tmp_path):
+    """A decode *exception* (corrupt file) must surface as RuntimeError
+    without killing the worker; the same worker then serves good reads."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.sandbox import SandboxedReader
+
+    good = tmp_path / "good.tif"
+    tio.imwrite(good, np.full((8, 8), 3, np.uint16))
+    bad = tmp_path / "bad.tif"
+    bad.write_bytes(b"not a tiff")
+    with SandboxedReader(timeout=30.0) as sb:
+        with pytest.raises(RuntimeError):
+            sb.read(bad)
+        out = sb.read(good)
+        assert (out == 3).all()
+        assert sb.respawns == 0  # exception path keeps the worker
+
+
 def test_run_tile_pipeline_all_failed_still_emits(tmp_path):
     """A read failing before ANY successful read must still write a dummy
     tile (reference guarantee, pystripe/core.py:1730-1755) — round-1 gap."""
