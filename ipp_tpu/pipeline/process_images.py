@@ -702,6 +702,25 @@ def stitch_test(channel_path: Path, stitched_root: Path,
     return out
 
 
+def preprocess_cfg_from_args(args, flat, new_tile):
+    """The per-channel preprocess ProcessConfig exactly as main() builds
+    it — shared with pipeline.warmup so the primed destripe executable
+    traces the same computation as the production run."""
+    if args.no_preprocess:
+        return None
+    sig = ((args.sigma1, args.sigma2) if args.de_stripe else (0.0, 0.0))
+    return ProcessConfig(
+        sigma=sig, wavelet=args.wavelet,
+        padding_mode=args.padding_mode,
+        bidirectional=args.bidirectional,
+        dark=args.dark, flat=flat,
+        gaussian_filter_2d=args.gaussian,
+        lightsheet=args.lightsheet,
+        artifact_length=args.artifact_length,
+        lightsheet_vs_background=args.lightsheet_vs_background,
+        new_size=new_tile)
+
+
 def discover_channels(input_dir: Path) -> List[str]:
     found = []
     names = {d.name for d in input_dir.iterdir() if d.is_dir()}
@@ -835,20 +854,7 @@ def main(argv=None) -> int:
             log.info(f"isotropic resize: tile {tuple(actual)} -> "
                      f"{new_tile}, voxel xy -> {vz} um")
             vx = vy = vz
-        cfg = None
-        if not args.no_preprocess:
-            sig = ((args.sigma1, args.sigma2) if args.de_stripe
-                   else (0.0, 0.0))
-            cfg = ProcessConfig(
-                sigma=sig, wavelet=args.wavelet,
-                padding_mode=args.padding_mode,
-                bidirectional=args.bidirectional,
-                dark=args.dark, flat=flat,
-                gaussian_filter_2d=args.gaussian,
-                lightsheet=args.lightsheet,
-                artifact_length=args.artifact_length,
-                lightsheet_vs_background=args.lightsheet_vs_background,
-                new_size=new_tile)
+        cfg = preprocess_cfg_from_args(args, flat, new_tile)
         out_dir = process_channel(
             ch_path, preproc_root / ch, stitched_root / ch,
             (vx, vy, vz), tile_size, cfg,

@@ -37,7 +37,13 @@ def enable_persistent_cache(path: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # IPP_TPU_XLA_CACHE_MIN_COMPILE=0 stores EVERY compile — used by
+        # the warmup completeness test to catch programs the warmup tool
+        # misses; production keeps the 1 s threshold
+        min_secs = float(os.environ.get("IPP_TPU_XLA_CACHE_MIN_COMPILE",
+                                        "1.0"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover — older jax without these flags
         pass
