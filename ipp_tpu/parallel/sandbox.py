@@ -33,6 +33,9 @@ def _sandbox_child(conn, reader: Optional[Callable]) -> None:
         from ipp_tpu.io import tiff as tio
 
         reader = tio.imread
+    # readiness handshake: spawn + imports can take seconds under load;
+    # the parent must not charge them against the per-decode deadline
+    conn.send(("ready", None))
     while True:
         try:
             msg = conn.recv()
@@ -89,6 +92,12 @@ class SandboxedReader:
         self._proc.start()
         child_conn.close()
         self._conn = parent_conn
+        # wait for the child's import phase OUTSIDE the decode deadline
+        if not parent_conn.poll(120):
+            self._kill()
+            raise RuntimeError("sandbox worker failed to start in 120s")
+        status, _ = parent_conn.recv()
+        assert status == "ready", status
 
     def _kill(self) -> None:
         if self._proc is not None:
