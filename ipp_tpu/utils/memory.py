@@ -25,21 +25,40 @@ __all__ = ["available_ram_bytes", "ram_gate", "workers_for_ram"]
 _WARNED = False
 
 
+def _my_rss_bytes() -> int:
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+    except Exception:  # noqa: BLE001
+        return 0
+
+
 def available_ram_bytes() -> Optional[int]:
-    """Available (not merely free) host RAM in bytes, or None unknown."""
+    """Available (not merely free) host RAM in bytes, or None unknown.
+
+    IPP_TPU_RAM_BUDGET_GB imposes a process budget: available is then
+    min(real available, budget - this process's RSS) — the endurance
+    drive uses it to make the admission gate bind under a constrained
+    budget without another tenant (scripts/endurance.py)."""
+    budget = os.environ.get("IPP_TPU_RAM_BUDGET_GB")
+    cap = None
+    if budget:
+        cap = max(0, int(float(budget) * 2**30) - _my_rss_bytes())
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
-                    return int(line.split()[1]) * 1024
+                    avail = int(line.split()[1]) * 1024
+                    return min(avail, cap) if cap is not None else avail
     except OSError:
         pass
     try:  # pragma: no cover — non-Linux fallback
         import psutil
 
-        return int(psutil.virtual_memory().available)
+        avail = int(psutil.virtual_memory().available)
+        return min(avail, cap) if cap is not None else avail
     except Exception:  # noqa: BLE001
-        return None
+        return cap
 
 
 def ram_gate(needed_bytes: float, poll_s: float = 0.5,
