@@ -184,6 +184,14 @@ def main() -> int:
     ap.add_argument("--ram-budget-gb", type=float, default=24.0)
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--grid", type=int, default=4, help="grid rows=cols")
+    ap.add_argument("--decon-args", default="",
+                    help="extra args appended to the deconvolve CLI "
+                         "(e.g. '--no-strict-accuracy' for smoke scales)")
+    ap.add_argument("--mode", choices=["both", "clean"], default="both",
+                    help="'clean' skips the crash/resume legs — used for "
+                         "the on-chip throughput evidence, where a SIGKILL "
+                         "can wedge the tunneled TPU for ~10 min "
+                         "(CLAUDE.md); the equality evidence runs on CPU")
     args = ap.parse_args()
 
     rows = cols = args.grid
@@ -220,6 +228,7 @@ def main() -> int:
         b = args.root / tag
         a = ["--input", str(b / "st" / CHANNELS[0]),
              "--output", str(b / "dec"), "--niter", "6"]
+        a += args.decon_args.split()
         return a + (["--resume"] if resume else [])
 
     report = {"total_gvox": total / 1e9, "platform": args.platform,
@@ -244,6 +253,17 @@ def main() -> int:
     report["clean_decon_peak_rss_gb"] = round(rss / 2**30, 2)
     report["clean_decon_mvox_s"] = round(ch_vox / wall / 1e6, 2)
     print(tail[-1500:], flush=True)
+
+    if args.mode == "clean":
+        for ch in CHANNELS[:args.channels]:
+            report[f"stitch_hash_{ch}"] = series_hash(
+                args.root / "clean" / "st" / ch)
+        report["decon_hash"] = series_hash(args.root / "clean" / "dec")
+        out = args.root / "endurance_report.json"
+        out.write_text(json.dumps(report, indent=2))
+        print(json.dumps(report, indent=2))
+        print(f"report -> {out}")
+        return 0
 
     # ---- crash run -----------------------------------------------------
     pre = args.root / "crash" / "pre" / CHANNELS[0]
