@@ -304,15 +304,31 @@ def load_slab_auto(bricks: List[Tuple[str, int, int, int, int]], bz: int,
         if ncpu <= 1 or _get_lib() is None:
             _slab_choice["mode"] = "serial"
         else:
+            # warm the page cache first so neither arm gets disk-bound
+            # while the other reads RAM-cached files ("never time a
+            # first call", CLAUDE.md) — otherwise the first arm is
+            # systematically penalized and the slower mode gets pinned
+            for b in bricks:
+                try:
+                    with open(b[0], "rb") as f:
+                        while f.read(1 << 22):
+                            pass
+                except OSError:
+                    pass
             t0 = time.perf_counter()
             nat = load_slab(bricks, bz, slab_h, slab_w, dtype, nthreads)
             t_nat = time.perf_counter() - t0
             t0 = time.perf_counter()
             ser = load_slab_serial(bricks, bz, slab_h, slab_w, dtype)
             t_ser = time.perf_counter() - t0
-            if nat is None:
+            # a failed arm can't win (its short wall is a failure, not
+            # speed); prefer whichever produced a result
+            if nat is None and ser is None:
                 _slab_choice["mode"] = "serial"
-                return ser
+                return None
+            if nat is None or ser is None:
+                _slab_choice["mode"] = "serial" if nat is None else "native"
+                return ser if nat is None else nat
             _slab_choice["mode"] = ("native" if t_nat <= t_ser
                                     else "serial")
             return nat if _slab_choice["mode"] == "native" else ser

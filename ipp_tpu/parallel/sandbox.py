@@ -118,6 +118,11 @@ class SandboxedReader:
                         f"sandboxed decode exceeded {self._timeout}s: "
                         f"{path} (worker killed)")
             status, payload = self._conn.recv()
+        except TimeoutError:
+            # deliberate: builtin TimeoutError subclasses OSError, so it
+            # must escape BEFORE the worker-died handler below or the
+            # executor's timeout->zero-tile branch never sees it
+            raise
         except (EOFError, OSError, BrokenPipeError) as exc:
             # worker died mid-decode (segfault in a codec, OOM-kill):
             # reclaim and report; next read respawns
@@ -138,9 +143,10 @@ class SandboxedReader:
                 pass
             if self._proc.is_alive():
                 self._kill()
-        elif self._conn is not None:
+        if self._conn is not None:
             self._conn.close()
             self._conn = None
+        self._proc = None  # a later read() is a fresh start, not a respawn
 
     def __enter__(self):
         return self

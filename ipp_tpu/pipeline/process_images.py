@@ -721,6 +721,21 @@ def preprocess_cfg_from_args(args, flat, new_tile):
         new_size=new_tile)
 
 
+def resolve_channels(args) -> List[str]:
+    """Channel list for a parsed args namespace, with the stitch_mip
+    adjustments main() applies (subvol_dim=1, no npz) — shared with
+    pipeline.warmup so the enumerated programs match the run.  Mutates
+    args exactly as main() does."""
+    if args.stitch_mip:
+        channels = args.channel or [
+            c + "_MIP" for c, _ in ALL_CHANNELS
+            if (args.input / (c + "_MIP")).is_dir()]
+        args.subvol_dim = 1
+        args.downsampled_voxel = None
+        return channels
+    return args.channel or discover_channels(args.input)
+
+
 def discover_channels(input_dir: Path) -> List[str]:
     found = []
     names = {d.name for d in input_dir.iterdir() if d.is_dir()}
@@ -745,18 +760,11 @@ def main(argv=None) -> int:
             "off" if args.noprogressbar else "log")
     log = Logger(args.input / "ipp_tpu_log.txt"
                  if args.input.exists() else None)
-    if args.stitch_mip:
-        # stitch the MIP datasets: <channel>_MIP folders, single-plane
-        # stacks — z subvolumes and the atlas npz are meaningless there
-        # (reference process_images.py:1076-1082, subvoldim=1 :564,
-        # target_voxel=None :728)
-        channels = args.channel or [
-            c + "_MIP" for c, _ in ALL_CHANNELS
-            if (args.input / (c + "_MIP")).is_dir()]
-        args.subvol_dim = 1
-        args.downsampled_voxel = None
-    else:
-        channels = args.channel or discover_channels(args.input)
+    # stitch_mip stitches the <channel>_MIP folders (single-plane stacks;
+    # z subvolumes and the atlas npz are meaningless there — reference
+    # process_images.py:1076-1082, subvoldim=1 :564, target_voxel=None
+    # :728); the shared helper applies those adjustments
+    channels = resolve_channels(args)
     if not channels:
         log.error(f"no channels found under {args.input}")
         return 2

@@ -76,18 +76,11 @@ def stitch_programs(args, log: Logger) -> List[Program]:
     no new heavy entries to the persistent cache.
     """
     from ..geometry.stacks import TileGrid
-    from .process_images import (ALL_CHANNELS, discover_channels,
-                                 get_voxel_sizes, preprocess_cfg_from_args)
+    from .process_images import (get_voxel_sizes, preprocess_cfg_from_args,
+                                 resolve_channels)
 
     programs: List[Program] = []
-    if args.stitch_mip:
-        channels = args.channel or [
-            c + "_MIP" for c, _ in ALL_CHANNELS
-            if (args.input / (c + "_MIP")).is_dir()]
-        args.subvol_dim = 1
-        args.downsampled_voxel = None
-    else:
-        channels = args.channel or discover_channels(args.input)
+    channels = resolve_channels(args)
     if not channels:
         raise FileNotFoundError(f"no channels under {args.input}")
 
@@ -164,15 +157,22 @@ def stitch_programs(args, log: Logger) -> List[Program]:
         merge_dtype = stacks[0].dtype
 
         # ---- 2. NCC z-chunk executables --------------------------------
-        # mirror process_channel's overlap/z-chunk math
+        # mirror process_channel's overlap/z-chunk math.  With
+        # --isotropic the production grid is built from the RESIZED
+        # preprocessed tiles at voxel (vz, vz, vz): stage positions in px
+        # rescale accordingly, so the pair-step geometry is recomputed on
+        # a vz-voxel view of the same directory
+        geo = grid
+        if new_tile is not None:
+            geo = TileGrid.from_directory(ch_path, voxel_um=(vz, vz, vz))
         overlap_v = max(1, int(round(th * 0.1)))
         overlap_h = max(1, int(round(tw * 0.1)))
 
-        def _first_adjacent(dr, dc):
+        def _first_adjacent(dr, dc, geo=geo):
             for r in range(rows - dr):
                 for c in range(cols - dc):
-                    a = grid.stacks[r][c]
-                    b = grid.stacks[r + dr][c + dc]
+                    a = geo.stacks[r][c]
+                    b = geo.stacks[r + dr][c + dc]
                     if a is not None and b is not None:
                         return a, b
             return None
@@ -197,7 +197,9 @@ def stitch_programs(args, log: Logger) -> List[Program]:
                    if grid.stacks[r][c] is not None
                    and grid.stacks[r][c + 1] is not None)
         sr = args.search_radius
-        dd = min(sr, max(1, depth // 8))
+        # production: grid.flattened()[0].depth (process_images.py), NOT
+        # the min depth (which only bounds the z-chunk range)
+        dd = min(sr, max(1, stacks[0].depth // 8))
         chunk_shapes = set()
         for k in range(n_sub):
             dz = int(bounds[k + 1]) - int(bounds[k])
@@ -363,9 +365,9 @@ def decon_programs(args, log: Logger) -> List[Program]:
         from ..ops.deconv import gauss3d, richardson_lucy
         from .deconvolve import _fft_shape_for_backend
 
-        # blocks enter as the source integer dtype and convert on device
+        # blocks enter in the VOLUME's native dtype and convert on device
         # (deconvolve.py single-device loop: jnp.asarray(block).astype)
-        x = jnp.asarray(_rand(uni, np.uint16)).astype(jnp.float32)
+        x = jnp.asarray(_rand(uni, vol.dtype)).astype(jnp.float32)
         if args.gaussian_sigma:
             x = gauss3d(x, tuple(args.gaussian_sigma))
         if args.dark > 0:

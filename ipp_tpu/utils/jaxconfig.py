@@ -35,13 +35,15 @@ def enable_persistent_cache(path: str | None = None) -> None:
     apply_platform_env()
     cache_dir = path or os.environ.get("IPP_TPU_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
+    # IPP_TPU_XLA_CACHE_MIN_COMPILE=0 stores EVERY compile — used by
+    # the warmup completeness test to catch programs the warmup tool
+    # misses; production keeps the 1 s threshold.  Parsed OUTSIDE the
+    # jax-version try/except: a malformed value must fail loudly, not
+    # silently skip the cache configuration.
+    min_secs = float(os.environ.get("IPP_TPU_XLA_CACHE_MIN_COMPILE",
+                                    "1.0"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # IPP_TPU_XLA_CACHE_MIN_COMPILE=0 stores EVERY compile — used by
-        # the warmup completeness test to catch programs the warmup tool
-        # misses; production keeps the 1 s threshold
-        min_secs = float(os.environ.get("IPP_TPU_XLA_CACHE_MIN_COMPILE",
-                                        "1.0"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
