@@ -232,7 +232,10 @@ def stitch_programs(args, log: Logger) -> List[Program]:
         batch = (int(mesh.shape["data"]) if use_mesh
                  else max(1, int(plane_batch)))
         convert8 = args.convert_to_8bit
-        dark = args.dark
+        # with preprocessing on, dark is applied per tile and the merge
+        # post sees dark=0 (main: `dark=args.dark if args.no_preprocess
+        # else 0.0`)
+        dark = args.dark if args.no_preprocess else 0.0
         bit_shift = args.bit_shift
         out_dtype = np.uint8 if convert8 else np.uint16
 
@@ -275,8 +278,14 @@ def stitch_programs(args, log: Logger) -> List[Program]:
                                 else 8)
                     return x
 
-                post_dev = jax.jit(_dark_to8)
-                fetch_dtype = out_dtype
+                # lambda wrapper: the persistent-cache key includes the
+                # jit'd function NAME, and production jits a lambda
+                # (process_images.py post_fn_device).  fetch dtype stays
+                # float32 — merge's rule is `dtype if post_fn is None`
+                # (stitch/merge.py fetch_dtype), and the post path sets a
+                # host post_fn
+                post_dev = jax.jit(lambda x: _dark_to8(x))
+                fetch_dtype = np.float32
             elif not value_dep:
                 fetch_dtype = out_dtype  # device-side cast path
 

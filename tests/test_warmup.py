@@ -93,6 +93,25 @@ def test_warmup_stitch_inventory_completeness(tmp_path):
 
 
 @pytest.mark.slow
+def test_warmup_stitch_completeness_8bit_dark(tmp_path):
+    """Same completeness bar for the dark/8-bit device-post path (the
+    _dark_to8 mirror in warmup's prime_merge)."""
+    raw = _dataset(tmp_path)
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    args = _args(raw, tmp_path) + ["--convert-to-8bit", "--bit-shift",
+                                   "4", "--dark", "60"]
+    r = _run(["ipp_tpu.pipeline.warmup", "stitch"] + args, cache)
+    assert "warmup complete" in r.stdout + r.stderr
+    primed = _cache_entries(cache)
+    _run(["ipp_tpu.pipeline.process_images"] + args, cache)
+    leaked = _cache_entries(cache) - primed
+    assert not leaked, (
+        f"{len(leaked)} executables compiled in-run that warmup missed "
+        f"on the 8bit/dark path (cache keys: {sorted(leaked)[:8]})")
+
+
+@pytest.mark.slow
 def test_warmup_decon_inventory_completeness(tmp_path):
     from ipp_tpu.io import tiff as tio
 
