@@ -405,9 +405,20 @@ def decon_programs(args, log: Logger) -> List[Program]:
         out = jax.jit(finish)(dec)
         float(np.asarray(out[0]).sum())  # force compile + run
 
-    return [Program(
+    programs = [Program(
         "decon block", f"work {uni}, halo {halo}, {len(plans)} blocks, "
         f"niter {args.niter}", prime_block)]
+    import jax as _jax
+
+    if len(_jax.devices()) > 1:
+        programs.append(Program(
+            "decon mesh batch", f"{len(_jax.devices())}-device shard_map",
+            None,
+            note="mesh-batched blocks compile a shard_map executable on "
+                 "the actual mesh — prime by running the pipeline once; "
+                 "the single-device block program above covers 1-chip "
+                 "hosts"))
+    return programs
 
 
 def run_programs(programs: List[Program], log: Logger) -> List[dict]:
