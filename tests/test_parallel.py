@@ -215,6 +215,26 @@ def test_run_tile_pipeline_process_sandbox_recovers(tmp_path):
         assert (tio.imread(out_dir / f"t{i}.tif") == 2 * (i + 1)).all()
 
 
+def test_sandboxed_reader_timeout_raises_timeout_error(tmp_path):
+    """The deadline miss must surface as TimeoutError — builtin
+    TimeoutError subclasses OSError, and a careless except-order turns
+    it into the worker-died RuntimeError (review finding r5), which
+    would misroute the executor's timeout->zero-tile branch."""
+    from ipp_tpu.io import tiff as tio
+    from ipp_tpu.parallel.sandbox import SandboxedReader
+
+    wedge = tmp_path / "a_wedge.tif"
+    tio.imwrite(wedge, np.zeros((8, 8), np.uint16))
+    with SandboxedReader(reader=_wedge_reader, timeout=2.0) as sb:
+        with pytest.raises(TimeoutError):
+            sb.read(wedge)
+        # pool recovers: next read respawns and serves
+        good = tmp_path / "good.tif"
+        tio.imwrite(good, np.full((8, 8), 5, np.uint16))
+        assert (sb.read(good) == 5).all()
+        assert sb.respawns == 1
+
+
 def test_sandboxed_reader_decode_error_keeps_worker(tmp_path):
     """A decode *exception* (corrupt file) must surface as RuntimeError
     without killing the worker; the same worker then serves good reads."""
