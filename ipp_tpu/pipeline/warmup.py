@@ -127,9 +127,16 @@ def stitch_programs(args, log: Logger) -> List[Program]:
 
         # ---- 1. preprocess batch (the dominant cold compile) ----------
         if cfg is not None:
-            def prime_destripe(cfg=cfg, th=th, tw=tw, dt=tile_dtype):
-                # drive the REAL batch_filter on one batch of random
-                # tiles so mesh/batch decisions match production
+            # a full batch of 8 plus the dataset's tail batch: the
+            # executor pads the tail to 8 and slices [:tail] — that
+            # slice is its own (tail-sized) executable
+            n_total = sum(s.depth for s in stacks)
+            n_prime = n_total if n_total <= 8 else 8 + (n_total % 8)
+
+            def prime_destripe(cfg=cfg, th=th, tw=tw, dt=tile_dtype,
+                               n_prime=n_prime):
+                # drive the REAL batch_filter on the tiles so mesh/batch
+                # decisions match production
                 from .pystripe_cli import batch_filter
 
                 with tempfile.TemporaryDirectory() as td:
@@ -137,13 +144,15 @@ def stitch_programs(args, log: Logger) -> List[Program]:
 
                     src = Path(td) / "in"
                     src.mkdir()
-                    for i in range(8):
+                    for i in range(n_prime):
                         _tio.imwrite(src / f"w_{i:02d}.tif",
                                      _rand((th, tw), dt, seed=i))
                     batch_filter(src, Path(td) / "out", cfg, workers=2)
 
             programs.append(Program(
-                f"{ch}: destripe batch", f"(8, {th}, {tw}) {tile_dtype}",
+                f"{ch}: destripe batch",
+                f"(8, {th}, {tw}) {tile_dtype} + tail "
+                f"{n_prime - 8 if n_prime > 8 else n_prime}",
                 prime_destripe))
 
         # preprocessed tiles feed the stitch stages: the shape comes from

@@ -112,6 +112,34 @@ def test_warmup_stitch_completeness_8bit_dark(tmp_path):
 
 
 @pytest.mark.slow
+def test_warmup_stitch_mip_completeness(tmp_path):
+    """--stitch-mip (single-plane MIP stacks, subvol_dim forced to 1, no
+    npz) goes through resolve_channels' MIP branch — same zero-new-
+    entries bar."""
+    rng = np.random.default_rng(9)
+    vol = make_phantom(rng, (1, 200, 200), smooth=6.0)
+    tiles, _ = cut_tiles(vol * 300, 2, 2, (120, 120), 50, jitter=0,
+                         rng=np.random.default_rng(2))
+    ch_dir = tmp_path / "raw" / (CH + "_MIP")
+    ch_dir.mkdir(parents=True)
+    write_tile_grid(ch_dir, tiles, overlap_nominal_px=50,
+                    voxel_um=(0.41, 0.41, 0.2))
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    args = ["--input", str(tmp_path / "raw"),
+            "--preprocessed", str(tmp_path / "pre"),
+            "--stitched", str(tmp_path / "st"), "--objective", "15x",
+            "--sigma1", "24", "--sigma2", "24", "--wavelet", "db3",
+            "--search-radius", "6", "--stitch-mip", "--skip-inspection"]
+    _run(["ipp_tpu.pipeline.warmup", "stitch"] + args, cache)
+    primed = _cache_entries(cache)
+    _run(["ipp_tpu.pipeline.process_images"] + args, cache)
+    leaked = _cache_entries(cache) - primed
+    assert not leaked, (
+        f"stitch-mip leaked {len(leaked)}: {sorted(leaked)[:8]}")
+
+
+@pytest.mark.slow
 def test_warmup_decon_inventory_completeness(tmp_path):
     from ipp_tpu.io import tiff as tio
 
