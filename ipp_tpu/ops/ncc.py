@@ -111,6 +111,17 @@ def _corner_sums(ii: jnp.ndarray, r0, r1, c0, c1) -> jnp.ndarray:
             + ii[..., r0, c0])
 
 
+def _corner_sums_sep(ii: jnp.ndarray, r0, r1, c0, c1) -> jnp.ndarray:
+    """_corner_sums for SEPARABLE row/col index VECTORS (rows a function
+    of u only, cols of v only): each corner is take(rows) ∘ take(cols),
+    avoiding the 2D advanced-index gather (pathological lowering on TPU,
+    and crash-prone when fused — see ncc_maps_batched)."""
+    def take2(rvec, cvec):
+        return jnp.take(jnp.take(ii, rvec, axis=-2), cvec, axis=-1)
+
+    return take2(r1, c1) - take2(r0, c1) - take2(r1, c0) + take2(r0, c0)
+
+
 def _prefix2d(x: jnp.ndarray) -> jnp.ndarray:
     p = jnp.cumsum(jnp.cumsum(x, axis=-1), axis=-2)
     p = jnp.pad(p, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
@@ -148,31 +159,42 @@ def ncc_maps_batched(m1: jnp.ndarray, m2: jnp.ndarray, du: int, dv: int) -> jnp.
     f1 = jnp.fft.rfft2(m1, s=(P, Q))
     f2 = jnp.fft.rfft2(m2, s=(P, Q))
     corr = jnp.fft.irfft2(f1 * jnp.conj(f2), s=(P, Q))
-    # corr[u mod P, v mod Q] = sum_t m1[t+u] m2[t]
+    # corr[u mod P, v mod Q] = sum_t m1[t+u] m2[t].  Separable row/col
+    # takes, NOT corr[:, u_idx[:, None], v_idx[None, :]]: the fused 2D
+    # advanced-index gather produced a faulting TPU kernel at production
+    # MIP sizes (see the corner-sums note below)
     u_idx = jnp.arange(-du, du + 1) % P
     v_idx = jnp.arange(-dv, dv + 1) % Q
-    cross = corr[:, u_idx[:, None], v_idx[None, :]]
+    cross = jnp.take(jnp.take(corr, u_idx, axis=-2), v_idx, axis=-1)
 
-    # windowed sums via integral images
+    # windowed sums via integral images.  The corner indices are
+    # SEPARABLE (rows depend only on u, cols only on v), so each corner
+    # term is two 1-D takes (row take = contiguous DMA; the col take
+    # runs on the already-tiny row slab) instead of one 2D
+    # advanced-index gather — the fused 2D-gather form both lowers
+    # pathologically on TPU (CLAUDE.md) and, at production MIP sizes
+    # (e.g. (12, 150, 1024)), produced a fusion that CRASHED the v5e
+    # runtime ("TPU worker process crashed", reproduced and bisected
+    # 2026-08-20; the same ops pass unfused).
     ii1 = _prefix2d(m1)
     ii2 = _prefix2d(m2)
     ii1sq = _prefix2d(m1 * m1)
     ii2sq = _prefix2d(m2 * m2)
-    u = jnp.arange(-du, du + 1)[:, None]
-    v = jnp.arange(-dv, dv + 1)[None, :]
+    uu = jnp.arange(-du, du + 1)
+    vv = jnp.arange(-dv, dv + 1)
+    u = uu[:, None]
+    v = vv[None, :]
     # m1 window rows [max(0,u), U+min(0,u)), cols [max(0,v), V+min(0,v))
-    r0a = jnp.maximum(0, u) + jnp.zeros_like(v)
-    r1a = U + jnp.minimum(0, u) + jnp.zeros_like(v)
-    c0a = jnp.maximum(0, v) + jnp.zeros_like(u)
-    c1a = V + jnp.minimum(0, v) + jnp.zeros_like(u)
+    r0a, r1a = jnp.maximum(0, uu), U + jnp.minimum(0, uu)
+    c0a, c1a = jnp.maximum(0, vv), V + jnp.minimum(0, vv)
     # m2 window: mirrored shift
-    r0b, r1b = jnp.maximum(0, -u) + 0 * v, U + jnp.minimum(0, -u) + 0 * v
-    c0b, c1b = jnp.maximum(0, -v) + 0 * u, V + jnp.minimum(0, -v) + 0 * u
+    r0b, r1b = jnp.maximum(0, -uu), U + jnp.minimum(0, -uu)
+    c0b, c1b = jnp.maximum(0, -vv), V + jnp.minimum(0, -vv)
 
-    s1 = _corner_sums(ii1, r0a, r1a, c0a, c1a)
-    s2 = _corner_sums(ii2, r0b, r1b, c0b, c1b)
-    q1 = _corner_sums(ii1sq, r0a, r1a, c0a, c1a)
-    q2 = _corner_sums(ii2sq, r0b, r1b, c0b, c1b)
+    s1 = _corner_sums_sep(ii1, r0a, r1a, c0a, c1a)
+    s2 = _corner_sums_sep(ii2, r0b, r1b, c0b, c1b)
+    q1 = _corner_sums_sep(ii1sq, r0a, r1a, c0a, c1a)
+    q2 = _corner_sums_sep(ii2sq, r0b, r1b, c0b, c1b)
     n = ((U - jnp.abs(u)) * (V - jnp.abs(v))).astype(m1.dtype)
 
     num = cross - s1 * s2 / n
