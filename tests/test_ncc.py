@@ -32,6 +32,48 @@ def test_ncc_map_matches_reference_formula(rng):
             assert abs(out[du + u, dv + v] - ref) < 2e-4, (u, v)
 
 
+def test_ncc_production_mip_shape_regression(rng):
+    """Crash-regression marker: production-scale MIPs ((12, 150, 1024),
+    search 26) crashed the v5e TPU runtime via the fused 2D
+    advanced-index gathers inside ncc_maps_batched (round 5, bisected
+    on-chip); the fix is separable row/col takes.  CPU cannot reproduce
+    the fault, so this pins (a) the exact shape keeps running and (b)
+    the take-based map still matches the reference formula there."""
+    m1 = rng.random((12, 150, 1024), dtype=np.float32) * 100
+    m2 = np.roll(m1, (4, -6), axis=(1, 2)).astype(np.float32)
+    out = np.asarray(nccmod.ncc_maps_batched(m1, m2, 26, 26))
+    assert out.shape == (12, 53, 53)
+    for b in (0, 7):
+        for (u, v) in ((0, 0), (4, -6), (-26, 26)):
+            ref = np_ncc_single(m1[b], m2[b], u, v)
+            assert abs(out[b, 26 + u, 26 + v] - ref) < 2e-4, (b, u, v)
+    # the peak must sit at the planted shift for every pair:
+    # m2 = roll(m1, (4, -6)) means m1 shifted by (-4, +6) matches m2
+    peaks = out.reshape(12, -1).argmax(axis=1)
+    assert (peaks == (26 - 4) * 53 + (26 + 6)).all()
+
+
+def test_corner_sums_separable_matches_2d_gather(rng):
+    """The separable take-based corner sums must stay numerically
+    identical to the 2D-gather form (kept as the definitional twin)."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(rng.random((3, 40, 60), dtype=np.float32))
+    ii = nccmod._prefix2d(m)
+    U, V, du, dv = 40, 60, 5, 9
+    uu = jnp.arange(-du, du + 1)
+    vv = jnp.arange(-dv, dv + 1)
+    sep = nccmod._corner_sums_sep(
+        ii, jnp.maximum(0, uu), U + jnp.minimum(0, uu),
+        jnp.maximum(0, vv), V + jnp.minimum(0, vv))
+    u = uu[:, None]
+    v = vv[None, :]
+    old = nccmod._corner_sums(
+        ii, jnp.maximum(0, u) + 0 * v, U + jnp.minimum(0, u) + 0 * v,
+        jnp.maximum(0, v) + 0 * u, V + jnp.minimum(0, v) + 0 * u)
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(old), rtol=1e-6)
+
+
 def test_ncc_peak_at_known_shift(rng):
     base = make_phantom(rng, (1, 120, 140))[0].astype(np.float32)
     m1 = base[10:90, 10:110]
